@@ -1,0 +1,489 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic relational operator battery over the driver-provided TPC-H-ish
+  * tables (`TESTDATA.md`). Each query is the declarative Spark re-expression
+  * of one operator family the reference implements imperatively (SURVEY.md
+  * §2); the DuckDB-oracle SQL lives in [[graft.SparkEntry.oracleSql]].
+  *
+  * Design rules for oracle parity (driver hashes values after sorting
+  * columns by name):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregates are `round`ed (sum order across engines differs in
+  *    the last ulp); integral-valued doubles (l_quantity) are summed raw;
+  *  - timestamps are emitted as `unix_micros` BIGINT (naive-vs-UTC parquet
+  *    annotation differences can break value compare);
+  *  - derived integer columns are cast to BIGINT on both sides (DuckDB
+  *    `sum(int)` is HUGEINT, Spark is LONG);
+  *  - every result is deterministically ordered by a full key.
+  *
+  * Scale notes: dimension joins are explicitly `broadcast`; top-k uses
+  * `orderBy(...).limit(k)` (TakeOrderedAndProject — no global sort);
+  * ranking windows partition by high-cardinality keys only.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** name -> (session, sfDir) -> result */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation (SURVEY §2.7 A1/A4): TPC-H Q1-shaped pricing summary
+    "q01_pricing_summary" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- broadcast dim join (SURVEY §2.3; P8 dim-lookup pattern)
+    "q02_region_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum($"c_acctbal"), 2).as("bal_sum"),
+          round(avg($"c_acctbal"), 4).as("bal_avg"))
+        .orderBy($"r_name")
+    }),
+
+    // ---- join + agg + top-k without global sort (SURVEY §2.6)
+    "q03_top_orders" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey", $"o_custkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey".asc)
+        .limit(10)
+    }),
+
+    // ---- left-semi join (EXISTS; frontier-vs-active-hosts pruning shape)
+    "q04_semi_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val returned = t(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      t(s, dir, "orders")
+        .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- left-anti join (NOT EXISTS; the URL-seen check shape, SURVEY D1)
+    "q05_anti_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pending = t(s, dir, "orders")
+        .filter($"o_orderstatus" === "P").select($"o_custkey")
+      t(s, dir, "customer")
+        .join(pending, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("bal"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // ---- selective filter + scalar agg (predicate pushdown showcase, Q6)
+    "q06_filtered_revenue" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- ranking window, keep-newest (O2 newest-pick, SURVEY §2.6)
+    "q07_latest_order" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          unix_micros($"o_orderdate".cast("timestamp_ltz")).as("order_us"),
+          $"o_totalprice")
+        .orderBy($"o_custkey")
+    }),
+
+    // ---- running-total frame window (A2 cumulative metrics shape)
+    "q08_running_total" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("run_sum", round(sum($"value").over(w), 2))
+        .select($"user_id", $"event_id", $"run_sum")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // ---- distinct aggregation (SURVEY §2.7 engine-side)
+    "q09_distinct_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("users"),
+          count(lit(1)).as("n"),
+          round(sum($"value"), 2).as("total"),
+          max($"value").as("maxv"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- EXCEPT set op (≡ left-anti, SURVEY §2.5)
+    "q10_set_except" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      def days(kind: String) = ev.filter($"event_type" === kind)
+        .select($"user_id", $"ts".cast("date").as("dd")).distinct()
+      days("click").except(days("purchase")).orderBy($"user_id", $"dd")
+    }),
+
+    // ---- conditional counts (A4 sentinel-count pattern,
+    //      pdf_data_to_table.py:331-354)
+    "q11_conditional_counts" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+          count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+          count(when($"o_orderstatus" === "P", 1)).as("n_p"),
+          count(when($"o_totalprice" > 100000.0, 1)).as("n_highvalue"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- date-part grouping (partition-key derivation shape, §1.2)
+    "q12_monthly_shipments" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy(year($"l_shipdate").cast("long").as("y"),
+          month($"l_shipdate").cast("long").as("m"))
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty"),
+          round(sum($"l_extendedprice"), 2).as("val"))
+        .orderBy($"y", $"m")
+    }),
+
+    // ---- string functions (SURVEY §2.9)
+    "q13_part_brands" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .groupBy(upper(trim($"p_brand")).as("brand"),
+          regexp_extract($"p_type", "^(\\w+)", 1).as("tword"))
+        .agg(count(lit(1)).as("n"), min($"p_size").as("min_size"),
+          max($"p_size").as("max_size"))
+        .orderBy($"brand", $"tword")
+    }),
+
+    // ---- time-of-day histogram (A2 rate metrics shape)
+    "q14_hourly_activity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(hour($"ts").cast("long").as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("val"))
+        .orderBy($"h", $"event_type")
+    }),
+
+    // ---- rollup (consolidation aggregates A3 as grouping sets)
+    "q15_rollup_accounts" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("bal"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // ---- per-group argmax via ranking window (O2)
+    "q16_priciest_part" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"p_retailprice".desc, $"p_name".asc)
+      t(s, dir, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"p_brand", $"p_name", $"p_retailprice")
+        .orderBy($"p_brand")
+    }),
+
+    // ---- case-fold dim resolution with sentinel default (P8/P9:
+    //      validators.py:93-129, mds_parcelas.py:358-376)
+    "q17_lang_resolution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dim = Seq(("en", "English"), ("de", "German"), ("es", "Spanish"),
+        ("fr", "French")).toDF("code", "name")
+      t(s, dir, "documents")
+        .join(broadcast(dim), upper($"lang") === upper($"code"), "left")
+        .groupBy(coalesce($"name", lit("NÃO CLASSIFICADO")).as("resolved"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"resolved")
+    }),
+
+    // ---- json extraction + bucketing (P11 markdown-JSON unwrap shape)
+    "q18_json_category" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy(when($"k" < 25, "Q1").when($"k" < 50, "Q2")
+          .when($"k" < 75, "Q3").otherwise("Q4").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("val"))
+        .orderBy($"bucket")
+    }),
+
+    // ---- manifest left-outer join + sentinel normalization (J1+P6:
+    //      pdf_call.py:167-172, pdf_data_to_table.py:244-262)
+    "q19_manifest_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val manifest = t(s, dir, "customer")
+        .filter($"c_acctbal" > 5000.0).select($"c_custkey", $"c_name")
+      t(s, dir, "orders")
+        .join(manifest, $"o_custkey" === $"c_custkey", "left_outer")
+        .withColumn("linked",
+          when(coalesce($"c_name", lit("NÃO INFORMADO")) === "NÃO INFORMADO",
+            "missing").otherwise("linked"))
+        .groupBy($"linked", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"linked", $"o_orderstatus")
+    }),
+
+    // ---- keep-first dedup (D1 exact path: portal_saude_mg.py:416-423)
+    "q20_dedup_keepfirst" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id",
+          unix_micros($"ts".cast("timestamp_ltz")).as("ts_us"))
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // ---- sequential numbering witness (O1: portal_saude_mg.py:488-501)
+    "q21_crawl_numbering" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .select($"event_id", $"user_id",
+          row_number().over(w).cast("long").as("seq"))
+        .orderBy($"user_id", $"seq")
+    }),
+
+    // ---- per-key top-k wave selection (politeness wave shape, SURVEY §2.6)
+    "q22_politeness_wave" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+      t(s, dir, "events")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"user_id", $"event_id", $"rk")
+        .orderBy($"user_id", $"rk")
+    }),
+
+    // ---- anti-join + per-key counts (unseen-frontier shape, D2)
+    "q23_unseen_clicks" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".cast("date").as("dd")).distinct()
+      ev.filter($"event_type" === "click")
+        .withColumn("dd", $"ts".cast("date"))
+        .join(signups, Seq("user_id", "dd"), "left_anti")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"user_id")
+    }),
+
+    // ---- UNION ALL consolidation (D4: portal_saude_ui.py:1470-1480)
+    "q24_period_union" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val jan = ev.filter(month($"ts") === 1)
+      val feb = ev.filter(month($"ts") === 2)
+      jan.unionByName(feb)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("val"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- regex predicate battery (P7: validators.py:17-20,147-194)
+    "q25_text_validators" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(
+          count(when($"text".rlike("^the "), 1)).as("n_the"),
+          count(when($"text".rlike("[0-9]"), 1)).as("n_digit"),
+          count(when($"n_chars" > 300, 1)).as("n_long"),
+          count(lit(1)).as("n"))
+        .orderBy($"lang")
+    })
+  )
+
+  /** DuckDB-runnable oracle SQL; column aliases match the Spark side. */
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc,
+        | round(avg(l_quantity),4) AS avg_qty, count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_region_stats" ->
+      """SELECT r_name, count(*) AS n_customers,
+        | round(sum(c_acctbal),2) AS bal_sum, round(avg(c_acctbal),4) AS bal_avg
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey=o_orderkey AND l_returnflag='R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS bal
+        |FROM customer WHERE NOT EXISTS
+        | (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+        |   AND o_orderstatus='P')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_filtered_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_latest_order" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+        | o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn=1 ORDER BY o_custkey""".stripMargin,
+    "q08_running_total" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q09_distinct_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n,
+        | round(sum(value),2) AS total, max(value) AS maxv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_set_except" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS dd FROM events
+        | WHERE event_type='click'
+        |EXCEPT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events
+        | WHERE event_type='purchase'
+        |ORDER BY user_id, dd""".stripMargin,
+    "q11_conditional_counts" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus='F') AS n_f,
+        | count(*) FILTER (WHERE o_orderstatus='O') AS n_o,
+        | count(*) FILTER (WHERE o_orderstatus='P') AS n_p,
+        | count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_highvalue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_monthly_shipments" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+        | CAST(month(l_shipdate) AS BIGINT) AS m, count(*) AS n,
+        | sum(l_quantity) AS qty, round(sum(l_extendedprice),2) AS val
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q13_part_brands" ->
+      """SELECT upper(trim(p_brand)) AS brand,
+        | regexp_extract(p_type, '^(\w+)', 1) AS tword, count(*) AS n,
+        | min(p_size) AS min_size, max(p_size) AS max_size
+        |FROM part GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q14_hourly_activity" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS h, event_type, count(*) AS n,
+        | round(sum(value),2) AS val
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q15_rollup_accounts" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        | round(sum(c_acctbal),2) AS bal
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q16_priciest_part" ->
+      """SELECT p_brand, p_name, p_retailprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+        |  ORDER BY p_retailprice DESC, p_name ASC) AS rn FROM part)
+        |WHERE rn=1 ORDER BY p_brand""".stripMargin,
+    "q17_lang_resolution" ->
+      """SELECT coalesce(name, 'NÃO CLASSIFICADO') AS resolved, count(*) AS n
+        |FROM documents LEFT JOIN (VALUES ('en','English'),('de','German'),
+        | ('es','Spanish'),('fr','French')) AS dim(code, name)
+        | ON upper(lang)=upper(code)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_json_category" ->
+      """SELECT CASE WHEN k < 25 THEN 'Q1' WHEN k < 50 THEN 'Q2'
+        |  WHEN k < 75 THEN 'Q3' ELSE 'Q4' END AS bucket,
+        | count(*) AS n, round(sum(value),2) AS val
+        |FROM (SELECT CAST(props->>'$.k' AS BIGINT) AS k, value FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_manifest_join" ->
+      """SELECT CASE WHEN coalesce(c_name, 'NÃO INFORMADO') = 'NÃO INFORMADO'
+        |  THEN 'missing' ELSE 'linked' END AS linked, o_orderstatus,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders LEFT JOIN
+        | (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000.0) m
+        | ON o_custkey = m.c_custkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q20_dedup_keepfirst" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn=1 ORDER BY user_id, event_type""".stripMargin,
+    "q21_crawl_numbering" ->
+      """SELECT event_id, user_id, CAST(row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+        |FROM events ORDER BY user_id, seq""".stripMargin,
+    "q22_politeness_wave" ->
+      """SELECT user_id, event_id, rk FROM
+        | (SELECT user_id, event_id, CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT)
+        |    AS rk FROM events)
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "q23_unseen_clicks" ->
+      """SELECT user_id, count(*) AS n FROM events e
+        |WHERE event_type='click' AND NOT EXISTS
+        | (SELECT 1 FROM events s WHERE s.event_type='signup'
+        |   AND s.user_id=e.user_id
+        |   AND CAST(s.ts AS DATE)=CAST(e.ts AS DATE))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_period_union" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS val FROM (
+        | SELECT * FROM events WHERE month(ts)=1
+        | UNION ALL
+        | SELECT * FROM events WHERE month(ts)=2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_text_validators" ->
+      """SELECT lang,
+        | count(*) FILTER (WHERE regexp_matches(text, '^the ')) AS n_the,
+        | count(*) FILTER (WHERE regexp_matches(text, '[0-9]')) AS n_digit,
+        | count(*) FILTER (WHERE n_chars > 300) AS n_long, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

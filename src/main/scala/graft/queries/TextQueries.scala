@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (TESTDATA.md): exact dedup, token/quality stats, and exact
+  * integer-quantized k-NN with a DuckDB oracle. The approximate paths
+  * (MinHash-LSH, SimHash, LSH-bucketed ANN, language-ID) live in
+  * [[graft.ops]] and surface as oracle-free queries there.
+  *
+  * Cross-engine notes: float embeddings are cast to double element-wise
+  * before arithmetic (identical sequential fold order in Spark
+  * `aggregate` and DuckDB `list_sum∘list_transform`); k-NN quantizes to
+  * BIGINT (exact dot products → fully deterministic ranking).
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Σ x_i² over a float-array column, computed in double, sequential. */
+  private def sqNorm(c: Column): Column =
+    aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Quantize a float vector to BIGINT at 3 decimals (exact math). */
+  private def quantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup by content hash (hash-groupBy; keep-first keeps the
+    //      lowest doc_id, mirroring D1 keep-first semantics)
+    "q30_doc_dedup_exact" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(md5($"text".cast("binary")).as("h"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+        .orderBy($"h")
+    }),
+
+    // ---- token counting (whitespace tokenizer) per language
+    "q31_token_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("toks", size(split($"text", " ")))
+        .groupBy($"lang")
+        .agg(sum($"toks").cast("long").as("total_toks"),
+          round(avg($"toks"), 4).as("avg_toks"),
+          max($"toks").cast("long").as("max_toks"))
+        .orderBy($"lang")
+    }),
+
+    // ---- quality scoring: length + letter-ratio signals
+    "q32_quality_scores" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("letter_ratio",
+          length(regexp_replace($"text", "[^a-z]", "")) / length($"text"))
+        .groupBy($"lang")
+        .agg(round(avg($"n_chars"), 4).as("avg_chars"),
+          round(avg($"letter_ratio"), 6).as("avg_letter_ratio"),
+          count(lit(1)).as("n"))
+        .orderBy($"lang")
+    }),
+
+    // ---- per-source corpus stats (sharding/partitioning diagnostics)
+    "q33_source_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"lang").as("langs"),
+          sum($"n_chars").cast("long").as("chars"))
+        .orderBy($"source")
+    }),
+
+    // ---- embedding norms per label (array fold in double)
+    "q35_embedding_norms" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .withColumn("norm", sqrt(sqNorm($"embedding")))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"), round(avg($"norm"), 4).as("avg_norm"))
+        .orderBy($"label")
+    }),
+
+    // ---- exact k-NN (brute-force top-5 by quantized dot product):
+    //      the correctness baseline for the ANN paths in graft.ops.AnnOps
+    "q36_knn_top5" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"), quantize($"embedding").as("qv"))
+      val c = emb.filter($"vec_id" >= 3)
+        .select($"vec_id".as("cid"), quantize($"embedding").as("cv"))
+      val dot = aggregate(zip_with($"qv", $"cv", (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"cid".asc)
+      c.crossJoin(broadcast(q))
+        .withColumn("dot", dot)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"qid", $"cid", $"dot", $"rk")
+        .orderBy($"qid", $"rk")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_doc_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_token_stats" ->
+      """SELECT lang,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks,
+        | round(avg(len(string_split(text, ' '))),4) AS avg_toks,
+        | CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_toks
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_quality_scores" ->
+      """SELECT lang, round(avg(n_chars),4) AS avg_chars,
+        | round(avg(length(regexp_replace(text,'[^a-z]','','g'))
+        |   * 1.0 / length(text)),6) AS avg_letter_ratio,
+        | count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_source_stats" ->
+      """SELECT source, count(*) AS n, count(DISTINCT lang) AS langs,
+        | CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_embedding_norms" ->
+      """SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),4) AS avg_norm
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_knn_top5" ->
+      """WITH qz AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS qid, v AS qv FROM qz WHERE vec_id < 3),
+        | c AS (SELECT vec_id AS cid, v AS cv FROM qz WHERE vec_id >= 3),
+        | scored AS (SELECT qid, cid,
+        |   CAST(list_dot_product(qv, cv) AS BIGINT) AS dot FROM q CROSS JOIN c),
+        | ranked AS (SELECT qid, cid, dot, CAST(row_number() OVER (
+        |   PARTITION BY qid ORDER BY dot DESC, cid ASC) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT qid, cid, dot, rk FROM ranked WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin
+  )
+}
