@@ -1,0 +1,100 @@
+package graft.frontier
+
+import graft.model._
+
+/** Seed-spec expansion into ordered `PeriodSeed`s (SURVEY §2.4 G1–G3).
+  *
+  * Reproduces the reference's enumeration orders exactly — ordering is
+  * part of the crawl-order contract:
+  *  - years: `single` → [y]; `range` → ascending a..b
+  *    (mds_saldo.py:139-152); `multiple` → given order;
+  *    `all` → current year DESCENDING to 2011 for portal_saude_mg
+  *    (portal_saude_ui.py:1394-1396, 1512-1513) and 2011 ascending to
+  *    current year for the MDS sites (mds_saldo.py:148-150)
+  *  - months: 1..12 for `all` (13 sentinel — portal_saude_ui.py:574)
+  *  - expansion: sites outer (terminal order, terminal.py:32-48),
+  *    years middle, months inner (portal_saude_ui.py:1416-1452)
+  *  - future-month guard (P5): months beyond the injected clock are
+  *    never emitted for the current year (portal_saude_ui.py:1446-1448)
+  */
+object SeedExpansion {
+
+  val FirstYear = 2011 // MDS "all years" lower bound (mds_saldo.py:148)
+
+  def years(sel: YearSelector, site: String, nowYear: Int): Seq[Int] =
+    sel match {
+      case YearSelector.Single(y) => Seq(y)
+      case YearSelector.Range(a, b) => a to b
+      case YearSelector.Multiple(ys) => ys
+      case YearSelector.All =>
+        if (site == "portal_saude_mg") nowYear to FirstYear by -1
+        else FirstYear to nowYear
+    }
+
+  def months(sel: MonthSelector): Seq[Int] = sel match {
+    case MonthSelector.Single(m) => Seq(m)
+    case MonthSelector.Multiple(ms) => ms
+    case MonthSelector.All => 1 to 12
+  }
+
+  /** Fully-ordered period list; `seedSeq` is the frozen enumeration
+    * index (composite discoverySeq base, SURVEY G3). */
+  def expand(cfg: CrawlConfig): Seq[PeriodSeed] = {
+    var seq = -1L
+    for {
+      site <- cfg.sites
+      y <- years(cfg.years, site, cfg.nowYear)
+      m <- months(cfg.months)
+      // P5 future guard: skip future years and future months of this year
+      if y < cfg.nowYear || (y == cfg.nowYear && m <= cfg.nowMonth)
+    } yield {
+      seq += 1
+      PeriodSeed(site, y, m, seq)
+    }
+  }
+
+  /** Early-stop pruning over per-period download counts (the wave-
+    * feedback rules, SURVEY §4 row 3):
+    *  - empty month (0 files) ⇒ drop the REST of that site-year's
+    *    months (portal_saude_ui.py:1582-1584)
+    *  - in `all`-years mode, a gap of >3 consecutive fully-empty years
+    *    ⇒ drop all later years for that site
+    *    (portal_saude_ui.py:1548-1550)
+    *
+    * `fileCount` maps (site,year,month) → successful downloads; pure so
+    * the Spark job and the simulator share one decision procedure.
+    * Returns the surviving periods in seed order.
+    */
+  def prune(seeds: Seq[PeriodSeed], fileCount: Map[(String, Int, Int), Long],
+      allYearsMode: Boolean, allMonthsMode: Boolean): Seq[PeriodSeed] = {
+    val bySite = seeds.groupBy(_.site)
+    val out = Seq.newBuilder[PeriodSeed]
+    bySite.toSeq.sortBy(_._2.head.seedSeq).foreach { case (_, ss) =>
+      // group periods by year preserving seed order
+      val yearsInOrder = ss.map(_.year).distinct
+      var emptyYearStreak = 0
+      var yearsStopped = false
+      yearsInOrder.foreach { y =>
+        if (!yearsStopped) {
+          val months = ss.filter(_.year == y)
+          var monthStopped = false
+          var yearFiles = 0L
+          months.foreach { p =>
+            if (!monthStopped) {
+              val n = fileCount.getOrElse((p.site, p.year, p.month), 0L)
+              out += p
+              yearFiles += n
+              // stop months at 1st empty (only in all-months mode)
+              if (allMonthsMode && n == 0L) monthStopped = true
+            }
+          }
+          if (allYearsMode) {
+            if (yearFiles == 0L) emptyYearStreak += 1 else emptyYearStreak = 0
+            if (emptyYearStreak > 3) yearsStopped = true
+          }
+        }
+      }
+    }
+    out.result().sortBy(_.seedSeq)
+  }
+}

@@ -1,0 +1,198 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.fetch.SyntheticWeb
+import graft.frontier.SeedExpansion
+import graft.model._
+import graft.politeness.HostScheduler
+import graft.url.{Hashing, UrlCanon}
+
+/** Batch crawl: the Spark-native re-expression of the reference's
+  * sequential crawl kernel (SURVEY §3.1 "Spark shape of A").
+  *
+  * Dataflow:
+  * {{{
+  * seeds (Dataset[PeriodSeed], ordered G1-G3)
+  *   → flatMap harvest (S3/S4/G5; listing pagination + link project)
+  *   → P1 filter (non-empty title/url)
+  *   → canonicalize + xxhash64 + host (url module)
+  *   → keep-first dedup per period (D1; ranking window over urlHash)
+  *   → robots filter (broadcast rules)
+  *   → O1 numbering + imageId (ranking window per period)
+  *   → speculative per-period success counts → early-stop pruning
+  *     (driver feedback loop, SURVEY §4 row 3)
+  *   → repartition by (site, host) + sortWithinPartitions
+  *     (secondary-sort pattern: politeness domains co-located,
+  *      NO per-group materialization)
+  *   → per-domain politeness schedule + fetch (HostScheduler)
+  *   → crawl log + image records
+  * }}}
+  *
+  * Scale notes:
+  *  - per-period windows are bounded (≤ maxPages·12 links) so the
+  *    ranking windows never see unbounded partitions; parallelism is
+  *    across periods and domains;
+  *  - the speculative count phase touches only (urlHash → status),
+  *    never payload bytes — column pruning keeps the fetch out of it;
+  *  - the per-domain sequential loop IS the politeness constraint;
+  *    throughput scales with the number of distinct domains, and
+  *    hot-host skew is bounded by the budget, not by CPU;
+  *  - resume (D2) probes the committed seen-set BEFORE fetching, so a
+  *    restarted crawl spends zero budget on already-fetched URLs.
+  */
+object CrawlJob {
+
+  final case class CrawlResult(
+      seeds: Seq[PeriodSeed],
+      prunedSeeds: Seq[PeriodSeed],
+      frontier: Dataset[ScheduledEntry],
+      log: Dataset[CrawlLogEntry],
+      images: Dataset[ImageRecord])
+
+  /** Harvest all periods' listing pages into the raw frontier. */
+  def harvest(spark: SparkSession, cfg: CrawlConfig,
+      seeds: Seq[PeriodSeed]): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    val maxPages = cfg.maxPages
+    val webSeed = cfg.webSeed
+    spark.createDataset(seeds)
+      .repartition(math.max(1, math.min(seeds.size, 64)))
+      .flatMap { s =>
+        SyntheticWeb.harvestPeriod(s.site, s.year, s.month, maxPages, webSeed)
+          .map { case (k, p, j, url, title) =>
+            FrontierEntry(s.site, s.year, s.month, s.seedSeq, p, j, k.toLong,
+              url, Hashing.xxh64(url), UrlCanon.host(url), title)
+          }
+      }
+  }
+
+  /** P1 filter → D1 keep-first dedup → robots → O1 numbering. */
+  def buildFrontier(spark: SparkSession,
+      raw: Dataset[FrontierEntry]): Dataset[ScheduledEntry] = {
+    import spark.implicits._
+    val robotsUdf = udf((host: String, url: String) =>
+      SyntheticWeb.disallowed(host, url))
+    val dedupW = Window.partitionBy($"site", $"year", $"month", $"urlHash")
+      .orderBy($"discoverySeq")
+    val numW = Window.partitionBy($"site", $"year", $"month")
+      .orderBy($"discoverySeq")
+    raw
+      // P1: both href and title non-empty (portal_saude_mg.py:404)
+      .filter(length(trim($"title")) > 0 && $"url".startsWith("http"))
+      .withColumn("rn", row_number().over(dedupW))
+      .filter($"rn" === 1)
+      .filter(!robotsUdf($"host", $"url"))
+      .withColumn("seq", row_number().over(numW))
+      .withColumn("imageId",
+        format_string("%02d-%d-RES-%03d", $"month", $"year", $"seq"))
+      .select($"site", $"year", $"month", $"seedSeq", $"discoverySeq",
+        $"seq", $"imageId", $"url", $"urlHash", $"host", $"title")
+      .as[ScheduledEntry]
+  }
+
+  /** Speculative per-period successful-download counts (cheap: status
+    * is a pure function of urlHash; no payloads materialized). */
+  def periodCounts(spark: SparkSession, frontier: Dataset[ScheduledEntry],
+      maxRetries: Int): Map[(String, Int, Int), Long] = {
+    import spark.implicits._
+    val statusUdf = udf((h: Long) => HostScheduler.terminalStatus(h, maxRetries))
+    frontier
+      .groupBy($"site", $"year", $"month")
+      .agg(count(when(statusUdf($"urlHash") === CrawlStatus.Success, 1))
+        .as("files"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+      .toMap
+  }
+
+  /** Politeness-scheduled fetch over (site, host) domains.
+    * Secondary-sort pattern: hash-repartition on the domain key, sort
+    * within partitions, then stream domain runs — constant memory per
+    * task regardless of domain size. */
+  def scheduleAndFetch(spark: SparkSession, frontier: Dataset[ScheduledEntry],
+      budget: PolitenessBudget,
+      seen: Set[Long] = Set.empty): Dataset[HostScheduler.FetchOutcome] = {
+    import spark.implicits._
+    val seenBc = spark.sparkContext.broadcast(seen)
+    val numPartitions = spark.sessionState.conf.numShufflePartitions
+    frontier
+      .repartition(numPartitions, $"site", $"host")
+      .sortWithinPartitions($"site", $"host", $"seedSeq", $"discoverySeq")
+      .mapPartitions { it =>
+        // consecutive runs of one (site, host) = one politeness domain
+        new Iterator[Iterator[HostScheduler.FetchOutcome]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[HostScheduler.FetchOutcome] = {
+            val key = (buf.head.site, buf.head.host)
+            val domain = new Iterator[ScheduledEntry] {
+              def hasNext: Boolean =
+                buf.hasNext && (buf.head.site, buf.head.host) == key
+              def next(): ScheduledEntry = buf.next()
+            }
+            HostScheduler.run(domain, budget, seenBc.value.contains)
+          }
+        }.flatten
+      }
+  }
+
+  /** Full batch crawl. `seen` carries the committed URL-seen set for
+    * resume (skip-if-exists, D2). */
+  def run(spark: SparkSession, cfg: CrawlConfig,
+      seen: Set[Long] = Set.empty): CrawlResult = {
+    import spark.implicits._
+    val seeds = SeedExpansion.expand(cfg)
+    val raw = harvest(spark, cfg, seeds)
+    val frontier = buildFrontier(spark, raw).cache()
+    val counts = periodCounts(spark, frontier, cfg.budget.maxRetries)
+    val pruned = SeedExpansion.prune(seeds, counts,
+      allYearsMode = cfg.years == YearSelector.All,
+      allMonthsMode = cfg.months == MonthSelector.All)
+    val prunedKeys = pruned.map(p => (p.site, p.year, p.month)).toSet
+    val prunedBc = spark.sparkContext.broadcast(prunedKeys)
+    val surviving = frontier.filter(e =>
+      prunedBc.value.contains((e.site, e.year, e.month)))
+    val outcomes = scheduleAndFetch(spark, surviving, cfg.budget, seen).cache()
+    val log = outcomes.map(_.log)
+    val images = outcomes.flatMap(_.image)
+    CrawlResult(seeds, pruned, surviving, log, images)
+  }
+
+  /** The URL-seen set this crawl contributes: URLs with a durable
+    * artifact (success now, or skipped-because-already-present). */
+  def seenFrom(log: Dataset[CrawlLogEntry]): Dataset[Long] = {
+    import log.sparkSession.implicits._
+    log.filter(l => l.status == CrawlStatus.Success ||
+        l.status == CrawlStatus.Skipped)
+      .map(_.urlHash).distinct()
+  }
+
+  /** Run-metrics aggregates (A1/A2: portal_saude_mg.py:115-117,
+    * :642-678): per-period file counts, bytes, error mix, duration and
+    * downloads/min in virtual time. */
+  def metrics(log: Dataset[CrawlLogEntry],
+      images: Dataset[ImageRecord]): DataFrame = {
+    import log.sparkSession.implicits._
+    val sizes = images.select($"site", $"year", $"month",
+      length($"bytes").cast("long").as("sz"))
+      .groupBy($"site", $"year", $"month")
+      .agg(sum($"sz").as("bytes_total"))
+    log.groupBy($"site", $"year", $"month")
+      .agg(
+        count(when($"status" === CrawlStatus.Success, 1)).as("files"),
+        count(when($"status" === CrawlStatus.NoData, 1)).as("no_data"),
+        count(when($"status" === CrawlStatus.Error, 1)).as("errors"),
+        count(when($"status" === CrawlStatus.Corrupt, 1)).as("corrupt"),
+        count(when($"status" === CrawlStatus.Skipped, 1)).as("skipped"),
+        sum($"attempts").cast("long").as("requests"),
+        max($"vtimeMs").as("duration_ms"))
+      .join(sizes, Seq("site", "year", "month"), "left_outer")
+      .withColumn("bytes_total", coalesce($"bytes_total", lit(0L)))
+      .withColumn("downloads_per_min",
+        round($"files" * 60000.0 / greatest($"duration_ms", lit(1L)), 2))
+      .orderBy($"site", $"year", $"month")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.politeness
+
+import scala.collection.mutable
+
+import graft.fetch.{ImageCodec, SyntheticWeb}
+import graft.model._
+
+/** Per-host politeness scheduler + fetch loop, in virtual time.
+  *
+  * One scheduling domain = (site, host) — matching the reference,
+  * where each site runs in its own process with its own rate limiter
+  * (parallel_runner.py:40-62) so two sites sharing a physical host do
+  * not share a budget. (A strict per-host mode is a config away: key
+  * the groups by host only.)
+  *
+  * Virtual-time rules, applied to every HTTP attempt, mirroring
+  * config/sites_config.json:184-189 + portal_saude_mg.py:479,:504-537:
+  *  - the first `burst` attempts may start back-to-back;
+  *  - after that, an attempt starts ≥ `crawlDelayMs` after the
+  *    previous attempt's start (inter-download sleep);
+  *  - a sliding window of `requestsPerMinute` attempts per 60 s;
+  *  - a failed attempt k (1-based) re-tries after
+  *    `backoffPerAttemptMs · k` from its failure, up to `maxRetries`
+  *    attempts, INLINE (the reference's retry loop wraps one download
+  *    — later URLs wait, portal_saude_mg.py:504-537).
+  *
+  * The loop is sequential per domain BY DESIGN: sequential-per-host is
+  * precisely the politeness semantics; scale comes from running many
+  * host domains in parallel. Pure function of (ordered entries,
+  * budget) — the Spark job and the reference simulator both call it,
+  * while the parity tests check that the distributed pipeline feeds it
+  * identical inputs in identical order.
+  */
+object HostScheduler {
+
+  final case class FetchOutcome(log: CrawlLogEntry, image: Option[ImageRecord])
+
+  /** Run one domain's timeline. `entries` MUST be sorted by
+    * (seedSeq, discoverySeq); `alreadySeen` implements resume
+    * skip-if-exists (D2, portal_saude_mg.py:452-459): skipped entries
+    * emit a log row but consume no attempts and no virtual time. */
+  def run(entries: Iterator[ScheduledEntry], budget: PolitenessBudget,
+      alreadySeen: Long => Boolean = _ => false): Iterator[FetchOutcome] = {
+    var now = 0L
+    var attemptCount = 0L
+    var lastStart = Long.MinValue
+    val window = mutable.Queue.empty[Long] // start times of last rpm attempts
+
+    def nextStart(eligibleAt: Long): Long = {
+      var t = math.max(now, eligibleAt)
+      if (attemptCount >= budget.burst && lastStart != Long.MinValue)
+        t = math.max(t, lastStart + budget.crawlDelayMs)
+      if (window.size >= budget.requestsPerMinute)
+        t = math.max(t, window.head + 60000L)
+      t
+    }
+
+    def recordAttempt(t: Long): Unit = {
+      attemptCount += 1
+      lastStart = t
+      window.enqueue(t)
+      if (window.size > budget.requestsPerMinute) window.dequeue()
+      now = t
+    }
+
+    entries.map { e =>
+      if (alreadySeen(e.urlHash)) {
+        FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
+          e.url, e.urlHash, e.host, now, 0, CrawlStatus.Skipped), None)
+      } else {
+        val outcome = SyntheticWeb.outcome(e.urlHash)
+        var attempt = 1
+        var eligible = 0L
+        var done = false
+        var status = CrawlStatus.Error
+        var startT = 0L
+        var finishT = now
+        while (!done && attempt <= budget.maxRetries) {
+          startT = nextStart(eligible)
+          recordAttempt(startT)
+          finishT = startT + SyntheticWeb.latencyMs(e.urlHash, attempt)
+          now = finishT
+          outcome match {
+            case SyntheticWeb.Ok =>
+              status = CrawlStatus.Success; done = true
+            case SyntheticWeb.NoData =>
+              status = CrawlStatus.NoData; done = true
+            case SyntheticWeb.Corrupt =>
+              status = CrawlStatus.Corrupt; done = true
+            case SyntheticWeb.Transient(failCount) =>
+              if (attempt > failCount) { status = CrawlStatus.Success; done = true }
+              else { // backoff 2·attempt s (portal_saude_mg.py:533)
+                eligible = finishT + budget.backoffPerAttemptMs * attempt
+                attempt += 1
+              }
+          }
+        }
+        val attempts = if (done) attempt else attempt - 1
+        // validate payload (P3) — corrupt outcomes yield invalid bytes
+        val image = status match {
+          case CrawlStatus.Success =>
+            val p = SyntheticWeb.payload(e.urlHash, e.title)
+            if (ImageCodec.validMagic(p.bytes, p.fmt))
+              Some(ImageRecord(e.imageId, p.bytes, p.w, p.h, p.fmt, p.caption,
+                p.phash, e.site, e.year, e.month, e.url, e.urlHash, startT,
+                attempts))
+            else None
+          case CrawlStatus.Corrupt =>
+            // fetched bytes failed size/magic validation — record only
+            None
+          case _ => None
+        }
+        val finalStatus =
+          if (status == CrawlStatus.Success && image.isEmpty) CrawlStatus.Corrupt
+          else status
+        FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
+          e.url, e.urlHash, e.host, startT, attempts, finalStatus), image)
+      }
+    }
+  }
+
+  /** Outcome-only pass (no payload materialization, no schedule):
+    * terminal status of a URL given the budget's retry cap — used by
+    * the speculative per-period counting phase (early-stop feedback)
+    * where only "would this URL download successfully" matters. */
+  def terminalStatus(urlHash: Long, maxRetries: Int): String =
+    SyntheticWeb.outcome(urlHash) match {
+      case SyntheticWeb.Ok => CrawlStatus.Success
+      case SyntheticWeb.NoData => CrawlStatus.NoData
+      case SyntheticWeb.Corrupt => CrawlStatus.Corrupt
+      case SyntheticWeb.Transient(fc) =>
+        if (maxRetries > fc) CrawlStatus.Success else CrawlStatus.Error
+    }
+}
