@@ -139,6 +139,99 @@ object CrawlJob {
       }
   }
 
+  /** Skip-if-exists flags at scale (D2): a Bloom prefilter splits the
+    * frontier so only might-contain candidates pay the shuffle of the
+    * exact join against the committed seen table; Bloom "no" answers
+    * are exact (no false negatives) and never join. The final flag is
+    * always exact — a false positive must not suppress a fetch. */
+  def flagSeen(frontier: Dataset[ScheduledEntry],
+      seenTable: Dataset[Long],
+      bloom: Option[graft.seen.BloomSeen.PartitionedBloom])
+      : Dataset[(ScheduledEntry, Boolean)] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    bloom match {
+      case None =>
+        frontier.joinWith(seenTable.toDF("sh"),
+            frontier("urlHash") === col("sh"), "left_outer")
+          .map { case (e, r) => (e, r != null) }
+      case Some(b) =>
+        val probe = graft.seen.BloomSeen.probeColumn(spark, b, $"urlHash")
+        val flagged = frontier.withColumn("maybe", probe)
+        val definiteNew = flagged.filter(!$"maybe").drop("maybe")
+          .as[ScheduledEntry].map(e => (e, false))
+        val candidates = flagged.filter($"maybe").drop("maybe")
+          .as[ScheduledEntry]
+        val confirmed = candidates.joinWith(seenTable.toDF("sh"),
+            candidates("urlHash") === col("sh"), "left_outer")
+          .map { case (e, r) => (e, r != null) }
+        definiteNew.union(confirmed)
+      }
+  }
+
+  /** scheduleAndFetch over pre-flagged entries (production path). */
+  def scheduleAndFetchFlagged(
+      flagged: Dataset[(ScheduledEntry, Boolean)],
+      budget: PolitenessBudget): Dataset[HostScheduler.FetchOutcome] = {
+    val spark = flagged.sparkSession
+    import spark.implicits._
+    val numPartitions = spark.sessionState.conf.numShufflePartitions
+    flagged
+      .repartition(numPartitions, col("_1.site"), col("_1.host"))
+      .sortWithinPartitions(col("_1.site"), col("_1.host"),
+        col("_1.seedSeq"), col("_1.discoverySeq"))
+      .mapPartitions { it =>
+        new Iterator[Iterator[HostScheduler.FetchOutcome]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[HostScheduler.FetchOutcome] = {
+            val key = (buf.head._1.site, buf.head._1.host)
+            val domain = new Iterator[(ScheduledEntry, Boolean)] {
+              def hasNext: Boolean =
+                buf.hasNext && (buf.head._1.site, buf.head._1.host) == key
+              def next(): (ScheduledEntry, Boolean) = buf.next()
+            }
+            HostScheduler.runFlagged(domain, budget)
+          }
+        }.flatten
+      }
+  }
+
+  /** Production resume loop: read the committed seen set from the
+    * table, Bloom-prefilter + exact-join the skip flags, crawl, commit
+    * a new snapshot with lineage. */
+  def runResumable(spark: SparkSession, cfg: CrawlConfig, tableDir: String,
+      runId: String): (CrawlResult, graft.table.TableIO.Snapshot) = {
+    import spark.implicits._
+    val seenTable = graft.table.TableIO.readSeen(spark, tableDir).cache()
+    val seenCount = seenTable.count()
+    val bloom =
+      if (seenCount == 0) None
+      else Some(graft.seen.BloomSeen.build(seenTable,
+        parts = math.max(1, spark.sessionState.conf.numShufflePartitions / 2),
+        expectedKeys = math.max(seenCount, 1024L), fpp = 0.01))
+
+    val seeds = SeedExpansion.expand(cfg)
+    val raw = harvest(spark, cfg, seeds)
+    val frontier = buildFrontier(spark, raw).cache()
+    val counts = periodCounts(spark, frontier, cfg.budget.maxRetries)
+    val pruned = SeedExpansion.prune(seeds, counts,
+      allYearsMode = cfg.years == YearSelector.All,
+      allMonthsMode = cfg.months == MonthSelector.All)
+    val prunedKeys = pruned.map(p => (p.site, p.year, p.month)).toSet
+    val prunedBc = spark.sparkContext.broadcast(prunedKeys)
+    val surviving = frontier.filter(e =>
+      prunedBc.value.contains((e.site, e.year, e.month)))
+    val flagged = flagSeen(surviving, seenTable, bloom)
+    val outcomes = scheduleAndFetchFlagged(flagged, cfg.budget).cache()
+    val result = CrawlResult(seeds, pruned, surviving,
+      outcomes.map(_.log), outcomes.flatMap(_.image))
+    val snap = graft.table.TableIO.commit(spark, tableDir, result.images,
+      seenFrom(result.log).except(seenTable), runId,
+      pruned.map(p => s"${p.site}/${p.year}/${p.month}"))
+    (result, snap)
+  }
+
   /** Full batch crawl. `seen` carries the committed URL-seen set for
     * resume (skip-if-exists, D2). */
   def run(spark: SparkSession, cfg: CrawlConfig,

@@ -1,0 +1,41 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+
+/** CLI entry: run the demo crawl resumably into an Iceberg-style table.
+  *
+  * {{{ sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table [runId]" }}}
+  *
+  * Running it twice against the same table demonstrates checkpointed
+  * resume: the second run's log is all `skipped` and the table gains
+  * no rows.
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    val tableDir = args.headOption.getOrElse("/tmp/graft_crawl_table")
+    val runId = if (args.length > 1) args(1) else "run-1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = graft.queries.CrawlQueries.demoConfig
+    val (result, snap) = CrawlJob.runResumable(spark, cfg, tableDir, runId)
+    import spark.implicits._
+    val byStatus = result.log.groupByKey(_.status).count().collect()
+      .sortBy(_._1).map { case (s, n) => s"$s=$n" }.mkString(" ")
+    println(s"[crawl] run=$runId table=$tableDir version=${snap.version} " +
+      s"rows=${snap.totalRows} partitions=${snap.partitions.size}")
+    println(s"[crawl] log: $byStatus")
+    CrawlJob.metrics(result.log, result.images).show(50, truncate = false)
+    spark.stop()
+  }
+}

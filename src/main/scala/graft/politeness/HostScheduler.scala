@@ -27,24 +27,29 @@ import graft.model._
   * The loop is sequential per domain BY DESIGN: sequential-per-host is
   * precisely the politeness semantics; scale comes from running many
   * host domains in parallel. Pure function of (ordered entries,
-  * budget) — the Spark job and the reference simulator both call it,
-  * while the parity tests check that the distributed pipeline feeds it
-  * identical inputs in identical order.
+  * budget, initial state) — the batch job, the streaming job, and the
+  * reference simulator all call it, while the parity tests check that
+  * the distributed pipelines feed it identical inputs in identical
+  * order.
   */
 object HostScheduler {
 
   final case class FetchOutcome(log: CrawlLogEntry, image: Option[ImageRecord])
 
-  /** Run one domain's timeline. `entries` MUST be sorted by
-    * (seedSeq, discoverySeq); `alreadySeen` implements resume
-    * skip-if-exists (D2, portal_saude_mg.py:452-459): skipped entries
-    * emit a log row but consume no attempts and no virtual time. */
-  def run(entries: Iterator[ScheduledEntry], budget: PolitenessBudget,
-      alreadySeen: Long => Boolean = _ => false): Iterator[FetchOutcome] = {
-    var now = 0L
-    var attemptCount = 0L
-    var lastStart = Long.MinValue
-    val window = mutable.Queue.empty[Long] // start times of last rpm attempts
+  /** Resumable per-domain scheduler state (carried across streaming
+    * micro-batches by flatMapGroupsWithState). `window` holds the
+    * start times of the last `requestsPerMinute` attempts. */
+  final case class DomainState(now: Long, attemptCount: Long,
+      lastStart: Long, window: Seq[Long])
+  object DomainState {
+    val initial: DomainState = DomainState(0L, 0L, Long.MinValue, Seq.empty)
+  }
+
+  private final class Clock(budget: PolitenessBudget, s0: DomainState) {
+    var now: Long = s0.now
+    var attemptCount: Long = s0.attemptCount
+    var lastStart: Long = s0.lastStart
+    val window: mutable.Queue[Long] = mutable.Queue.empty[Long] ++ s0.window
 
     def nextStart(eligibleAt: Long): Long = {
       var t = math.max(now, eligibleAt)
@@ -63,60 +68,95 @@ object HostScheduler {
       now = t
     }
 
-    entries.map { e =>
-      if (alreadySeen(e.urlHash)) {
-        FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
-          e.url, e.urlHash, e.host, now, 0, CrawlStatus.Skipped), None)
-      } else {
-        val outcome = SyntheticWeb.outcome(e.urlHash)
-        var attempt = 1
-        var eligible = 0L
-        var done = false
-        var status = CrawlStatus.Error
-        var startT = 0L
-        var finishT = now
-        while (!done && attempt <= budget.maxRetries) {
-          startT = nextStart(eligible)
-          recordAttempt(startT)
-          finishT = startT + SyntheticWeb.latencyMs(e.urlHash, attempt)
-          now = finishT
-          outcome match {
-            case SyntheticWeb.Ok =>
-              status = CrawlStatus.Success; done = true
-            case SyntheticWeb.NoData =>
-              status = CrawlStatus.NoData; done = true
-            case SyntheticWeb.Corrupt =>
-              status = CrawlStatus.Corrupt; done = true
-            case SyntheticWeb.Transient(failCount) =>
-              if (attempt > failCount) { status = CrawlStatus.Success; done = true }
-              else { // backoff 2·attempt s (portal_saude_mg.py:533)
-                eligible = finishT + budget.backoffPerAttemptMs * attempt
-                attempt += 1
-              }
+    def snapshot: DomainState =
+      DomainState(now, attemptCount, lastStart, window.toSeq)
+  }
+
+  /** Schedule + fetch one entry on this clock. */
+  private def fetchOne(e: ScheduledEntry, budget: PolitenessBudget,
+      clock: Clock): FetchOutcome = {
+    val outcome = SyntheticWeb.outcome(e.urlHash)
+    var attempt = 1
+    var eligible = 0L
+    var done = false
+    var status = CrawlStatus.Error
+    var startT = 0L
+    while (!done && attempt <= budget.maxRetries) {
+      startT = clock.nextStart(eligible)
+      clock.recordAttempt(startT)
+      val finishT = startT + SyntheticWeb.latencyMs(e.urlHash, attempt)
+      clock.now = finishT
+      outcome match {
+        case SyntheticWeb.Ok =>
+          status = CrawlStatus.Success; done = true
+        case SyntheticWeb.NoData =>
+          status = CrawlStatus.NoData; done = true
+        case SyntheticWeb.Corrupt =>
+          status = CrawlStatus.Corrupt; done = true
+        case SyntheticWeb.Transient(failCount) =>
+          if (attempt > failCount) { status = CrawlStatus.Success; done = true }
+          else { // backoff 2·attempt s (portal_saude_mg.py:533)
+            eligible = finishT + budget.backoffPerAttemptMs * attempt
+            attempt += 1
           }
-        }
-        val attempts = if (done) attempt else attempt - 1
-        // validate payload (P3) — corrupt outcomes yield invalid bytes
-        val image = status match {
-          case CrawlStatus.Success =>
-            val p = SyntheticWeb.payload(e.urlHash, e.title)
-            if (ImageCodec.validMagic(p.bytes, p.fmt))
-              Some(ImageRecord(e.imageId, p.bytes, p.w, p.h, p.fmt, p.caption,
-                p.phash, e.site, e.year, e.month, e.url, e.urlHash, startT,
-                attempts))
-            else None
-          case CrawlStatus.Corrupt =>
-            // fetched bytes failed size/magic validation — record only
-            None
-          case _ => None
-        }
-        val finalStatus =
-          if (status == CrawlStatus.Success && image.isEmpty) CrawlStatus.Corrupt
-          else status
-        FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
-          e.url, e.urlHash, e.host, startT, attempts, finalStatus), image)
       }
     }
+    val attempts = if (done) attempt else attempt - 1
+    // validate payload (P3) — corrupt outcomes yield invalid bytes
+    val image = status match {
+      case CrawlStatus.Success =>
+        val p = SyntheticWeb.payload(e.urlHash, e.title)
+        if (ImageCodec.validMagic(p.bytes, p.fmt))
+          Some(ImageRecord(e.imageId, p.bytes, p.w, p.h, p.fmt, p.caption,
+            p.phash, e.site, e.year, e.month, e.url, e.urlHash, startT,
+            attempts))
+        else None
+      case _ => None
+    }
+    val finalStatus =
+      if (status == CrawlStatus.Success && image.isEmpty) CrawlStatus.Corrupt
+      else status
+    FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
+      e.url, e.urlHash, e.host, startT, attempts, finalStatus), image)
+  }
+
+  /** Run one domain's timeline lazily. `entries` MUST be sorted by
+    * (seedSeq, discoverySeq); `alreadySeen` implements resume
+    * skip-if-exists (D2, portal_saude_mg.py:452-459): skipped entries
+    * emit a log row but consume no attempts and no virtual time. */
+  def run(entries: Iterator[ScheduledEntry], budget: PolitenessBudget,
+      alreadySeen: Long => Boolean = _ => false,
+      state0: DomainState = DomainState.initial): Iterator[FetchOutcome] =
+    runFlagged(entries.map(e => (e, alreadySeen(e.urlHash))), budget, state0)
+
+  /** As `run`, with the skip-if-exists decision precomputed per entry
+    * (the scale path: the seen flag comes from a Bloom-prefiltered
+    * exact join, not a broadcast set). */
+  def runFlagged(entries: Iterator[(ScheduledEntry, Boolean)],
+      budget: PolitenessBudget,
+      state0: DomainState = DomainState.initial): Iterator[FetchOutcome] = {
+    val clock = new Clock(budget, state0)
+    entries.map { case (e, seenBefore) =>
+      if (seenBefore)
+        FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
+          e.url, e.urlHash, e.host, clock.now, 0, CrawlStatus.Skipped), None)
+      else fetchOne(e, budget, clock)
+    }
+  }
+
+  /** Strict variant: materializes outcomes and returns the final
+    * clock state for checkpointing (streaming mode). */
+  def runBuffered(entries: Seq[ScheduledEntry], budget: PolitenessBudget,
+      alreadySeen: Long => Boolean,
+      state0: DomainState): (Seq[FetchOutcome], DomainState) = {
+    val clock = new Clock(budget, state0)
+    val out = entries.map { e =>
+      if (alreadySeen(e.urlHash))
+        FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
+          e.url, e.urlHash, e.host, clock.now, 0, CrawlStatus.Skipped), None)
+      else fetchOne(e, budget, clock)
+    }
+    (out, clock.snapshot)
   }
 
   /** Outcome-only pass (no payload materialization, no schedule):

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model._
+import graft.politeness.HostScheduler
+
+/** Structured-Streaming fetch loop (north rule): frontier entries
+  * arrive as a stream, `flatMapGroupsWithState` keyed by the
+  * politeness domain (site, host) carries the virtual-time token
+  * bucket across micro-batches, and the sink is idempotent so
+  * checkpointed restart replays only the uncommitted batch
+  * (SURVEY §2.10 "resume" row).
+  *
+  * Within a batch, a group's entries are sorted by
+  * (seedSeq, discoverySeq) before scheduling; as long as batch
+  * boundaries respect per-domain frontier order (they do for a
+  * file-source frontier written in wave order), the concatenated
+  * per-domain timeline is identical to the batch job's — asserted in
+  * StreamingCrawlSpec.
+  */
+object StreamingCrawl {
+
+  /** One streamed fetch result row (flattened: Option[ImageRecord]
+    * payload fields nulled when absent). */
+  final case class StreamedOutcome(
+      site: String, year: Int, month: Int, seq: Int, imageId: String,
+      url: String, urlHash: Long, host: String, vtimeMs: Long,
+      attempts: Int, status: String,
+      bytes: Array[Byte], w: Int, h: Int, fmt: String, caption: String,
+      phash: Long)
+
+  private def flatten(o: HostScheduler.FetchOutcome): StreamedOutcome = {
+    val l = o.log
+    o.image match {
+      case Some(i) => StreamedOutcome(l.site, l.year, l.month, l.seq,
+        l.imageId, l.url, l.urlHash, l.host, l.vtimeMs, l.attempts, l.status,
+        i.bytes, i.w, i.h, i.fmt, i.caption, i.phash)
+      case None => StreamedOutcome(l.site, l.year, l.month, l.seq, l.imageId,
+        l.url, l.urlHash, l.host, l.vtimeMs, l.attempts, l.status,
+        null, 0, 0, null, null, 0L)
+    }
+  }
+
+  /** The stateful per-domain handler. */
+  def handleDomain(budget: PolitenessBudget)(
+      key: (String, String), entries: Iterator[ScheduledEntry],
+      state: GroupState[HostScheduler.DomainState])
+      : Iterator[StreamedOutcome] = {
+    val s0 = state.getOption.getOrElse(HostScheduler.DomainState.initial)
+    val sorted = entries.toSeq.sortBy(e => (e.seedSeq, e.discoverySeq))
+    val (outcomes, s1) = HostScheduler.runBuffered(sorted, budget,
+      _ => false, s0)
+    state.update(s1)
+    outcomes.iterator.map(flatten)
+  }
+
+  /** Wire a streaming frontier through the politeness scheduler. */
+  def outcomes(frontier: Dataset[ScheduledEntry],
+      budget: PolitenessBudget): Dataset[StreamedOutcome] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    frontier
+      .groupByKey(e => (e.site, e.host))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handleDomain(budget))
+  }
+
+  /** Start the fetch loop reading frontier parquet waves from
+    * `frontierDir`, writing outcome parquet to `outDir`, checkpointing
+    * in `checkpointDir`. Caller stops the query. */
+  def start(spark: SparkSession, frontierDir: String, outDir: String,
+      checkpointDir: String, budget: PolitenessBudget) = {
+    import spark.implicits._
+    val schema = Encoders.product[ScheduledEntry].schema
+    val frontier = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // one frontier wave per batch
+      .parquet(frontierDir)
+      .as[ScheduledEntry]
+    outcomes(frontier, budget).writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+}

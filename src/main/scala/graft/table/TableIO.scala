@@ -1,0 +1,154 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.ImageRecord
+
+/** Iceberg-style table layer (SURVEY §7.1): partitioned Parquet data
+  * plus versioned JSON snapshots with per-partition manifests and
+  * lineage, committed via the reference's own atomic tmp+rename
+  * pattern (portal_saude_mg.py:777-791) — write snapshot vN+1, then
+  * atomically swap `version-hint.txt`.
+  *
+  * Layout:
+  * {{{
+  * <dir>/data/v<N>/site=S/year=Y/month=M/part-x.parquet  (per commit)
+  * <dir>/seen/v<N>/part-x.parquet                       (urlHash delta)
+  * <dir>/snapshots/v<N>.json                         (manifest + lineage)
+  * <dir>/version-hint.txt                            (current version)
+  * }}}
+  *
+  * A reader resolves version-hint → snapshot → file list; data/seen
+  * directories not referenced by the current snapshot (a crashed,
+  * uncommitted write) are invisible — that is the resume guarantee:
+  * restart replays the uncommitted wave only (K2/K4, SURVEY §2.1).
+  * No real Iceberg runtime exists offline; the API is scoped to
+  * exactly what the north rule needs (partitions, lineage, snapshots,
+  * resume) behind this one object so a catalog could drop in.
+  */
+object TableIO {
+
+  /** Per-partition manifest entry. */
+  final case class PartitionMeta(site: String, year: Int, month: Int,
+      rows: Long, bytes: Long)
+
+  /** Lineage of one commit: which run, which parent snapshot, which
+    * crawl periods contributed, row counts. */
+  final case class Lineage(runId: String, parentVersion: Int,
+      periods: Seq[String], note: String)
+
+  final case class Snapshot(version: Int, dataDirs: Seq[String],
+      seenDirs: Seq[String], partitions: Seq[PartitionMeta],
+      totalRows: Long, lineage: Lineage)
+
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  private def hintPath(dir: String): Path = Paths.get(dir, "version-hint.txt")
+
+  def currentVersion(dir: String): Option[Int] = {
+    val p = hintPath(dir)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
+  }
+
+  def readSnapshot(dir: String, version: Int): Snapshot =
+    mapper.readValue(
+      Files.readString(Paths.get(dir, "snapshots", f"v$version%05d.json")),
+      classOf[Snapshot])
+
+  def currentSnapshot(dir: String): Option[Snapshot] =
+    currentVersion(dir).map(readSnapshot(dir, _))
+
+  /** Atomic write: tmp file in the same directory, then ATOMIC_MOVE. */
+  private def atomicWrite(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Commit one crawl wave: data + seen delta + snapshot + hint swap.
+    * Data is laid out `PARTITIONED BY (site, year, month)` — the
+    * reference's `<site>/<ano>/<mes>/` directory contract (§1.2,
+    * portal_saude_mg.py:206-219). */
+  def commit(spark: SparkSession, dir: String, images: Dataset[ImageRecord],
+      seenDelta: Dataset[Long], runId: String,
+      periods: Seq[String], note: String = ""): Snapshot = {
+    import spark.implicits._
+    val parent = currentSnapshot(dir)
+    val version = parent.map(_.version).getOrElse(0) + 1
+    val dataDirName = f"data/v$version%05d"
+    val seenDirName = f"seen/v$version%05d"
+
+    // empty deltas add no directories (a schema-less parquet dir would
+    // poison later reads)
+    val hasImages = !images.isEmpty
+    val hasSeen = !seenDelta.isEmpty
+    if (hasImages)
+      images.write.mode(SaveMode.Overwrite)
+        .partitionBy("site", "year", "month")
+        .parquet(s"$dir/$dataDirName")
+    if (hasSeen)
+      seenDelta.toDF("urlHash").write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/$seenDirName")
+
+    val parts =
+      if (!hasImages) Seq.empty[PartitionMeta]
+      else spark.read.parquet(s"$dir/$dataDirName")
+        .groupBy($"site", $"year", $"month")
+        .agg(count(lit(1)).as("rows"),
+          sum(length($"bytes")).cast("long").as("bytes"))
+        .collect()
+        .map(r => PartitionMeta(r.getString(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(p => (p.site, p.year, p.month))
+        .toSeq
+    val snap = Snapshot(
+      version,
+      parent.map(_.dataDirs).getOrElse(Nil) ++
+        (if (hasImages) Seq(dataDirName) else Nil),
+      parent.map(_.seenDirs).getOrElse(Nil) ++
+        (if (hasSeen) Seq(seenDirName) else Nil),
+      parts,
+      parent.map(_.totalRows).getOrElse(0L) + parts.map(_.rows).sum,
+      Lineage(runId, parent.map(_.version).getOrElse(0), periods, note))
+    atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
+    atomicWrite(hintPath(dir), version.toString)
+    snap
+  }
+
+  /** Read the committed image table (union of all committed data dirs;
+    * orphaned uncommitted dirs are never touched). */
+  def readImages(spark: SparkSession, dir: String): DataFrame =
+    currentSnapshot(dir) match {
+      case Some(s) if s.dataDirs.nonEmpty =>
+        // one read per commit dir (each has its own partition-discovery
+        // root), then a metadata-only unionByName
+        s.dataDirs.map(d => spark.read.parquet(s"$dir/$d"))
+          .reduce(_.unionByName(_))
+      case _ => spark.emptyDataFrame
+    }
+
+  /** Read the committed URL-seen set. */
+  def readSeen(spark: SparkSession, dir: String): Dataset[Long] = {
+    import spark.implicits._
+    currentSnapshot(dir) match {
+      case Some(s) if s.seenDirs.nonEmpty =>
+        spark.read.parquet(s.seenDirs.map(d => s"$dir/$d"): _*)
+          .select($"urlHash").as[Long].distinct()
+      case _ => spark.emptyDataset[Long]
+    }
+  }
+}

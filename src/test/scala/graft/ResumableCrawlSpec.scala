@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.CrawlJob
+import graft.model._
+
+/** The production resume path (Bloom prefilter + exact seen join +
+  * snapshot commit) must be semantically identical to the broadcast-set
+  * reference path. */
+class ResumableCrawlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cfg = CrawlConfig(sites = Seq("portal_saude_mg", "mds_saldo"),
+    years = YearSelector.Single(2024),
+    months = MonthSelector.Multiple(Seq(1, 2, 3)),
+    nowYear = 2024, nowMonth = 6, maxPages = 3)
+
+  test("runResumable twice: second run all-skipped, no new rows, log parity") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val (r1, snap1) = CrawlJob.runResumable(spark, cfg, dir, "run-1")
+    assert(snap1.version === 1)
+    assert(snap1.totalRows === r1.images.count())
+
+    val (r2, snap2) = CrawlJob.runResumable(spark, cfg, dir, "run-2")
+    assert(snap2.version === 2)
+    assert(snap2.totalRows === snap1.totalRows, "resume added rows")
+    // every previously-successful URL skipped; others re-attempted
+    val seen1 = CrawlJob.seenFrom(r1.log).collect().toSet
+    val log2 = r2.log.collect()
+    assert(log2.filter(e => seen1.contains(e.urlHash))
+      .forall(_.status == CrawlStatus.Skipped))
+    assert(log2.filterNot(e => seen1.contains(e.urlHash))
+      .forall(_.status != CrawlStatus.Skipped))
+
+    // parity with the broadcast-set reference path
+    val ref = CrawlJob.run(spark, cfg, seen1)
+    def canon(l: Seq[CrawlLogEntry]) =
+      l.sortBy(e => (e.site, e.host, e.vtimeMs, e.year, e.month, e.seq))
+        .map(e => (e.site, e.year, e.month, e.seq, e.url, e.urlHash,
+          e.vtimeMs, e.attempts, e.status))
+    assert(canon(log2.toSeq) === canon(ref.log.collect().toSeq))
+  }
+}

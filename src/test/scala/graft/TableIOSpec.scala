@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.CrawlJob
+import graft.model._
+import graft.table.TableIO
+
+class TableIOSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cfgA = CrawlConfig(sites = Seq("portal_saude_mg"),
+    years = YearSelector.Single(2024), months = MonthSelector.Multiple(Seq(1, 2, 3)),
+    nowYear = 2024, nowMonth = 6, maxPages = 3)
+  private val cfgFull = cfgA.copy(months = MonthSelector.Multiple(Seq(1, 2, 3, 4, 5, 6)))
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-table").toString
+
+  test("commit + read round-trip with partition manifest and lineage") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val r = CrawlJob.run(spark, cfgA)
+    val snap = TableIO.commit(spark, dir, r.images, CrawlJob.seenFrom(r.log),
+      runId = "run-A", periods = r.prunedSeeds.map(p => s"${p.site}/${p.year}/${p.month}"))
+    assert(snap.version === 1)
+    assert(snap.lineage.runId === "run-A")
+    assert(snap.partitions.nonEmpty)
+    assert(snap.totalRows === r.images.count())
+    val back = TableIO.readImages(spark, dir)
+    assert(back.count() === r.images.count())
+    // partition columns survive the layout
+    assert(back.select("site", "year", "month").distinct().count() ===
+      snap.partitions.size)
+    val seen = TableIO.readSeen(spark, dir).collect().toSet
+    assert(seen === CrawlJob.seenFrom(r.log).collect().toSet)
+  }
+
+  test("incremental commit: resume crawl appends only new periods") {
+    val dir = tmpDir()
+    val rA = CrawlJob.run(spark, cfgA)
+    TableIO.commit(spark, dir, rA.images, CrawlJob.seenFrom(rA.log), "run-A",
+      rA.prunedSeeds.map(_.toString))
+    val seenA = TableIO.readSeen(spark, dir).collect().toSet
+    // resume with the committed seen set over the superset config
+    val rB = CrawlJob.run(spark, cfgFull, seenA)
+    val snap2 = TableIO.commit(spark, dir, rB.images,
+      CrawlJob.seenFrom(rB.log), "run-B", rB.prunedSeeds.map(_.toString))
+    assert(snap2.version === 2)
+    assert(snap2.lineage.parentVersion === 1)
+    // final table equals one uninterrupted full crawl's images
+    val full = CrawlJob.run(spark, cfgFull)
+    val gotIds = TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val wantIds = full.images.collect().map(i => (i.image_id, i.phash)).toSet
+    assert(gotIds === wantIds)
+  }
+
+  test("crashed (uncommitted) write is invisible; recommit lands cleanly") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val r = CrawlJob.run(spark, cfgA)
+    TableIO.commit(spark, dir, r.images, CrawlJob.seenFrom(r.log), "run-A",
+      Nil)
+    val before = TableIO.readImages(spark, dir).count()
+    // simulate a crash mid-commit: data written, snapshot+hint never
+    r.images.write.mode("overwrite").partitionBy("site", "year", "month")
+      .parquet(s"$dir/data/v00099")
+    assert(TableIO.currentVersion(dir) === Some(1))
+    assert(TableIO.readImages(spark, dir).count() === before,
+      "orphan data dir leaked into reads")
+    // a later commit proceeds from the committed version
+    val snap = TableIO.commit(spark, dir,
+      spark.emptyDataset[ImageRecord], spark.emptyDataset[Long], "run-C", Nil)
+    assert(snap.version === 2)
+  }
+}
