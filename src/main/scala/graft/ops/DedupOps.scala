@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.url.Hashing
+
+/** Near-duplicate detection for large text corpora — the operations a
+  * 100 TB training-data pipeline runs between crawl and training:
+  * exact dedup, MinHash+LSH, SimHash (Charikar), and exact n-gram
+  * Jaccard verification. All signatures are derived from splitmix64
+  * draws of fixed seeds, so results are reproducible across runs,
+  * partitionings and cluster sizes.
+  *
+  * Scale shape (standard MinHash-LSH dataflow):
+  *   shingle → minhash signature (map-side, no shuffle)
+  *   → explode to (band, bandHash) keys → shuffle ONLY on bucket keys
+  *   → self-join within buckets (candidates ≪ n²)
+  *   → exact Jaccard verify on the candidate pairs only.
+  */
+object DedupOps {
+
+  // ---- shingling ----------------------------------------------------
+
+  /** Character k-shingle hash set of a document (lowercased,
+    * whitespace-collapsed). */
+  def shingles(text: String, k: Int): Array[Long] = {
+    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    if (t.length < k) Array(Hashing.xxh64(t))
+    else {
+      val out = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i + k <= t.length) {
+        out.add(Hashing.xxh64(t.substring(i, i + k)))
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      arr
+    }
+  }
+
+  /** Exact Jaccard similarity of two documents' shingle sets. */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  // ---- MinHash ------------------------------------------------------
+
+  /** numHashes (a,b) pairs for the universal-hash permutations,
+    * deterministic. */
+  private def hashParams(numHashes: Int): Array[(Long, Long)] =
+    (0 until numHashes).map(i =>
+      (Hashing.mix(0x5EEDL, i.toLong * 2 + 1) | 1L,
+        Hashing.mix(0x5EEDL, i.toLong * 2 + 2))).toArray
+
+  /** MinHash signature of a shingle set. */
+  def minhash(sh: Array[Long], numHashes: Int): Array[Long] = {
+    val params = hashParams(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < numHashes) {
+        val (a, b) = params(j)
+        val v = Hashing.mix(a * sh(i) + b)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    * @param df (id BIGINT, text STRING)
+    * @return (id_a, id_b, jaccard) with id_a < id_b and
+    *         jaccard ≥ threshold, exact-verified. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPer = numHashes / bands
+    val sigUdf = udf((t: String) => minhash(shingles(t, shingleK), numHashes))
+    val bandUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map(b => Hashing.xxh64(
+        s"$b|" + sig.slice(b * rowsPer, (b + 1) * rowsPer)
+          .mkString(","))).toArray)
+    val banded = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("bandHash", explode(bandUdf(sigUdf(col("text")))))
+      .select($"id", $"bandHash")
+    // candidate pairs: ids sharing any band bucket
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val cand = l.join(r, col("l.bandHash") === col("r.bandHash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    // exact verify on candidates only
+    val texts = df.select(col(idCol).as("vid"), col(textCol).as("vtext"))
+    val jacUdf = udf((a: String, b: String) =>
+      jaccard(shingles(a, shingleK), shingles(b, shingleK)))
+    cand
+      .join(texts.withColumnRenamed("vid", "id_a")
+        .withColumnRenamed("vtext", "text_a"), Seq("id_a"))
+      .join(texts.withColumnRenamed("vid", "id_b")
+        .withColumnRenamed("vtext", "text_b"), Seq("id_b"))
+      .withColumn("jaccard", round(jacUdf($"text_a", $"text_b"), 6))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 64-bit Charikar SimHash over whitespace tokens. */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = Hashing.xxh64(tok)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via the
+    * pigeonhole banding trick: split 64 bits into (maxDist+1) chunks —
+    * any pair within maxDist shares at least one exact chunk, so the
+    * join key space is tiny and no n² scan happens. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val shUdf = udf((t: String) => simhash64(t))
+    val chunkUdf = udf((h: Long) =>
+      (0 until chunks).map(c =>
+        s"$c:${(h >>> (c * width)) & ((1L << width) - 1)}").toArray)
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sim", shUdf($"text"))
+      .select($"id", $"sim", explode(chunkUdf($"sim")).as("chunk"))
+    val cand = sigs.as("l").join(sigs.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
+      .distinct()
+    val hamUdf = udf((a: Long, b: Long) => hamming64(a, b))
+    cand.withColumn("hamming", hamUdf($"sim_a", $"sim_b"))
+      .filter($"hamming" <= maxDist)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---- embedding cosine near-dup -------------------------------------
+
+  /** Pairs of vectors with cosine ≥ threshold. Sign-bit LSH prefilter
+    * (random hyperplanes) keeps the self-join off n²; exact cosine
+    * verifies candidates. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketchUdf = udf((v: Seq[Float]) => AnnOps.signSketch(v.toArray, planes))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+      AnnOps.cosine(a.toArray, b.toArray))
+    val sk = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sketch", sketchUdf($"vec"))
+    val cand = sk.as("l").join(sk.as("r"),
+        col("l.sketch") === col("r.sketch") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vec").as("vec_a"), col("r.vec").as("vec_b"))
+    cand.withColumn("cosine", round(cosUdf($"vec_a", $"vec_b"), 6))
+      .filter($"cosine" >= threshold)
+      .select($"id_a", $"id_b", $"cosine")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Exact dedup: keep the lowest id per identical content hash. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.url.Hashing
+
+/** Text-analysis operators for the training-data pipeline: language
+  * identification (character/stopword n-gram heuristic), quality
+  * scoring, token counting (whitespace + BPE-ish subword estimate) and
+  * winnowing document fingerprints.
+  */
+object TextOps {
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Tiny per-language profiles: frequent function words + diagnostic
+    * characters. A real pipeline plugs fastText/CLD here; the contract
+    * (deterministic scoring, argmax with stable tie-break) is what the
+    * engine-level tests pin down. */
+  private val profiles: Seq[(String, Set[String], String)] = Seq(
+    ("en", Set("the", "and", "of", "to", "in", "is", "that", "it", "for"), ""),
+    ("de", Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein"), "äöüß"),
+    ("es", Set("el", "la", "los", "que", "de", "y", "en", "es", "por"), "ñ¿¡"),
+    ("fr", Set("le", "la", "les", "et", "est", "que", "des", "une", "dans"), "çàêô"),
+    ("pt", Set("o", "a", "os", "que", "de", "e", "em", "não", "para", "uma"), "ãõç"),
+    ("zh", Set.empty[String], "的一是不了人我在有他"))
+
+  def langIdScala(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val lower = text.toLowerCase
+    val toks = lower.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val total = math.max(1, toks.length)
+    val charTotal = math.max(1, lower.length)
+    var best = "und"
+    var bestScore = 0.0
+    profiles.foreach { case (code, stops, chars) =>
+      val stopHits = if (stops.isEmpty) 0.0
+        else toks.count(stops.contains).toDouble / total
+      val charHits = if (chars.isEmpty) 0.0
+        else lower.count(c => chars.contains(c)).toDouble / charTotal * 5.0
+      val score = stopHits + charHits
+      if (score > bestScore + 1e-12) { best = code; bestScore = score }
+    }
+    if (bestScore < 0.02) "und" else best
+  }
+
+  val langId: Column => Column = {
+    val u = udf((t: String) => langIdScala(t))
+    c => u(c)
+  }
+
+  // ---- token counting -------------------------------------------------
+
+  /** Whitespace token count — pure built-ins (codegen'd). */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword estimate: words shorter than 5 chars ≈ 1 token,
+    * longer words ≈ ceil(len/4) tokens — the standard ~4 chars/token
+    * heuristic, as one expression (no UDF). */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(split(trim(text), "\\s+"), lit(0L),
+      (acc, w) => acc + when(length(w) <= 4, 1L)
+        .otherwise(ceil(length(w) / 4.0).cast("long")))
+
+  // ---- quality scoring --------------------------------------------------
+
+  /** Composite quality score in [0,1] from length, alpha ratio, mean
+    * word length and stopword-ish ratio — built-ins only, one pass. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val alphaRatio = (length(regexp_replace(text, "[^\\p{L} ]", "")) /
+      greatest(len, lit(1))).cast("double")
+    val words = split(trim(text), "\\s+")
+    val meanWordLen = (len / greatest(size(words), lit(1))).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val wordScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    round(lenScore * 0.3 + alphaRatio * 0.4 + wordScore * 0.3, 6)
+  }
+
+  // ---- document fingerprinting -----------------------------------------
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 — public
+    * algorithm): k-gram rolling hashes, keep the minimum per sliding
+    * window, fingerprint = xxh64 of the distinct minima sequence.
+    * Robust to small local edits. */
+  def winnowFingerprint(text: String, k: Int = 8, window: Int = 4): Long = {
+    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    if (t.length <= k) return Hashing.xxh64(t)
+    val n = t.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = Hashing.xxh64(t.substring(i, i + k)); i += 1 }
+    val minima = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = 0
+    var lastMin = -1
+    while (w + window <= n) {
+      var mi = w
+      var j = w + 1
+      while (j < w + window) { if (hs(j) <= hs(mi)) mi = j; j += 1 }
+      if (mi != lastMin) { minima += hs(mi); lastMin = mi }
+      w += 1
+    }
+    Hashing.xxh64(minima.mkString(","))
+  }
+
+  val fingerprint: Column => Column = {
+    val u = udf((t: String) => winnowFingerprint(t))
+    c => u(c)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnOps, DedupOps, MultimodalOps, TextOps}
+
+/** Training-data pipeline queries (dedup / ANN / text analysis /
+  * multimodal). Hash-based signatures are not SQL-expressible in
+  * DuckDB, so these are rows-only for the driver; their semantics are
+  * pinned by OpsSpec (planted near-duplicates found, LSH recall vs the
+  * oracle-checked brute-force baseline q36, language-ID on real
+  * samples).
+  *
+  * Near-dup inputs plant mutated copies of real documents
+  * deterministically inside the query (id + 1e6, one token appended /
+  * a small edit), so every SF has known-positive pairs.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ mutated copies of the 20 lowest-id docs. */
+  private def withPlantedDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val mutated = d.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", concat(col("text"), lit(" documento duplicado")))
+    d.unionByName(mutated)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_pairs" -> ((s: SparkSession, dir: String) =>
+      DedupOps.minhashPairs(withPlantedDupes(s, dir), "doc_id", "text",
+        threshold = 0.5)),
+
+    "dedup_simhash_pairs" -> ((s: SparkSession, dir: String) =>
+      DedupOps.simhashPairs(withPlantedDupes(s, dir), "doc_id", "text",
+        maxDist = 3)),
+
+    "dedup_embedding_pairs" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      // plant near-identical copies: same vector, id offset
+      val copies = e.orderBy("vec_id").limit(10)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      DedupOps.embeddingNearDup(e.unionByName(copies), "vec_id", "embedding",
+        threshold = 0.999)
+    }),
+
+    "ann_lsh_top5" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.filter(col("vec_id") >= 3)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      AnnOps.lshTopK(q, c, k = 5)
+    }),
+
+    "text_analysis" -> ((s: SparkSession, dir: String) =>
+      docs(s, dir)
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("tokens", TextOps.tokenCount(col("text")))
+        .withColumn("subwords", TextOps.subwordCountEstimate(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("quality")), 4).as("avg_quality"),
+          sum(col("tokens")).cast("long").as("tokens"),
+          sum(col("subwords")).cast("long").as("subwords"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
+    "doc_fingerprints" -> ((s: SparkSession, dir: String) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "multimodal_features" -> ((s: SparkSession, _: String) => {
+      val images = CrawlQueries.demoResult(s).images.toDF()
+      MultimodalOps.imageFeatures(images)
+        .drop("hist16") // array col: keep the dump schema flat
+        .orderBy(col("image_id"), col("fmt"))
+    })
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnOps, DedupOps, MultimodalOps, TextOps}
+import graft.fetch.ImageCodec
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("minhash-LSH finds planted near-dups, no random false pairs") {
+    val planted = docs.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", concat(col("text"), lit(" documento duplicado")))
+    val pairs = DedupOps.minhashPairs(docs.unionByName(planted),
+      "doc_id", "text", threshold = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 20).map(i => (i.toLong, i + 1000000L)).toSet
+    // all planted pairs found (suffix edit keeps Jaccard ≫ 0.5)
+    assert((expected -- found).isEmpty,
+      s"missed planted pairs: ${expected -- found}")
+    // every reported pair is a REAL near-dup: re-verify exact Jaccard
+    // directly (the low-entropy synthetic corpus contains genuine
+    // near-duplicates beyond the planted ones — those are true hits)
+    val texts = docs.unionByName(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    found.foreach { case (a, b) =>
+      val j = DedupOps.jaccard(
+        DedupOps.shingles(texts(a), 5), DedupOps.shingles(texts(b), 5))
+      assert(j >= 0.5, s"pair ($a,$b) reported with true jaccard $j < 0.5")
+    }
+  }
+
+  test("simhash finds planted near-dups within hamming 3") {
+    val planted = docs.orderBy("doc_id").limit(10)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("text", concat(col("text"), lit(" x")))
+    val pairs = DedupOps.simhashPairs(docs.unionByName(planted),
+      "doc_id", "text", maxDist = 6).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, i + 1000000L)).toSet
+    assert((expected -- found).isEmpty,
+      s"missed planted simhash pairs: ${expected -- found}")
+  }
+
+  test("jaccard + shingles basics") {
+    val a = DedupOps.shingles("the quick brown fox", 5)
+    assert(DedupOps.jaccard(a, a) === 1.0)
+    val b = DedupOps.shingles("completely different words here", 5)
+    assert(DedupOps.jaccard(a, b) < 0.1)
+  }
+
+  test("embedding near-dup finds planted copies") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val copies = e.orderBy("vec_id").limit(10)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val pairs = DedupOps.embeddingNearDup(e.unionByName(copies),
+      "vec_id", "embedding", threshold = 0.999).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, i + 1000000L)).toSet
+    assert((expected -- found).isEmpty,
+      s"missed planted vector copies: ${expected -- found}")
+  }
+
+  test("LSH top-k recall >= 0.6 vs brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val brute = AnnOps.bruteTopK(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = AnnOps.lshTopK(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall < 0.6")
+  }
+
+  test("language ID on real-language samples") {
+    assert(TextOps.langIdScala(
+      "the cat sat on the mat and it is warm in the sun") === "en")
+    assert(TextOps.langIdScala(
+      "der Hund ist nicht müde und die Katze schläft") === "de")
+    assert(TextOps.langIdScala(
+      "el perro no es grande y la casa es bonita por la mañana") === "es")
+    assert(TextOps.langIdScala(
+      "le chien est dans la maison et les enfants sont une famille") === "fr")
+    assert(TextOps.langIdScala(
+      "o governo não divulgou os dados para uma análise em detalhe") === "pt")
+    assert(TextOps.langIdScala("我在这里他是一个人不是的了") === "zh")
+    assert(TextOps.langIdScala("xyzzy qwerty 12345") === "und")
+  }
+
+  test("winnowing fingerprint is whitespace-normalization invariant") {
+    val a = TextOps.winnowFingerprint("the quick  brown   fox jumps")
+    val b = TextOps.winnowFingerprint("the quick brown fox jumps")
+    assert(a === b)
+    val c = TextOps.winnowFingerprint("a totally different document body")
+    assert(a !== c)
+  }
+
+  test("multimodal: decode dims, histogram mass, resize round-trip") {
+    import spark.implicits._
+    val px = ImageCodec.synthPixels(42L, 96, 64)
+    val rows = Seq(
+      ("img-1", ImageCodec.encode(px, 96, 64, "png"), 96, 64, "png"),
+      ("img-2", ImageCodec.encode(px, 96, 64, "jpeg"), 96, 64, "jpeg"),
+      ("img-3", Array[Byte](1, 2, 3), 0, 0, "png")) // undecodable
+      .toDF("image_id", "bytes", "w", "h", "fmt")
+    val feats = MultimodalOps.imageFeatures(rows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(feats("img-1").getInt(2) === 96) // dec_w
+    assert(feats("img-1").getInt(3) === 64) // dec_h
+    assert(feats("img-3").isNullAt(2), "undecodable must yield null, not crash")
+    // histogram mass = pixel count
+    val hist = MultimodalOps.grayHistogram(16)(col("bytes"))
+    val mass = rows.filter($"image_id" === "img-1")
+      .select(aggregate(hist, lit(0L), _ + _)).collect()(0).getLong(0)
+    assert(mass === 96L * 64L)
+    // resize produces a decodable image of the target dims
+    val resized = rows.filter($"image_id" === "img-1")
+      .select(MultimodalOps.resizeUdf(32, 32)(col("bytes"))).collect()(0)
+      .getAs[Array[Byte]](0)
+    val (rw, rh, _) = ImageCodec.decode(resized)
+    assert((rw, rh) === ((32, 32)))
+    // frame-sample stub: deterministic chunking
+    val frames = rows.filter($"image_id" === "img-1")
+      .select(MultimodalOps.frameSampleStub(2)(col("bytes"))).collect()(0)
+      .getSeq[Array[Byte]](0)
+    assert(frames.nonEmpty)
+  }
+}
