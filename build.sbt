@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[] executors are spawned from the forked JVM and need
+// the Spark distribution to build their launch command
+Test / envVars ++= Map("SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
+run / envVars ++= Map("SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

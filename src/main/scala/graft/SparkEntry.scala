@@ -22,11 +22,13 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.CrawlQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.ReportQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.TextQueries.oracleSql
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.ReportQueries.oracleSql
 }

@@ -20,16 +20,23 @@ object SyntheticWeb {
 
   /** site → physical host; all three reference sites live on two hosts
     * (reference: src/ui/terminal.py:32-48) — the hot-host skew the
-    * north rule calls out. */
-  val siteHost: Map[String, String] = Map(
+    * north rule calls out. Unknown site names map to a long-tail of
+    * synthetic gov-br hosts (one per site) for scale/skew benches. */
+  val referenceSiteHost: Map[String, String] = Map(
     "portal_saude_mg" -> "portal-antigo.saude.mg.gov.br",
     "mds_parcelas" -> "aplicacoes.mds.gov.br",
     "mds_saldo" -> "aplicacoes.mds.gov.br")
 
-  private val sitePath: Map[String, String] = Map(
+  def siteHost(site: String): String =
+    referenceSiteHost.getOrElse(site, s"$site.gov.br")
+
+  private val referenceSitePath: Map[String, String] = Map(
     "portal_saude_mg" -> "/deliberacoes",
     "mds_parcelas" -> "/parcelas/consulta",
     "mds_saldo" -> "/saldo/consulta")
+
+  private def sitePath(site: String): String =
+    referenceSitePath.getOrElse(site, "/docs/consulta")
 
   /** Robots rules per host: path prefixes disallowed for our agent
     * (engine honors `respect_robots_txt: true`,
@@ -182,6 +189,9 @@ object SyntheticWeb {
         val b = new Array[Byte](2048) // right size, wrong magic
         var i = 0
         while (i < b.length) { b(i) = Hashing.mix(urlHash, i.toLong).toByte; i += 1 }
+        // zero the magic region: random noise matches the 2-byte BMP
+        // magic once per ~65k corrupt URLs
+        b(0) = 0; b(1) = 0; b(2) = 0; b(3) = 0
         b
       }
     Payload(bytes, 0, 0, fmt, "", 0L)

@@ -111,10 +111,11 @@ object CrawlJob {
   /** Politeness-scheduled fetch over (site, host) domains.
     * Secondary-sort pattern: hash-repartition on the domain key, sort
     * within partitions, then stream domain runs — constant memory per
-    * task regardless of domain size. */
+    * task regardless of domain size. Emits byte-free log rows;
+    * payloads materialize in [[graft.fetch.PayloadStage]]. */
   def scheduleAndFetch(spark: SparkSession, frontier: Dataset[ScheduledEntry],
       budget: PolitenessBudget,
-      seen: Set[Long] = Set.empty): Dataset[HostScheduler.FetchOutcome] = {
+      seen: Set[Long] = Set.empty): Dataset[CrawlLogEntry] = {
     import spark.implicits._
     val seenBc = spark.sparkContext.broadcast(seen)
     val numPartitions = spark.sessionState.conf.numShufflePartitions
@@ -123,10 +124,10 @@ object CrawlJob {
       .sortWithinPartitions($"site", $"host", $"seedSeq", $"discoverySeq")
       .mapPartitions { it =>
         // consecutive runs of one (site, host) = one politeness domain
-        new Iterator[Iterator[HostScheduler.FetchOutcome]] {
+        new Iterator[Iterator[CrawlLogEntry]] {
           private val buf = it.buffered
           def hasNext: Boolean = buf.hasNext
-          def next(): Iterator[HostScheduler.FetchOutcome] = {
+          def next(): Iterator[CrawlLogEntry] = {
             val key = (buf.head.site, buf.head.host)
             val domain = new Iterator[ScheduledEntry] {
               def hasNext: Boolean =
@@ -137,6 +138,12 @@ object CrawlJob {
           }
         }.flatten
       }
+  }
+
+  /** Payload materialization over the crawl log (see PayloadStage). */
+  def materializeImages(log: Dataset[CrawlLogEntry]): Dataset[ImageRecord] = {
+    import log.sparkSession.implicits._
+    log.flatMap(graft.fetch.PayloadStage.imageFor(_))
   }
 
   /** Skip-if-exists flags at scale (D2): a Bloom prefilter splits the
@@ -172,7 +179,7 @@ object CrawlJob {
   /** scheduleAndFetch over pre-flagged entries (production path). */
   def scheduleAndFetchFlagged(
       flagged: Dataset[(ScheduledEntry, Boolean)],
-      budget: PolitenessBudget): Dataset[HostScheduler.FetchOutcome] = {
+      budget: PolitenessBudget): Dataset[CrawlLogEntry] = {
     val spark = flagged.sparkSession
     import spark.implicits._
     val numPartitions = spark.sessionState.conf.numShufflePartitions
@@ -181,10 +188,10 @@ object CrawlJob {
       .sortWithinPartitions(col("_1.site"), col("_1.host"),
         col("_1.seedSeq"), col("_1.discoverySeq"))
       .mapPartitions { it =>
-        new Iterator[Iterator[HostScheduler.FetchOutcome]] {
+        new Iterator[Iterator[CrawlLogEntry]] {
           private val buf = it.buffered
           def hasNext: Boolean = buf.hasNext
-          def next(): Iterator[HostScheduler.FetchOutcome] = {
+          def next(): Iterator[CrawlLogEntry] = {
             val key = (buf.head._1.site, buf.head._1.host)
             val domain = new Iterator[(ScheduledEntry, Boolean)] {
               def hasNext: Boolean =
@@ -214,18 +221,11 @@ object CrawlJob {
     val seeds = SeedExpansion.expand(cfg)
     val raw = harvest(spark, cfg, seeds)
     val frontier = buildFrontier(spark, raw).cache()
-    val counts = periodCounts(spark, frontier, cfg.budget.maxRetries)
-    val pruned = SeedExpansion.prune(seeds, counts,
-      allYearsMode = cfg.years == YearSelector.All,
-      allMonthsMode = cfg.months == MonthSelector.All)
-    val prunedKeys = pruned.map(p => (p.site, p.year, p.month)).toSet
-    val prunedBc = spark.sparkContext.broadcast(prunedKeys)
-    val surviving = frontier.filter(e =>
-      prunedBc.value.contains((e.site, e.year, e.month)))
+    val (pruned, surviving) = pruneIfActive(spark, cfg, seeds, frontier)
     val flagged = flagSeen(surviving, seenTable, bloom)
-    val outcomes = scheduleAndFetchFlagged(flagged, cfg.budget).cache()
-    val result = CrawlResult(seeds, pruned, surviving,
-      outcomes.map(_.log), outcomes.flatMap(_.image))
+    val log = scheduleAndFetchFlagged(flagged, cfg.budget).cache()
+    val result = CrawlResult(seeds, pruned, surviving, log,
+      materializeImages(log))
     val snap = graft.table.TableIO.commit(spark, tableDir, result.images,
       seenFrom(result.log).except(seenTable), runId,
       pruned.map(p => s"${p.site}/${p.year}/${p.month}"))
@@ -233,25 +233,45 @@ object CrawlJob {
   }
 
   /** Full batch crawl. `seen` carries the committed URL-seen set for
-    * resume (skip-if-exists, D2). */
+    * resume (skip-if-exists, D2).
+    *
+    * `cacheLog = true` persists the (byte-free) crawl log so `log`
+    * and `images` consumers share one scheduled fetch. Payload bytes
+    * are NEVER cached or shuffled — `images` regenerates them from
+    * the log via PayloadStage. */
   def run(spark: SparkSession, cfg: CrawlConfig,
-      seen: Set[Long] = Set.empty): CrawlResult = {
+      seen: Set[Long] = Set.empty,
+      cacheLog: Boolean = true): CrawlResult = {
     import spark.implicits._
     val seeds = SeedExpansion.expand(cfg)
     val raw = harvest(spark, cfg, seeds)
     val frontier = buildFrontier(spark, raw).cache()
-    val counts = periodCounts(spark, frontier, cfg.budget.maxRetries)
-    val pruned = SeedExpansion.prune(seeds, counts,
-      allYearsMode = cfg.years == YearSelector.All,
-      allMonthsMode = cfg.months == MonthSelector.All)
-    val prunedKeys = pruned.map(p => (p.site, p.year, p.month)).toSet
-    val prunedBc = spark.sparkContext.broadcast(prunedKeys)
-    val surviving = frontier.filter(e =>
-      prunedBc.value.contains((e.site, e.year, e.month)))
-    val outcomes = scheduleAndFetch(spark, surviving, cfg.budget, seen).cache()
-    val log = outcomes.map(_.log)
-    val images = outcomes.flatMap(_.image)
-    CrawlResult(seeds, pruned, surviving, log, images)
+    val (pruned, surviving) = pruneIfActive(spark, cfg, seeds, frontier)
+    val log0 = scheduleAndFetch(spark, surviving, cfg.budget, seen)
+    val log = if (cacheLog) log0.cache() else log0
+    CrawlResult(seeds, pruned, surviving, log, materializeImages(log))
+  }
+
+  /** The early-stop feedback pass (speculative per-period counts +
+    * prune) runs ONLY when an `All` selector makes the stop rules
+    * live — with explicit year/month lists the reference never stops
+    * early, and the extra frontier pass would be a wasted full scan
+    * at 10^10-URL scale. */
+  private def pruneIfActive(spark: SparkSession, cfg: CrawlConfig,
+      seeds: Seq[PeriodSeed], frontier: Dataset[ScheduledEntry])
+      : (Seq[PeriodSeed], Dataset[ScheduledEntry]) = {
+    val allYearsMode = cfg.years == YearSelector.All
+    val allMonthsMode = cfg.months == MonthSelector.All
+    if (!allYearsMode && !allMonthsMode) (seeds, frontier)
+    else {
+      val counts = periodCounts(spark, frontier, cfg.budget.maxRetries)
+      val pruned = SeedExpansion.prune(seeds, counts, allYearsMode,
+        allMonthsMode)
+      val prunedKeys = pruned.map(p => (p.site, p.year, p.month)).toSet
+      val prunedBc = spark.sparkContext.broadcast(prunedKeys)
+      (pruned, frontier.filter(e =>
+        prunedBc.value.contains((e.site, e.year, e.month))))
+    }
   }
 
   /** The URL-seen set this crawl contributes: URLs with a durable

@@ -17,8 +17,11 @@ object CrawlMain {
     val tableDir = args.headOption.getOrElse("/tmp/graft_crawl_table")
     val runId = if (args.length > 1) args(1) else "run-1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // respect spark-submit's --master (e.g. a real multi-executor
+    // cluster); default to local[cpus] when launched bare
+    val master = sys.props.getOrElse("spark.master", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

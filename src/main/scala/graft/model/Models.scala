@@ -58,7 +58,7 @@ object CrawlStatus {
 final case class CrawlLogEntry(
     site: String, year: Int, month: Int, seq: Int,
     imageId: String, url: String, urlHash: Long, host: String,
-    vtimeMs: Long, attempts: Int, status: String)
+    title: String, vtimeMs: Long, attempts: Int, status: String)
 
 /** The output-table row (BASELINE.json input_hint schema) plus lineage
   * columns. `bytes` is the encoded image; `phash` is xxhash64 of the

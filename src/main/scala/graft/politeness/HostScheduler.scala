@@ -2,7 +2,7 @@ package graft.politeness
 
 import scala.collection.mutable
 
-import graft.fetch.{ImageCodec, SyntheticWeb}
+import graft.fetch.SyntheticWeb
 import graft.model._
 
 /** Per-host politeness scheduler + fetch loop, in virtual time.
@@ -33,8 +33,6 @@ import graft.model._
   * order.
   */
 object HostScheduler {
-
-  final case class FetchOutcome(log: CrawlLogEntry, image: Option[ImageRecord])
 
   /** Resumable per-domain scheduler state (carried across streaming
     * micro-batches by flatMapGroupsWithState). `window` holds the
@@ -72,9 +70,12 @@ object HostScheduler {
       DomainState(now, attemptCount, lastStart, window.toSeq)
   }
 
-  /** Schedule + fetch one entry on this clock. */
+  /** Schedule + fetch one entry on this clock. Emits the log row ONLY
+    * — payload bytes are materialized downstream by
+    * [[graft.fetch.PayloadStage]] so the politeness/ordering stage
+    * never carries binary columns through shuffles or caches. */
   private def fetchOne(e: ScheduledEntry, budget: PolitenessBudget,
-      clock: Clock): FetchOutcome = {
+      clock: Clock): CrawlLogEntry = {
     val outcome = SyntheticWeb.outcome(e.urlHash)
     var attempt = 1
     var eligible = 0L
@@ -102,23 +103,13 @@ object HostScheduler {
       }
     }
     val attempts = if (done) attempt else attempt - 1
-    // validate payload (P3) — corrupt outcomes yield invalid bytes
-    val image = status match {
-      case CrawlStatus.Success =>
-        val p = SyntheticWeb.payload(e.urlHash, e.title)
-        if (ImageCodec.validMagic(p.bytes, p.fmt))
-          Some(ImageRecord(e.imageId, p.bytes, p.w, p.h, p.fmt, p.caption,
-            p.phash, e.site, e.year, e.month, e.url, e.urlHash, startT,
-            attempts))
-        else None
-      case _ => None
-    }
-    val finalStatus =
-      if (status == CrawlStatus.Success && image.isEmpty) CrawlStatus.Corrupt
-      else status
-    FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
-      e.url, e.urlHash, e.host, startT, attempts, finalStatus), image)
+    CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
+      e.url, e.urlHash, e.host, e.title, startT, attempts, status)
   }
+
+  private def skippedEntry(e: ScheduledEntry, now: Long): CrawlLogEntry =
+    CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
+      e.url, e.urlHash, e.host, e.title, now, 0, CrawlStatus.Skipped)
 
   /** Run one domain's timeline lazily. `entries` MUST be sorted by
     * (seedSeq, discoverySeq); `alreadySeen` implements resume
@@ -126,7 +117,7 @@ object HostScheduler {
     * emit a log row but consume no attempts and no virtual time. */
   def run(entries: Iterator[ScheduledEntry], budget: PolitenessBudget,
       alreadySeen: Long => Boolean = _ => false,
-      state0: DomainState = DomainState.initial): Iterator[FetchOutcome] =
+      state0: DomainState = DomainState.initial): Iterator[CrawlLogEntry] =
     runFlagged(entries.map(e => (e, alreadySeen(e.urlHash))), budget, state0)
 
   /** As `run`, with the skip-if-exists decision precomputed per entry
@@ -134,12 +125,10 @@ object HostScheduler {
     * exact join, not a broadcast set). */
   def runFlagged(entries: Iterator[(ScheduledEntry, Boolean)],
       budget: PolitenessBudget,
-      state0: DomainState = DomainState.initial): Iterator[FetchOutcome] = {
+      state0: DomainState = DomainState.initial): Iterator[CrawlLogEntry] = {
     val clock = new Clock(budget, state0)
     entries.map { case (e, seenBefore) =>
-      if (seenBefore)
-        FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
-          e.url, e.urlHash, e.host, clock.now, 0, CrawlStatus.Skipped), None)
+      if (seenBefore) skippedEntry(e, clock.now)
       else fetchOne(e, budget, clock)
     }
   }
@@ -148,12 +137,10 @@ object HostScheduler {
     * clock state for checkpointing (streaming mode). */
   def runBuffered(entries: Seq[ScheduledEntry], budget: PolitenessBudget,
       alreadySeen: Long => Boolean,
-      state0: DomainState): (Seq[FetchOutcome], DomainState) = {
+      state0: DomainState): (Seq[CrawlLogEntry], DomainState) = {
     val clock = new Clock(budget, state0)
     val out = entries.map { e =>
-      if (alreadySeen(e.urlHash))
-        FetchOutcome(CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
-          e.url, e.urlHash, e.host, clock.now, 0, CrawlStatus.Skipped), None)
+      if (alreadySeen(e.urlHash)) skippedEntry(e, clock.now)
       else fetchOne(e, budget, clock)
     }
     (out, clock.snapshot)

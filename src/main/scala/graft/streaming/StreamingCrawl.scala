@@ -31,9 +31,8 @@ object StreamingCrawl {
       bytes: Array[Byte], w: Int, h: Int, fmt: String, caption: String,
       phash: Long)
 
-  private def flatten(o: HostScheduler.FetchOutcome): StreamedOutcome = {
-    val l = o.log
-    o.image match {
+  private def flatten(l: graft.model.CrawlLogEntry): StreamedOutcome =
+    graft.fetch.PayloadStage.imageFor(l) match {
       case Some(i) => StreamedOutcome(l.site, l.year, l.month, l.seq,
         l.imageId, l.url, l.urlHash, l.host, l.vtimeMs, l.attempts, l.status,
         i.bytes, i.w, i.h, i.fmt, i.caption, i.phash)
@@ -41,7 +40,6 @@ object StreamingCrawl {
         l.url, l.urlHash, l.host, l.vtimeMs, l.attempts, l.status,
         null, 0, 0, null, null, 0L)
     }
-  }
 
   /** The stateful per-domain handler. */
   def handleDomain(budget: PolitenessBudget)(

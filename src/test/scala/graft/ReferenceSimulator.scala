@@ -82,9 +82,9 @@ object ReferenceSimulator {
         }
       }
       HostScheduler.run(domainEntries.iterator, cfg.budget, seen.contains)
-        .foreach { o =>
-          log += o.log
-          o.image.foreach(images += _)
+        .foreach { l =>
+          log += l
+          graft.fetch.PayloadStage.imageFor(l).foreach(images += _)
         }
     }
     SimResult(log.toSeq, images.toSeq, crawled.toSeq)
