@@ -324,6 +324,29 @@ object RelationalQueries {
         .orderBy($"event_type")
     }),
 
+    // ---- cube grouping sets (A3 consolidation as a full rollup report)
+    "q26_cube_status" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // ---- lead/lag offset windows (inter-event deltas; the per-host
+    //      inter-request-gap audit shape)
+    "q27_value_deltas" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .withColumn("prev_val", lag($"value", 1).over(w))
+        .withColumn("next_id", lead($"event_id", 1).over(w))
+        .withColumn("delta", round($"value" - coalesce($"prev_val", lit(0.0)), 2))
+        .select($"user_id", $"event_id", $"delta", $"next_id")
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // ---- regex predicate battery (P7: validators.py:17-20,147-194)
     "q25_text_validators" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -479,6 +502,19 @@ object RelationalQueries {
         | UNION ALL
         | SELECT * FROM events WHERE month(ts)=2)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_cube_status" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST,
+        | o_orderpriority NULLS FIRST""".stripMargin,
+    "q27_value_deltas" ->
+      """SELECT user_id, event_id,
+        | round(value - coalesce(lag(value, 1) OVER w, 0.0), 2) AS delta,
+        | lead(event_id, 1) OVER w AS next_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q25_text_validators" ->
       """SELECT lang,
         | count(*) FILTER (WHERE regexp_matches(text, '^the ')) AS n_the,
