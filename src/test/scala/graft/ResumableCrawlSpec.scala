@@ -43,4 +43,16 @@ class ResumableCrawlSpec extends AnyFunSuite {
           e.vtimeMs, e.attempts, e.status))
     assert(canon(log2.toSeq) === canon(ref.log.collect().toSeq))
   }
+
+  test("strict per-host mode flows through the resumable (flagged) path") {
+    val dir = Files.createTempDirectory("graft-resume-strict").toString
+    val strictCfg = cfg.copy(strictPerHost = true)
+    val (r, _) = CrawlJob.runResumable(spark, strictCfg, dir, "run-s")
+    val ref = CrawlJob.run(spark, strictCfg)
+    def canon(l: Seq[CrawlLogEntry]) =
+      l.sortBy(e => (e.host, e.vtimeMs, e.year, e.month, e.seq))
+        .map(e => (e.site, e.year, e.month, e.seq, e.url, e.urlHash,
+          e.vtimeMs, e.attempts, e.status))
+    assert(canon(r.log.collect().toSeq) === canon(ref.log.collect().toSeq))
+  }
 }
