@@ -347,6 +347,39 @@ object RelationalQueries {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // ---- two-stage name resolution (J2/P9: exact case-fold equi join,
+    //      then first-match CONTAINS theta fallback —
+    //      mds_parcelas.py:358-376). Probes are 4-char prefixes of
+    //      nation names, so stage 1 misses and the fallback resolves by
+    //      dim ordinal (first match wins), default sentinel otherwise.
+    "q28_name_resolution" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dim = t(s, dir, "nation")
+        .select($"n_nationkey".as("ord"), $"n_name".as("name"))
+      val probes = dim
+        .select(substring($"name", 1, 8).as("q")) // exact hits (NATION_0..9)
+        .unionByName(dim.select(substring($"name", 1, 6).as("q"))) // contains
+        .distinct()
+        .unionByName(Seq("ZZZZ").toDF("q")) // unmatched → sentinel
+      val exact = probes.join(broadcast(dim),
+          upper($"q") === upper($"name"), "left_outer")
+        .select($"q", $"name".as("exact_name"))
+      val missed = exact.filter($"exact_name".isNull).select($"q")
+      val w = Window.partitionBy($"q").orderBy($"ord")
+      val contained = missed.join(broadcast(dim),
+          upper($"name").contains(upper($"q")), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1) // first dropdown option wins
+        .select($"q", $"name".as("fb_name"))
+      exact.filter($"exact_name".isNotNull)
+        .select($"q", $"exact_name".as("resolved"),
+          lit("exact").as("how"))
+        .unionByName(contained.select($"q",
+          coalesce($"fb_name", lit("NÃO CLASSIFICADO")).as("resolved"),
+          when($"fb_name".isNull, "default").otherwise("contains").as("how")))
+        .orderBy($"q")
+    }),
+
     // ---- regex predicate battery (P7: validators.py:17-20,147-194)
     "q25_text_validators" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -515,6 +548,29 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q28_name_resolution" ->
+      """WITH dim AS (SELECT n_nationkey AS ord, n_name AS name FROM nation),
+        | probes AS (
+        |   SELECT DISTINCT q FROM (
+        |     SELECT substr(name, 1, 8) AS q FROM dim
+        |     UNION ALL SELECT substr(name, 1, 6) FROM dim)
+        |   UNION ALL SELECT 'ZZZZ'),
+        | exact AS (
+        |   SELECT q, name AS exact_name FROM probes
+        |   LEFT JOIN dim ON upper(q) = upper(name)),
+        | missed AS (SELECT q FROM exact WHERE exact_name IS NULL),
+        | fb AS (
+        |   SELECT q, name AS fb_name, row_number() OVER (
+        |     PARTITION BY q ORDER BY ord) AS rn
+        |   FROM missed LEFT JOIN dim
+        |     ON upper(name) LIKE '%' || upper(q) || '%')
+        |SELECT q, exact_name AS resolved, 'exact' AS how FROM exact
+        | WHERE exact_name IS NOT NULL
+        |UNION ALL
+        |SELECT q, coalesce(fb_name, 'NÃO CLASSIFICADO') AS resolved,
+        |  CASE WHEN fb_name IS NULL THEN 'default' ELSE 'contains' END AS how
+        |FROM fb WHERE rn = 1
+        |ORDER BY q""".stripMargin,
     "q25_text_validators" ->
       """SELECT lang,
         | count(*) FILTER (WHERE regexp_matches(text, '^the ')) AS n_the,
