@@ -46,13 +46,29 @@ object AnnOps {
     math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
+  /** Hyperplane matrix for one hash table, materialized ONCE per
+    * executor JVM (deterministic, so precomputation cannot change any
+    * sketch): the sketch hot path is then a dense dot product instead
+    * of tables·planes·dim Box–Muller transcendental evaluations per
+    * row. Keyed by (table, planes, dim); a handful of entries total. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
+      Array[Array[Double]]]()
+
+  private[ops] def planeMatrix(table: Int, planes: Int,
+      dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((table, planes, dim),
+      { case (t, p, d) => Array.tabulate(p, d)((pp, dd) => gauss(t, pp, dd)) })
+
   /** Sign-bit sketch in hash table `table`: bit p = sign(v·h_p). */
   def signSketch(v: Array[Float], planes: Int, table: Int = 0): Long = {
+    val m = planeMatrix(table, planes, v.length)
     var sketch = 0L
     var p = 0
     while (p < planes) {
+      val row = m(p)
       var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * gauss(table, p, i); i += 1 }
+      while (i < v.length) { s += v(i) * row(i); i += 1 }
       if (s > 0) sketch |= (1L << p)
       p += 1
     }
@@ -90,15 +106,18 @@ object AnnOps {
       planes: Int = 8, tables: Int = 6): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val bucketsUdf = udf((v: Seq[Float]) =>
-      (0 until tables).map(t =>
-        bucketKey(t, signSketch(v.toArray, planes, t))).toArray)
-    val probesUdf = udf((v: Seq[Float]) =>
+    val bucketsUdf = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      (0 until tables).map(t => bucketKey(t, signSketch(a, planes, t))).toArray
+    })
+    val probesUdf = udf((v: Seq[Float]) => {
+      val a = v.toArray
       (0 until tables).flatMap { t =>
-        val s = signSketch(v.toArray, planes, t)
+        val s = signSketch(a, planes, t)
         (s +: (0 until planes).map(b => s ^ (1L << b)))
           .map(bucketKey(t, _))
-      }.toArray)
+      }.toArray
+    })
     val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
       cosine(a.toArray, b.toArray))
     val cands = candidates

@@ -57,11 +57,15 @@ object DedupOps {
   // ---- MinHash ------------------------------------------------------
 
   /** numHashes (a,b) pairs for the universal-hash permutations,
-    * deterministic. */
+    * deterministic; memoized per JVM (the params were recomputed and
+    * re-allocated once per ROW before). */
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
   private def hashParams(numHashes: Int): Array[(Long, Long)] =
-    (0 until numHashes).map(i =>
-      (Hashing.mix(0x5EEDL, i.toLong * 2 + 1) | 1L,
-        Hashing.mix(0x5EEDL, i.toLong * 2 + 2))).toArray
+    paramCache.computeIfAbsent(numHashes, n =>
+      (0 until n).map(i =>
+        (Hashing.mix(0x5EEDL, i.toLong * 2 + 1) | 1L,
+          Hashing.mix(0x5EEDL, i.toLong * 2 + 2))).toArray)
 
   /** MinHash signature of a shingle set. */
   def minhash(sh: Array[Long], numHashes: Int): Array[Long] = {
@@ -92,14 +96,21 @@ object DedupOps {
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPer = numHashes / bands
-    val sigUdf = udf((t: String) => minhash(shingles(t, shingleK), numHashes))
+    // shingle ONCE per document; the signature stage and the verify
+    // stage both consume the precomputed sorted shingle-hash array, so
+    // the exact-Jaccard verify is a merge-intersect over candidate
+    // pairs' arrays — never a per-pair re-shingling of full texts.
+    val shUdf = udf((t: String) => shingles(t, shingleK))
+    val prep = df
+      .select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigUdf = udf((sh: Seq[Long]) => minhash(sh.toArray, numHashes))
     val bandUdf = udf((sig: Seq[Long]) =>
       (0 until bands).map(b => Hashing.xxh64(
         s"$b|" + sig.slice(b * rowsPer, (b + 1) * rowsPer)
           .mkString(","))).toArray)
-    val banded = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("bandHash", explode(bandUdf(sigUdf(col("text")))))
+    val banded = prep
+      .withColumn("bandHash", explode(bandUdf(sigUdf($"sh"))))
       .select($"id", $"bandHash")
     // candidate pairs: ids sharing any band bucket
     val l = banded.as("l")
@@ -108,16 +119,13 @@ object DedupOps {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    // exact verify on candidates only
-    val texts = df.select(col(idCol).as("vid"), col(textCol).as("vtext"))
-    val jacUdf = udf((a: String, b: String) =>
-      jaccard(shingles(a, shingleK), shingles(b, shingleK)))
+    // exact verify on candidates only, over the precomputed arrays
+    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      jaccard(a.toArray, b.toArray))
     cand
-      .join(texts.withColumnRenamed("vid", "id_a")
-        .withColumnRenamed("vtext", "text_a"), Seq("id_a"))
-      .join(texts.withColumnRenamed("vid", "id_b")
-        .withColumnRenamed("vtext", "text_b"), Seq("id_b"))
-      .withColumn("jaccard", round(jacUdf($"text_a", $"text_b"), 6))
+      .join(prep.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(prep.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jacUdf($"sh_a", $"sh_b"), 6))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
@@ -199,8 +207,10 @@ object DedupOps {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Exact dedup: keep the lowest id per identical content hash. */
+  /** Exact dedup: keep the lowest id per identical content hash.
+    * Keyed on 128-bit md5 — a 64-bit key silently merges distinct
+    * docs by birthday collision at ~10^10-doc corpus scale. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 }

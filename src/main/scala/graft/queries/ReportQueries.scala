@@ -58,7 +58,7 @@ object ReportQueries {
       |   AS vedado_utilizacao,
       | CASE WHEN (doc_id*41+7)%10 < 8 THEN
       |   concat('10.',
-      |     list_extract(['301','302','303','304','305','306','122','999'],
+      |     list_extract(['301','302','303','304','305','306','122','242'],
       |       CAST((doc_id*43)%8 + 1 AS INT)),
       |     '.0021 R$ ', CAST((doc_id*47)%900000 AS VARCHAR), ',00')
       |  ELSE 'sem dotação' END AS dotacao_orcamentaria,
@@ -78,15 +78,15 @@ object ReportQueries {
        | coalesce(nullif(trim(data_inicial), ''), 'NÃO INFORMADO') AS di,
        | coalesce(nullif(trim(prazo_execucao), ''), 'NÃO INFORMADO') AS pe,
        | CASE regexp_extract(dotacao_orcamentaria,
-       |     '\\b(301|302|303|304|305|306|122|999)\\b', 1)
-       |  WHEN '301' THEN 'Atenção Básica'
-       |  WHEN '302' THEN 'Assistência Hospitalar e Ambulatorial'
-       |  WHEN '303' THEN 'Suporte Profilático e Terapêutico'
+       |     '\\b(301|302|303|304|305|306|122|242)\\b', 1)
+       |  WHEN '301' THEN 'Atenção Primária'
+       |  WHEN '302' THEN 'MAC'
+       |  WHEN '303' THEN 'Assistência Farmacêutica'
        |  WHEN '304' THEN 'Vigilância Sanitária'
        |  WHEN '305' THEN 'Vigilância Epidemiológica'
        |  WHEN '306' THEN 'Alimentação e Nutrição'
-       |  WHEN '122' THEN 'Administração Geral'
-       |  WHEN '999' THEN 'Outros'
+       |  WHEN '122' THEN 'ADM'
+       |  WHEN '242' THEN 'Assist. ao Portador de Deficiência'
        |  ELSE 'NÃO CLASSIFICADO' END AS categoria
        |FROM ($extractionsSql)""".stripMargin
 

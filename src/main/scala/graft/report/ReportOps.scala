@@ -42,17 +42,18 @@ object ReportOps {
   /** P7: currency `R$ ...` (validators.py:20). */
   def validCurrency(c: Column): Column = c.rlike("R\\$\\s*[\\d.,]+")
 
-  /** P8: the 8 budget categories (validators.py:23-32); first matching
-    * code in the text wins (validators.py:93-129). */
+  /** P8: the 8 budget categories, code set and names exactly as the
+    * reference's BUDGET_CATEGORIES (validators.py:22-32); first
+    * matching code in the text wins (validators.py:93-129). */
   val budgetCategories: Seq[(String, String)] = Seq(
-    "301" -> "Atenção Básica",
-    "302" -> "Assistência Hospitalar e Ambulatorial",
-    "303" -> "Suporte Profilático e Terapêutico",
+    "301" -> "Atenção Primária",
+    "302" -> "MAC",
+    "303" -> "Assistência Farmacêutica",
     "304" -> "Vigilância Sanitária",
     "305" -> "Vigilância Epidemiológica",
     "306" -> "Alimentação e Nutrição",
-    "122" -> "Administração Geral",
-    "999" -> "Outros")
+    "122" -> "ADM",
+    "242" -> "Assist. ao Portador de Deficiência")
 
   /** First budget code appearing in the text, '' when none. */
   def firstBudgetCode(c: Column): Column =

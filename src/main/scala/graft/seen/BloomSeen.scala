@@ -26,9 +26,10 @@ import graft.url.Hashing
 object BloomSeen {
 
   /** Probe-position generator: positions of `x` in a filter of
-    * `numBits` (a power of two) using k = `numHashes` double-hashed
-    * probes. */
-  @inline private def positions(x: Long, numBits: Int, numHashes: Int,
+    * `numBits` bits using k = `numHashes` double-hashed probes.
+    * `numBits` is Long so the 256 MiB (2^31-bit) cap doesn't overflow
+    * Int arithmetic. */
+  @inline private def positions(x: Long, numBits: Long, numHashes: Int,
       f: Int => Unit): Unit = {
     val h1 = Hashing.mix(x, 0x9E3779B97F4A7C15L)
     val h2 = Hashing.mix(x, 0xC2B2AE3D27D4EB4FL) | 1L
@@ -40,12 +41,12 @@ object BloomSeen {
   }
 
   def insert(filter: Array[Byte], x: Long, numHashes: Int): Unit =
-    positions(x, filter.length * 8, numHashes,
+    positions(x, filter.length.toLong * 8, numHashes,
       p => filter(p >>> 3) = (filter(p >>> 3) | (1 << (p & 7)).toByte).toByte)
 
   def mightContain(filter: Array[Byte], x: Long, numHashes: Int): Boolean = {
     var all = true
-    positions(x, filter.length * 8, numHashes,
+    positions(x, filter.length.toLong * 8, numHashes,
       p => all &&= ((filter(p >>> 3) >> (p & 7)) & 1) == 1)
     all
   }

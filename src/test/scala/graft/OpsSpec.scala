@@ -36,6 +36,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact dedup groups identical texts on a 128-bit key, keeps lowest id") {
+    import spark.implicits._
+    val copies = docs.orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val d = DedupOps.exactDedup(docs.unionByName(copies), "doc_id", "text")
+    // every copied text groups with its original under the lowest id
+    val dupGroups = d.filter($"n_dupes" >= 2)
+    assert(dupGroups.count() >= 5)
+    assert(dupGroups.filter($"keep_id" >= 1000000L).count() === 0)
+    // the key is the 128-bit md5 hex digest, not a 64-bit hash
+    val key = d.select("content_hash").as[String].head()
+    assert(key.length === 32 && key.matches("[0-9a-f]{32}"))
+  }
+
   test("simhash finds planted near-dups within hamming 3") {
     val planted = docs.orderBy("doc_id").limit(10)
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
