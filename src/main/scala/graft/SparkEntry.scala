@@ -23,12 +23,14 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.CrawlQueries.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.ReportQueries.queries
+      graft.queries.ReportQueries.queries ++
+      graft.queries.FrontierQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.ReportQueries.oracleSql
+      graft.queries.ReportQueries.oracleSql ++
+      graft.queries.FrontierQueries.oracleSql
 }

@@ -58,23 +58,68 @@ object SyntheticWeb {
     robotsDisallow.getOrElse(host, Nil).exists(path.startsWith)
   }
 
-  /** The seed listing URL for one (site, year, month) period, with
-    * filter predicates pushed into query params exactly like the
-    * reference's seed URL (portal_saude_mg.py:37: by_year/by_month/
-    * by_format/ordering). */
-  def seedUrl(site: String, year: Int, month: Int): String =
+  /** The seed listing URL for one (site, year, month[, municipality])
+    * form submission, with filter predicates pushed into query params
+    * exactly like the reference's seed URL (portal_saude_mg.py:37:
+    * by_year/by_month/by_format/ordering; the MDS form fields year/
+    * month/uf/municipio — mds_saldo.py:318-328). */
+  def seedUrl(site: String, year: Int, month: Int, uf: String = "",
+      munValue: String = ""): String =
     s"https://${siteHost(site)}${sitePath(site)}" +
-      s"?by_year=$year&by_month=$month&by_format=img&ordering=newest"
+      s"?by_year=$year&by_month=$month&by_format=img&ordering=newest" +
+      (if (uf.isEmpty) "" else s"&uf=$uf&municipio=$munValue")
 
-  private def periodKey(site: String, year: Int, month: Int, webSeed: Long): Long =
-    Hashing.mix(Hashing.xxh64(seedUrl(site, year, month)), webSeed)
+  private def periodKey(site: String, year: Int, month: Int, webSeed: Long,
+      uf: String = "", munValue: String = ""): Long =
+    Hashing.mix(Hashing.xxh64(seedUrl(site, year, month, uf, munValue)),
+      webSeed)
+
+  // ---- municipality dropdown (S5/P2, mds_saldo.py:643-662) -----------
+
+  /** Reference's 27 valid state codes (mds_saldo_ui.py:283-287). */
+  val validStates: Seq[String] = Seq(
+    "AC", "AL", "AP", "AM", "BA", "CE", "DF", "ES", "GO", "MA",
+    "MT", "MS", "MG", "PA", "PB", "PR", "PE", "PI", "RJ", "RN",
+    "RS", "RO", "RR", "SC", "SP", "SE", "TO")
+
+  /** Deterministic municipality count per UF. Pure integer arithmetic
+    * on the UF's ordinal so a DuckDB oracle regenerates the identical
+    * dimension (5–13 municipalities). */
+  def municipalityCount(uf: String): Int = {
+    val idx = validStates.indexOf(uf)
+    require(idx >= 0, s"unknown UF: $uf")
+    5 + (idx * 7 + 3) % 9
+  }
+
+  /** The RAW dropdown options in option order, INCLUDING the
+    * placeholder rows a crawler must skip (mds_parcelas.py:424-428):
+    * the "-- Selecione --" header with an empty value, plus one
+    * empty-value noise option mid-list (so the filter is provably
+    * value-based, not position-based). (displayText, optionValue). */
+  def municipalityOptions(uf: String): Seq[(String, String)] = {
+    val idx = validStates.indexOf(uf)
+    require(idx >= 0, s"unknown UF: $uf")
+    val n = municipalityCount(uf)
+    val real = (1 to n).map(i =>
+      (f"MUN $uf $i%03d", ((idx + 11) * 100000 + i * 97).toString))
+    (("-- Selecione --", "") +: real.take(n / 2)) ++
+      Seq(("(vazio)", "")) ++ real.drop(n / 2)
+  }
+
+  /** S5 dropdown scan with the P2 placeholder filter: keep options
+    * with a non-empty value whose text is not the placeholder
+    * (mds_saldo.py:651-656). Ordinal = dropdown order. */
+  def municipalities(uf: String): Seq[(String, String)] =
+    municipalityOptions(uf).filter { case (text, value) =>
+      value.nonEmpty && text != "-- Selecione --"
+    }
 
   /** Number of listing pages for a period (bounded pagination, S3:
     * the reference caps at 50 scrolls — portal_saude_mg.py:319).
     * ~1 in 6 periods is empty (drives the early-stop rules). */
   def pageCount(site: String, year: Int, month: Int, maxPages: Int,
-      webSeed: Long): Int = {
-    val k = periodKey(site, year, month, webSeed)
+      webSeed: Long, uf: String = "", munValue: String = ""): Int = {
+    val k = periodKey(site, year, month, webSeed, uf, munValue)
     if (Hashing.draw(k, 11, 6) == 0) 0
     else 1 + Hashing.draw(k, 12, maxPages)
   }
@@ -93,10 +138,13 @@ object SyntheticWeb {
     *    dot-relative (urljoin exercise, :509)
     */
   def pageLinks(site: String, year: Int, month: Int, p: Int, maxPages: Int,
-      webSeed: Long): Seq[RawLink] = {
-    val k = periodKey(site, year, month, webSeed)
+      webSeed: Long, uf: String = "", munValue: String = ""): Seq[RawLink] = {
+    val k = periodKey(site, year, month, webSeed, uf, munValue)
     val n = 4 + Hashing.draw(k, 100L + p, 8)
     val host = siteHost(site)
+    // municipality form results live under a per-municipality path so
+    // two municipalities' artifacts are distinct resources
+    val munDir = if (munValue.isEmpty) "" else s"/mun-$munValue"
     (0 until n).map { j =>
       val r = Hashing.mix(k, p * 1000L + j)
       val dup = p > 1 && Hashing.draw(r, 1, 100) < 12
@@ -111,7 +159,7 @@ object SyntheticWeb {
       val priv = Hashing.draw(rr, 4, 100) < 6
       val dir = if (priv) "private" else "files"
       val ext = Seq("png", "jpeg", "bmp")(Hashing.draw(rr, 5, 3))
-      val path = f"/$dir/$year/$month%02d/res-$docId.$ext"
+      val path = f"/$dir$munDir/$year/$month%02d/res-$docId.$ext"
       val href = Hashing.draw(r, 6, 4) match {
         case 0 => s"https://$host$path"
         case 1 => path
@@ -141,6 +189,27 @@ object SyntheticWeb {
     else if (u < 86) NoData
     else if (u < 93) Transient(1 + Hashing.draw(urlHash, 8, 3))
     else Corrupt
+  }
+
+  /** Host-aware outcome: hosts named `sick-*` model a crashed/
+    * unresponsive site (every request fails through all retries) —
+    * the planted-failure environment for the quarantine/recovery rule
+    * (mds_saldo.py:249-294) and the health probe (S11). */
+  def outcome(urlHash: Long, host: String): Outcome =
+    if (host.startsWith("sick-")) Transient(Int.MaxValue)
+    else outcome(urlHash)
+
+  /** S11 site health probe (portal_saude_mg.py:730-747): (HTTP status,
+    * response-time ms) of a host's root document; the reference calls
+    * a site healthy when the status is 2xx and the response arrives
+    * within its timeout. Deterministic per host. */
+  def healthProbe(host: String): (Int, Long) =
+    if (host.startsWith("sick-")) (503, 5000L)
+    else (200, 80L + Hashing.draw(Hashing.xxh64(host), 31, 400))
+
+  def healthy(host: String): Boolean = {
+    val (code, rtMs) = healthProbe(host)
+    code >= 200 && code < 300 && rtMs < 3000
   }
 
   /** Deterministic fetch latency in virtual ms (50–549). */
@@ -202,13 +271,15 @@ object SyntheticWeb {
     * flatMap (G5) and the simulator. Returns (pos-in-period, page,
     * posInPage, canonicalUrl, title) BEFORE the P1 filter/dedup. */
   def harvestPeriod(site: String, year: Int, month: Int, maxPages: Int,
-      webSeed: Long): Seq[(Int, Int, Int, String, String)] = {
-    val base = seedUrl(site, year, month)
-    val pages = pageCount(site, year, month, maxPages, webSeed)
+      webSeed: Long, uf: String = "", munValue: String = "")
+      : Seq[(Int, Int, Int, String, String)] = {
+    val base = seedUrl(site, year, month, uf, munValue)
+    val pages = pageCount(site, year, month, maxPages, webSeed, uf, munValue)
     var k = -1
     for {
       p <- 1 to pages
-      (link, j) <- pageLinks(site, year, month, p, maxPages, webSeed).zipWithIndex
+      (link, j) <- pageLinks(site, year, month, p, maxPages, webSeed,
+        uf, munValue).zipWithIndex
     } yield {
       k += 1
       (k, p, j, UrlCanon.resolve(base, link.href), link.title)

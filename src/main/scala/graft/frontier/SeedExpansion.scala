@@ -37,9 +37,47 @@ object SeedExpansion {
     case MonthSelector.All => 1 to 12
   }
 
-  /** Fully-ordered period list; `seedSeq` is the frozen enumeration
-    * index (composite discoverySeq base, SURVEY G3). */
+  /** P10 UF validation (mds_saldo_ui.py:783-804): uppercase + trim,
+    * exactly 2 chars, member of the reference's 27-state list. Returns
+    * the normalized code; throws on invalid input like the reference's
+    * input rejection. */
+  def validateUf(uf: String): String = {
+    val u = uf.trim.toUpperCase
+    require(u.length == 2, s"UF deve ter exatamente 2 caracteres: '$uf'")
+    require(graft.fetch.SyntheticWeb.validStates.contains(u),
+      s"UF '$u' não é válida")
+    u
+  }
+
+  /** The municipality dimension of one config, in dropdown order
+    * (S5 scan + P2 placeholder filter; `ALL_<UF>` semantics of
+    * mds_saldo.py:320-356). `Seq(("",""))` when the config has no
+    * municipality dimension. (name, dropdownValue). */
+  def municipalityDim(cfg: CrawlConfig): Seq[(String, String)] =
+    cfg.municipality match {
+      case None => Seq(("", ""))
+      case Some(sel) =>
+        val uf = validateUf(cfg.uf)
+        val all = graft.fetch.SyntheticWeb.municipalities(uf)
+        sel match {
+          case MunicipalitySelector.All => all
+          case MunicipalitySelector.Single(name) =>
+            all.filter(_._1 == name) match {
+              case Seq() => throw new IllegalArgumentException(
+                s"município '$name' não encontrado no estado $uf")
+              case found => found
+            }
+        }
+    }
+
+  /** Fully-ordered seed list; `seedSeq` is the frozen enumeration
+    * index (composite discoverySeq base, SURVEY G3/G4). Municipality
+    * (when configured) is the innermost loop, enumerated per
+    * (year, month) in dropdown order exactly like the reference's
+    * re-navigate-per-municipality loop (mds_saldo.py:320-356). */
   def expand(cfg: CrawlConfig): Seq[PeriodSeed] = {
+    val munDim = municipalityDim(cfg)
+    val ufNorm = if (cfg.municipality.isEmpty) "" else validateUf(cfg.uf)
     var seq = -1L
     for {
       site <- cfg.sites
@@ -47,9 +85,10 @@ object SeedExpansion {
       m <- months(cfg.months)
       // P5 future guard: skip future years and future months of this year
       if y < cfg.nowYear || (y == cfg.nowYear && m <= cfg.nowMonth)
+      (mn, mv) <- munDim
     } yield {
       seq += 1
-      PeriodSeed(site, y, m, seq)
+      PeriodSeed(site, y, m, seq, ufNorm, mn, mv)
     }
   }
 
@@ -76,13 +115,18 @@ object SeedExpansion {
       var yearsStopped = false
       yearsInOrder.foreach { y =>
         if (!yearsStopped) {
-          val months = ss.filter(_.year == y)
+          val yearSeeds = ss.filter(_.year == y)
           var monthStopped = false
           var yearFiles = 0L
-          months.foreach { p =>
+          // group by month: a month may hold several municipality
+          // seeds; the stop decision is per MONTH on the month's total
+          // (the reference sums across municipalities before judging)
+          yearSeeds.map(_.month).distinct.foreach { m =>
             if (!monthStopped) {
-              val n = fileCount.getOrElse((p.site, p.year, p.month), 0L)
-              out += p
+              val seedsOfMonth = yearSeeds.filter(_.month == m)
+              val n = fileCount.getOrElse(
+                (seedsOfMonth.head.site, y, m), 0L)
+              out ++= seedsOfMonth
               yearFiles += n
               // stop months at 1st empty (only in all-months mode)
               if (allMonthsMode && n == 0L) monthStopped = true

@@ -61,10 +61,12 @@ object CrawlJob {
     spark.createDataset(seeds)
       .repartition(math.max(1, math.min(seeds.size, 64)))
       .flatMap { s =>
-        SyntheticWeb.harvestPeriod(s.site, s.year, s.month, maxPages, webSeed)
+        SyntheticWeb.harvestPeriod(s.site, s.year, s.month, maxPages, webSeed,
+            s.uf, s.munValue)
           .map { case (k, p, j, url, title) =>
             FrontierEntry(s.site, s.year, s.month, s.seedSeq, p, j, k.toLong,
-              url, Hashing.xxh64(url), UrlCanon.host(url), title)
+              url, Hashing.xxh64(url), UrlCanon.host(url), title,
+              s.uf, s.municipality)
           }
       }
   }
@@ -75,10 +77,15 @@ object CrawlJob {
     import spark.implicits._
     val robotsUdf = udf((host: String, url: String) =>
       SyntheticWeb.disallowed(host, url))
-    val dedupW = Window.partitionBy($"site", $"year", $"month", $"urlHash")
+    // windows keyed by seedSeq: one seed = one form-submission session;
+    // dedup and numbering are per session like the reference's
+    // per-listing seen set and list-index naming. (For sites without
+    // the municipality dimension a seed IS a (site,year,month) period,
+    // so this is the same partitioning as before — and seeds with
+    // several municipalities in one month stay separate sessions.)
+    val dedupW = Window.partitionBy($"seedSeq", $"urlHash")
       .orderBy($"discoverySeq")
-    val numW = Window.partitionBy($"site", $"year", $"month")
-      .orderBy($"discoverySeq")
+    val numW = Window.partitionBy($"seedSeq").orderBy($"discoverySeq")
     raw
       // P1: both href and title non-empty (portal_saude_mg.py:404)
       .filter(length(trim($"title")) > 0 && $"url".startsWith("http"))
@@ -86,10 +93,20 @@ object CrawlJob {
       .filter($"rn" === 1)
       .filter(!robotsUdf($"host", $"url"))
       .withColumn("seq", row_number().over(numW))
+      // artifact naming: [mes]-[ano]-RES-[nnn] (portal_saude_mg.py:
+      // 488-501); municipality sessions prefix uf+municipality like
+      // the reference's saldo_detalhado_{uf}_{municipality}_{year}_
+      // {month} CSV names (mds_saldo.py:837-840)
       .withColumn("imageId",
-        format_string("%02d-%d-RES-%03d", $"month", $"year", $"seq"))
+        when(length($"municipality") > 0,
+          format_string("%s-%s-%02d-%d-RES-%03d", $"uf",
+            regexp_replace($"municipality", " ", "_"),
+            $"month", $"year", $"seq"))
+          .otherwise(
+            format_string("%02d-%d-RES-%03d", $"month", $"year", $"seq")))
       .select($"site", $"year", $"month", $"seedSeq", $"discoverySeq",
-        $"seq", $"imageId", $"url", $"urlHash", $"host", $"title")
+        $"seq", $"imageId", $"url", $"urlHash", $"host", $"title",
+        $"uf", $"municipality")
       .as[ScheduledEntry]
   }
 
@@ -98,11 +115,12 @@ object CrawlJob {
   def periodCounts(spark: SparkSession, frontier: Dataset[ScheduledEntry],
       maxRetries: Int): Map[(String, Int, Int), Long] = {
     import spark.implicits._
-    val statusUdf = udf((h: Long) => HostScheduler.terminalStatus(h, maxRetries))
+    val statusUdf = udf((h: Long, host: String) =>
+      HostScheduler.terminalStatus(h, maxRetries, host))
     frontier
       .groupBy($"site", $"year", $"month")
-      .agg(count(when(statusUdf($"urlHash") === CrawlStatus.Success, 1))
-        .as("files"))
+      .agg(count(when(statusUdf($"urlHash", $"host") === CrawlStatus.Success,
+        1)).as("files"))
       .collect()
       .map(r => ((r.getString(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
       .toMap
@@ -112,12 +130,20 @@ object CrawlJob {
     * Secondary-sort pattern: hash-repartition on the domain key, sort
     * within partitions, then stream domain runs — constant memory per
     * task regardless of domain size. Emits byte-free log rows;
-    * payloads materialize in [[graft.fetch.PayloadStage]]. */
+    * payloads materialize in [[graft.fetch.PayloadStage]].
+    *
+    * `seen` here is a broadcast in-memory set — DEMO/TEST ONLY (capped
+    * at 10^6 keys). The production resume path is [[runResumable]]:
+    * Bloom-prefiltered exact join ([[flagSeenPersisted]]) feeding
+    * [[scheduleAndFetchFlagged]]. */
   def scheduleAndFetch(spark: SparkSession, frontier: Dataset[ScheduledEntry],
       budget: PolitenessBudget,
       seen: Set[Long] = Set.empty,
       strictPerHost: Boolean = false): Dataset[CrawlLogEntry] = {
     import spark.implicits._
+    require(seen.size <= 1000000,
+      "broadcast seen-set path is demo/test-only; use runResumable's " +
+        "Bloom-prefiltered exact join at scale")
     val seenBc = spark.sparkContext.broadcast(seen)
     val numPartitions = spark.sessionState.conf.numShufflePartitions
     // domain key: (site, host) in reference-compat mode, host alone in
@@ -184,6 +210,28 @@ object CrawlJob {
       }
   }
 
+  /** Skip-if-exists flags at 10^10-key scale: the Bloom prefilter is a
+    * PERSISTED partition-aligned filter directory (BloomSeen.write) —
+    * rows route by `pmod(urlHash, parts)` and each shuffle group
+    * streams against its single filter loaded inside the task; no
+    * driver materialization, no whole-map broadcast. Bloom "no" rows
+    * skip the exact join entirely; "maybe" rows are confirmed exactly. */
+  def flagSeenPersisted(frontier: Dataset[ScheduledEntry],
+      seenTable: Dataset[Long], bloomDir: String,
+      meta: graft.seen.BloomSeen.BloomMeta)
+      : Dataset[(ScheduledEntry, Boolean)] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val probed = graft.seen.BloomSeen.probe(frontier, bloomDir, meta)(
+      _.urlHash)
+    val definiteNew = probed.filter(!_._2)
+    val candidates = probed.filter(_._2).map(_._1)
+    val confirmed = candidates.joinWith(seenTable.toDF("sh"),
+        candidates("urlHash") === col("sh"), "left_outer")
+      .map { case (e, r) => (e, r != null) }
+    definiteNew.union(confirmed)
+  }
+
   /** scheduleAndFetch over pre-flagged entries (production path). */
   def scheduleAndFetchFlagged(
       flagged: Dataset[(ScheduledEntry, Boolean)],
@@ -226,9 +274,13 @@ object CrawlJob {
     import spark.implicits._
     val seenTable = graft.table.TableIO.readSeen(spark, tableDir).cache()
     val seenCount = seenTable.count()
+    // partition-aligned persisted Bloom prefilter (rebuilt per run
+    // from the committed seen set; filters live in table storage and
+    // are probed shuffle-aligned — never collected or broadcast)
+    val bloomDir = s"$tableDir/_bloom/run-$runId"
     val bloom =
       if (seenCount == 0) None
-      else Some(graft.seen.BloomSeen.build(seenTable,
+      else Some(graft.seen.BloomSeen.write(seenTable, bloomDir,
         parts = math.max(1, spark.sessionState.conf.numShufflePartitions / 2),
         expectedKeys = math.max(seenCount, 1024L), fpp = 0.01))
 
@@ -236,7 +288,11 @@ object CrawlJob {
     val raw = harvest(spark, cfg, seeds)
     val frontier = buildFrontier(spark, raw).cache()
     val (pruned, surviving) = pruneIfActive(spark, cfg, seeds, frontier)
-    val flagged = flagSeen(surviving, seenTable, bloom)
+    val flagged = bloom match {
+      case None => flagSeen(surviving, seenTable, None)
+      case Some(meta) =>
+        flagSeenPersisted(surviving, seenTable, bloomDir, meta)
+    }
     val log = scheduleAndFetchFlagged(flagged, cfg.budget,
       cfg.strictPerHost).cache()
     val result = CrawlResult(seeds, pruned, surviving, log,
@@ -297,6 +353,38 @@ object CrawlJob {
     log.filter(l => l.status == CrawlStatus.Success ||
         l.status == CrawlStatus.Skipped)
       .map(_.urlHash).distinct()
+  }
+
+  /** Per-host health table (S11 + recovery, portal_saude_mg.py:
+    * 730-747, mds_saldo.py:249-294): the synthetic probe's status code
+    * and response time per host, crawl-health aggregates from the log,
+    * and the observed quarantine evidence — the largest inter-start
+    * gap within the host's timeline (a quarantined domain shows gaps ≥
+    * quarantineMs). */
+  def hostHealth(log: Dataset[CrawlLogEntry]): DataFrame = {
+    import log.sparkSession.implicits._
+    val probeUdf = udf((host: String) => SyntheticWeb.healthProbe(host))
+    val w = Window.partitionBy($"site", $"host").orderBy($"vtimeMs")
+    log
+      .withColumn("gap",
+        $"vtimeMs" - lag($"vtimeMs", 1).over(w))
+      .groupBy($"site", $"host")
+      .agg(
+        count(lit(1)).as("urls"),
+        count(when($"status" === CrawlStatus.Success, 1)).as("successes"),
+        count(when($"status" === CrawlStatus.Error, 1)).as("errors"),
+        round(count(when($"status" === CrawlStatus.Error, 1)) /
+          count(lit(1)).cast("double"), 4).as("error_rate"),
+        sum($"attempts").cast("long").as("requests"),
+        coalesce(max($"gap"), lit(0L)).as("max_gap_ms"))
+      .withColumn("probe", probeUdf($"host"))
+      .withColumn("probe_status", $"probe._1")
+      .withColumn("probe_rt_ms", $"probe._2")
+      .withColumn("healthy",
+        $"probe_status" >= 200 && $"probe_status" < 300 &&
+          $"probe_rt_ms" < 3000)
+      .drop("probe")
+      .orderBy($"site", $"host")
   }
 
   /** Run-metrics aggregates (A1/A2: portal_saude_mg.py:115-117,

@@ -6,15 +6,22 @@ package graft.model
   * correctness-critical scheduler fields with compile-time names.
   */
 
-/** A crawl seed for one (site, year, month) period.
-  * Mirrors the reference's crawl-config dict after sentinel resolution
-  * (reference: src/ui/portal_saude_ui.py:505-518, sentinels :547-595).
-  * `seedSeq` freezes the reference's enumeration order (years outer,
-  * months inner; Portal iterates years DESCENDING —
-  * portal_saude_ui.py:1394-1396).
+/** A crawl seed for one (site, year, month[, municipality]) form
+  * submission. Mirrors the reference's crawl-config dict after
+  * sentinel resolution (reference: src/ui/portal_saude_ui.py:505-518,
+  * sentinels :547-595). `seedSeq` freezes the reference's enumeration
+  * order (years outer, months middle, municipalities inner; Portal
+  * iterates years DESCENDING — portal_saude_ui.py:1394-1396;
+  * municipality enumeration per (year,month) in dropdown order —
+  * mds_saldo.py:320-356).
+  *
+  * `uf`/`municipality`/`munValue` are empty for sites without the
+  * municipality dimension; `munValue` is the dropdown option value
+  * submitted with the form (mds_saldo.py:617-630).
   */
 final case class PeriodSeed(site: String, year: Int, month: Int,
-    seedSeq: Long)
+    seedSeq: Long, uf: String = "", municipality: String = "",
+    munValue: String = "")
 
 /** One discovered link, pre-dedup.
   * Mirrors the reference's frontier entry {'url','title','text'}
@@ -25,7 +32,8 @@ final case class PeriodSeed(site: String, year: Int, month: Int,
 final case class FrontierEntry(
     site: String, year: Int, month: Int, seedSeq: Long,
     page: Int, pos: Int, discoverySeq: Long,
-    url: String, urlHash: Long, host: String, title: String)
+    url: String, urlHash: Long, host: String, title: String,
+    uf: String = "", municipality: String = "")
 
 /** A frontier entry after keep-first dedup + robots filtering + O1
   * numbering; the unit the politeness scheduler consumes.
@@ -35,7 +43,8 @@ final case class FrontierEntry(
 final case class ScheduledEntry(
     site: String, year: Int, month: Int, seedSeq: Long,
     discoverySeq: Long, seq: Int, imageId: String,
-    url: String, urlHash: Long, host: String, title: String)
+    url: String, urlHash: Long, host: String, title: String,
+    uf: String = "", municipality: String = "")
 
 /** Terminal status of one frontier entry — the reference's
   * success/no_data/error trichotomy (mds_saldo.py:727-801) plus
@@ -58,7 +67,11 @@ object CrawlStatus {
 final case class CrawlLogEntry(
     site: String, year: Int, month: Int, seq: Int,
     imageId: String, url: String, urlHash: Long, host: String,
-    title: String, vtimeMs: Long, attempts: Int, status: String)
+    title: String, vtimeMs: Long, attempts: Int, status: String,
+    uf: String = "", municipality: String = "",
+    /** K5 error context (portal_saude_mg.py:563-573): machine-readable
+      * kind + human detail string, empty on success/skip. */
+    errorKind: String = "", errorDetail: String = "")
 
 /** The output-table row (BASELINE.json input_hint schema) plus lineage
   * columns. `bytes` is the encoded image; `phash` is xxhash64 of the
@@ -82,7 +95,17 @@ final case class PolitenessBudget(
     requestsPerMinute: Int = 30, // sites_config.json:186
     burst: Int = 5, // sites_config.json:187
     maxRetries: Int = 3, // portal_saude_mg.py:504
-    backoffPerAttemptMs: Long = 2000) // 2·attempt s backoff, :533
+    backoffPerAttemptMs: Long = 2000, // 2·attempt s backoff, :533
+    /** Host quarantine (the reference's browser-session recovery,
+      * mds_saldo.py:249-294): after this many CONSECUTIVE
+      * exhausted-retry failures on one domain, pause the domain
+      * `quarantineMs` (session re-init + re-navigation stand-in)
+      * before the next attempt, then reset the failure streak.
+      * Disabled by default — the reference recovers only on browser
+      * crashes, which the virtual fetch layer does not model unless a
+      * sick host is planted. */
+    quarantineAfter: Int = Int.MaxValue,
+    quarantineMs: Long = 60000)
 
 /** Year/month selection ADTs replacing the reference's magic sentinels
   * 999/998/13/14 (portal_saude_ui.py:547-552, :574-575, :790-794).
@@ -99,6 +122,16 @@ object MonthSelector {
   final case class Single(m: Int) extends MonthSelector
   final case class Multiple(ms: Seq[Int]) extends MonthSelector
   case object All extends MonthSelector
+}
+
+/** Municipality selection, replacing the reference's `"ALL_<UF>"`
+  * string sentinel (mds_saldo_ui.py:826-827, mds_saldo.py:322-324).
+  * `Single` selects one municipality by its dropdown display name;
+  * `All` enumerates the whole state's dropdown in option order. */
+sealed trait MunicipalitySelector
+object MunicipalitySelector {
+  final case class Single(name: String) extends MunicipalitySelector
+  case object All extends MunicipalitySelector
 }
 
 /** Whole-crawl configuration. `nowYear`/`nowMonth` is the injected
@@ -121,4 +154,10 @@ final case class CrawlConfig(
       * per-host — sites sharing a physical host (the two MDS sites on
       * aplicacoes.mds.gov.br, terminal.py:35-46) share ONE budget, the
       * web-polite interpretation the north rule asks for. */
-    strictPerHost: Boolean = false)
+    strictPerHost: Boolean = false,
+    /** Municipality dimension (sites 2/3): UF (validated against the
+      * reference's 27-state list, mds_saldo_ui.py:283-287, :783-804)
+      * and the municipality selector. `municipality = None` disables
+      * the dimension (site 1 has none). */
+    uf: String = "",
+    municipality: Option[MunicipalitySelector] = None)

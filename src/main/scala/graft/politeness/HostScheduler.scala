@@ -36,11 +36,15 @@ object HostScheduler {
 
   /** Resumable per-domain scheduler state (carried across streaming
     * micro-batches by flatMapGroupsWithState). `window` holds the
-    * start times of the last `requestsPerMinute` attempts. */
+    * start times of the last `requestsPerMinute` attempts.
+    * `consecFailures`/`quarantines` are the host-health fields
+    * backing the quarantine rule (mds_saldo.py:249-294). */
   final case class DomainState(now: Long, attemptCount: Long,
-      lastStart: Long, window: Seq[Long])
+      lastStart: Long, window: Seq[Long],
+      consecFailures: Int = 0, quarantines: Long = 0)
   object DomainState {
-    val initial: DomainState = DomainState(0L, 0L, Long.MinValue, Seq.empty)
+    val initial: DomainState =
+      DomainState(0L, 0L, Long.MinValue, Seq.empty)
   }
 
   private final class Clock(budget: PolitenessBudget, s0: DomainState) {
@@ -48,6 +52,8 @@ object HostScheduler {
     var attemptCount: Long = s0.attemptCount
     var lastStart: Long = s0.lastStart
     val window: mutable.Queue[Long] = mutable.Queue.empty[Long] ++ s0.window
+    var consecFailures: Int = s0.consecFailures
+    var quarantines: Long = s0.quarantines
 
     def nextStart(eligibleAt: Long): Long = {
       var t = math.max(now, eligibleAt)
@@ -66,8 +72,25 @@ object HostScheduler {
       now = t
     }
 
+    /** Quarantine gate, called once per entry BEFORE scheduling: after
+      * `quarantineAfter` consecutive exhausted-retry failures the
+      * domain pauses `quarantineMs` (the reference's session re-init +
+      * re-navigate recovery) and the streak resets. Returns the
+      * earliest eligible start for the next attempt. */
+    def quarantineGate(): Long =
+      if (consecFailures >= budget.quarantineAfter) {
+        quarantines += 1
+        consecFailures = 0
+        now + budget.quarantineMs
+      } else 0L
+
+    def recordOutcome(status: String): Unit =
+      if (status == CrawlStatus.Error) consecFailures += 1
+      else consecFailures = 0
+
     def snapshot: DomainState =
-      DomainState(now, attemptCount, lastStart, window.toSeq)
+      DomainState(now, attemptCount, lastStart, window.toSeq,
+        consecFailures, quarantines)
   }
 
   /** Schedule + fetch one entry on this clock. Emits the log row ONLY
@@ -76,9 +99,9 @@ object HostScheduler {
     * never carries binary columns through shuffles or caches. */
   private def fetchOne(e: ScheduledEntry, budget: PolitenessBudget,
       clock: Clock): CrawlLogEntry = {
-    val outcome = SyntheticWeb.outcome(e.urlHash)
+    val outcome = SyntheticWeb.outcome(e.urlHash, e.host)
     var attempt = 1
-    var eligible = 0L
+    var eligible = clock.quarantineGate()
     var done = false
     var status = CrawlStatus.Error
     var startT = 0L
@@ -103,13 +126,30 @@ object HostScheduler {
       }
     }
     val attempts = if (done) attempt else attempt - 1
+    clock.recordOutcome(status)
+    // K5 error context (portal_saude_mg.py:563-573 collects
+    // "Download failed for {url}: {err}" strings; mds no-data message
+    // mds_saldo.py:757-760)
+    val (errKind, errDetail) = status match {
+      case CrawlStatus.Error =>
+        ("max_retries",
+          s"Download failed for ${e.url}: gave up after $attempts attempts")
+      case CrawlStatus.Corrupt =>
+        ("validation",
+          s"Download failed for ${e.url}: payload failed size/magic check")
+      case CrawlStatus.NoData =>
+        ("no_data", "Nenhum registro encontrado")
+      case _ => ("", "")
+    }
     CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
-      e.url, e.urlHash, e.host, e.title, startT, attempts, status)
+      e.url, e.urlHash, e.host, e.title, startT, attempts, status,
+      e.uf, e.municipality, errKind, errDetail)
   }
 
   private def skippedEntry(e: ScheduledEntry, now: Long): CrawlLogEntry =
     CrawlLogEntry(e.site, e.year, e.month, e.seq, e.imageId,
-      e.url, e.urlHash, e.host, e.title, now, 0, CrawlStatus.Skipped)
+      e.url, e.urlHash, e.host, e.title, now, 0, CrawlStatus.Skipped,
+      e.uf, e.municipality)
 
   /** Run one domain's timeline lazily. `entries` MUST be sorted by
     * (seedSeq, discoverySeq); `alreadySeen` implements resume
@@ -146,12 +186,27 @@ object HostScheduler {
     (out, clock.snapshot)
   }
 
+  /** As [[runBuffered]], with the skip-if-exists decision precomputed
+    * per entry (streaming scale path: flags come from a stream-static
+    * join against the committed seen table, not a driver-side set). */
+  def runBufferedFlagged(entries: Seq[(ScheduledEntry, Boolean)],
+      budget: PolitenessBudget,
+      state0: DomainState): (Seq[CrawlLogEntry], DomainState) = {
+    val clock = new Clock(budget, state0)
+    val out = entries.map { case (e, seenBefore) =>
+      if (seenBefore) skippedEntry(e, clock.now)
+      else fetchOne(e, budget, clock)
+    }
+    (out, clock.snapshot)
+  }
+
   /** Outcome-only pass (no payload materialization, no schedule):
     * terminal status of a URL given the budget's retry cap — used by
     * the speculative per-period counting phase (early-stop feedback)
     * where only "would this URL download successfully" matters. */
-  def terminalStatus(urlHash: Long, maxRetries: Int): String =
-    SyntheticWeb.outcome(urlHash) match {
+  def terminalStatus(urlHash: Long, maxRetries: Int,
+      host: String = ""): String =
+    SyntheticWeb.outcome(urlHash, host) match {
       case SyntheticWeb.Ok => CrawlStatus.Success
       case SyntheticWeb.NoData => CrawlStatus.NoData
       case SyntheticWeb.Corrupt => CrawlStatus.Corrupt

@@ -66,6 +66,42 @@ object CrawlQueries {
     "crawl_metrics" -> ((s: SparkSession, _: String) => {
       val r = demoResult(s)
       CrawlJob.metrics(r.log, r.images)
+    }),
+
+    // K5 error-detail table + O4 first-3 display truncation
+    // (portal_saude_mg.py:563-573 error collection, :663-665 shows the
+    // first 3 errors per run)
+    "crawl_errors" -> ((s: SparkSession, _: String) => {
+      val log = demoResult(s).log.toDF()
+      log.filter(col("status").isin(CrawlStatus.Error, CrawlStatus.Corrupt))
+        .groupBy(col("site"), col("year"), col("month"))
+        .agg(count(lit(1)).as("n_errors"),
+          count(when(col("errorKind") === "max_retries", 1))
+            .as("n_max_retries"),
+          count(when(col("errorKind") === "validation", 1))
+            .as("n_validation"),
+          slice(array_sort(collect_list(struct(col("seq"),
+            col("errorDetail")))), 1, 3).getField("errorDetail")
+            .as("first_errors"))
+        .orderBy(col("site"), col("year"), col("month"))
+    }),
+
+    // S11 host health: probe fields + per-host crawl health aggregates
+    // over a config with a planted sick host and the quarantine rule
+    // armed (mds_saldo.py:249-294, portal_saude_mg.py:730-747)
+    "crawl_host_health" -> ((s: SparkSession, _: String) => {
+      val r = cache.computeIfAbsent("health",
+        _ => CrawlJob.run(s, healthConfig))
+      CrawlJob.hostHealth(r.log)
     })
   )
+
+  /** Health/quarantine demo: one healthy reference site + one planted
+    * sick host; 3 consecutive failures quarantine the domain 60 s. */
+  val healthConfig: CrawlConfig = CrawlConfig(
+    sites = Seq("portal_saude_mg", "sick-portal"),
+    years = YearSelector.Single(2024),
+    months = MonthSelector.Multiple(Seq(1, 2)),
+    nowYear = 2024, nowMonth = 6, maxPages = 3,
+    budget = PolitenessBudget(quarantineAfter = 3, quarantineMs = 60000))
 }

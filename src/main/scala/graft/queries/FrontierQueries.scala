@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.frontier.SeedExpansion
+import graft.jobs.CrawlJob
+import graft.model._
+
+/** Frontier-expansion queries (SURVEY §2.4 G1–G4 + §2.1 S5 + §2.2
+  * P2/P5/P10).
+  *
+  * `q29_municipality_expansion` is the oracle-checked witness of the
+  * site-3 crawl shape: year×month×municipality enumeration with the
+  * dropdown scan, placeholder filter, UF validation, future-month
+  * guard, and the frozen seedSeq order (reference:
+  * mds_saldo.py:296-379 enumeration, :643-662 dropdown scan;
+  * mds_parcelas.py:424-428 placeholder filter; mds_saldo_ui.py:783-804
+  * UF validation). The municipality dimension is pure integer
+  * arithmetic on the UF ordinal, so DuckDB regenerates it exactly.
+  *
+  * `crawl_municipality` drives the full distributed crawl over an
+  * ALL_MG config (rows-only for the driver; exact-match parity vs the
+  * reference simulator is pinned in CrawlParitySpec).
+  */
+object FrontierQueries {
+
+  /** MG = ordinal 12 in the reference's state list; mirrored by the
+    * hard-coded 12 in the oracle SQL below. */
+  private val expansionConfig = CrawlConfig(
+    sites = Seq("mds_saldo"),
+    years = YearSelector.Range(2023, 2024),
+    months = MonthSelector.All,
+    nowYear = 2024, nowMonth = 6,
+    uf = "MG", municipality = Some(MunicipalitySelector.All))
+
+  private val munCrawlConfig = CrawlConfig(
+    sites = Seq("mds_saldo"),
+    years = YearSelector.Single(2024),
+    months = MonthSelector.Multiple(Seq(1, 2)),
+    nowYear = 2024, nowMonth = 6, maxPages = 3,
+    uf = "MG", municipality = Some(MunicipalitySelector.All))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_municipality_expansion" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      s.createDataset(SeedExpansion.expand(expansionConfig))
+        .select($"site", $"year", $"month", $"uf",
+          $"municipality", $"munValue".as("mun_value"),
+          $"seedSeq".as("seed_seq"))
+        .orderBy($"seed_seq")
+    }),
+
+    "crawl_municipality" -> ((s: SparkSession, _: String) => {
+      CrawlJob.run(s, munCrawlConfig).log.toDF()
+        .select(col("site"), col("uf"), col("municipality"), col("year"),
+          col("month"), col("seq"), col("imageId"), col("url"),
+          col("urlHash"), col("vtimeMs"), col("attempts"), col("status"))
+        .orderBy(col("uf"), col("municipality"), col("year"), col("month"),
+          col("seq"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // MG: ordinal 12 → 5 + (12*7+3)%9 = 11 municipalities, dropdown
+    // value (12+11)*100000 + 97*i; enumeration order year, month,
+    // municipality with the P5 future guard (now = 2024-06)
+    "q29_municipality_expansion" ->
+      """SELECT 'mds_saldo' AS site, CAST(y AS INT) AS year,
+        | CAST(m AS INT) AS month, 'MG' AS uf,
+        | concat('MUN MG ', lpad(CAST(i AS VARCHAR), 3, '0'))
+        |   AS municipality,
+        | CAST((12+11)*100000 + 97*i AS VARCHAR) AS mun_value,
+        | row_number() OVER (ORDER BY y, m, i) - 1 AS seed_seq
+        |FROM generate_series(2023, 2024) t(y)
+        |CROSS JOIN generate_series(1, 12) u(m)
+        |CROSS JOIN generate_series(1, 5 + (12*7+3)%9) v(i)
+        |WHERE y < 2024 OR m <= 6
+        |ORDER BY seed_seq""".stripMargin
+  )
+}

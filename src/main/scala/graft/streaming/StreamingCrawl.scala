@@ -41,26 +41,47 @@ object StreamingCrawl {
         null, 0, 0, null, null, 0L)
     }
 
-  /** The stateful per-domain handler. */
+  /** The stateful per-domain handler over (entry, alreadySeen) pairs:
+    * flagged-seen entries emit `skipped` rows and consume zero budget
+    * (D2, portal_saude_mg.py:452-459), exactly like the batch path. */
   def handleDomain(budget: PolitenessBudget)(
-      key: (String, String), entries: Iterator[ScheduledEntry],
+      key: (String, String), entries: Iterator[(ScheduledEntry, Boolean)],
       state: GroupState[HostScheduler.DomainState])
       : Iterator[StreamedOutcome] = {
     val s0 = state.getOption.getOrElse(HostScheduler.DomainState.initial)
-    val sorted = entries.toSeq.sortBy(e => (e.seedSeq, e.discoverySeq))
-    val (outcomes, s1) = HostScheduler.runBuffered(sorted, budget,
-      _ => false, s0)
+    val sorted = entries.toSeq.sortBy(t => (t._1.seedSeq, t._1.discoverySeq))
+    val (outcomes, s1) = HostScheduler.runBufferedFlagged(sorted, budget, s0)
     state.update(s1)
     outcomes.iterator.map(flatten)
   }
 
-  /** Wire a streaming frontier through the politeness scheduler. */
+  /** Wire a streaming frontier through the politeness scheduler.
+    *
+    * `seenTable` (the committed URL-seen hashes) joins stream-static
+    * against the frontier BEFORE the stateful scheduling, so a
+    * restarted stream re-reading committed URLs skips them instead of
+    * re-spending politeness budget. `strictPerHost` keys scheduler
+    * state by host alone — sites sharing a physical host share ONE
+    * budget, mirroring the batch path's domain key. */
   def outcomes(frontier: Dataset[ScheduledEntry],
-      budget: PolitenessBudget): Dataset[StreamedOutcome] = {
+      budget: PolitenessBudget,
+      seenTable: Option[Dataset[Long]] = None,
+      strictPerHost: Boolean = false): Dataset[StreamedOutcome] = {
     val spark = frontier.sparkSession
     import spark.implicits._
-    frontier
-      .groupByKey(e => (e.site, e.host))
+    import org.apache.spark.sql.functions.col
+    val flagged: Dataset[(ScheduledEntry, Boolean)] = seenTable match {
+      case None => frontier.map(e => (e, false))
+      case Some(st) =>
+        // stream-static left-outer join (D2 at scale: the static seen
+        // side is a table, never a driver-side set)
+        frontier.joinWith(st.toDF("sh"),
+            frontier("urlHash") === col("sh"), "left_outer")
+          .map { case (e, r) => (e, r != null) }
+    }
+    flagged
+      .groupByKey(t =>
+        (if (strictPerHost) "" else t._1.site, t._1.host))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(handleDomain(budget))
   }
@@ -69,7 +90,9 @@ object StreamingCrawl {
     * `frontierDir`, writing outcome parquet to `outDir`, checkpointing
     * in `checkpointDir`. Caller stops the query. */
   def start(spark: SparkSession, frontierDir: String, outDir: String,
-      checkpointDir: String, budget: PolitenessBudget) = {
+      checkpointDir: String, budget: PolitenessBudget,
+      seenTable: Option[Dataset[Long]] = None,
+      strictPerHost: Boolean = false) = {
     import spark.implicits._
     val schema = Encoders.product[ScheduledEntry].schema
     val frontier = spark.readStream
@@ -77,7 +100,7 @@ object StreamingCrawl {
       .option("maxFilesPerTrigger", 1) // one frontier wave per batch
       .parquet(frontierDir)
       .as[ScheduledEntry]
-    outcomes(frontier, budget).writeStream
+    outcomes(frontier, budget, seenTable, strictPerHost).writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")
       .option("path", outDir)

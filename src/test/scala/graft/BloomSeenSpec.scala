@@ -51,6 +51,42 @@ class BloomSeenSpec extends AnyFunSuite {
     assert(kept >= 95 && kept <= 100, s"kept=$kept")
   }
 
+  test("persisted partition-aligned filters: write on executors, probe one filter per group") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    val n = 20000
+    val seen = (0 until n).map(i => Hashing.mix(i.toLong, 3L))
+    val meta = BloomSeen.write(spark.createDataset(seen), dir,
+      parts = 8, expectedKeys = n.toLong, fpp = 0.01)
+    // one file per partition, each exactly numBytes — nothing held on
+    // the driver beyond the 3-field meta
+    val files = new java.io.File(dir).listFiles().filter(
+      _.getName.endsWith(".bloom"))
+    assert(files.length === 8)
+    assert(files.forall(_.length === meta.numBytes))
+    // probe: seen keys all flagged maybe (no false negatives); unseen
+    // mostly definite-new
+    val unseen = (0 until n).map(i => Hashing.mix(i.toLong, 999L))
+      .filterNot(seen.toSet)
+    val ds = spark.createDataset(seen ++ unseen)
+    val flags = BloomSeen.probe(ds, dir, meta)(identity).collect().toMap
+    assert(seen.forall(flags(_)), "false negative in persisted probe")
+    val fp = unseen.count(flags(_)).toDouble / unseen.size
+    assert(fp <= 0.02, s"FPP $fp exceeds 2x configured 0.01")
+    // the flags equal the capped in-memory path bit-for-bit
+    val mem = BloomSeen.build(spark.createDataset(seen), 8, n.toLong, 0.01)
+    assert((seen ++ unseen).forall(h => flags(h) == mem.mightContain(h)))
+  }
+
+  test("collect+broadcast path is hard-capped (scale path is write/probe)") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(1L, 2L))
+    // 10^10 expected keys over 4 partitions → ~1.2 GiB/partition ≫ cap
+    assertThrows[IllegalArgumentException] {
+      BloomSeen.build(ds, parts = 4, expectedKeys = 10000000000L)
+    }
+  }
+
   test("sizing math matches the published formulas") {
     // 1% FPP → ~9.59 bits/key, 7 hashes
     assert(BloomSeen.optimalNumHashes(0.01) === 7)

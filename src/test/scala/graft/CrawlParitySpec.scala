@@ -132,6 +132,101 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(gaps.forall(_ >= 0), "shared-host timeline must be ordered")
   }
 
+  test("municipality enumeration (ALL_<UF>): distributed crawl equals simulator") {
+    // site-3 crawl shape: year×month×municipality, dropdown order,
+    // lowercase UF input normalized (P10), placeholder options
+    // filtered (P2)
+    val munCfg = CrawlConfig(
+      sites = Seq("mds_saldo"),
+      years = YearSelector.Single(2024),
+      months = MonthSelector.Multiple(Seq(1, 2)),
+      nowYear = 2024, nowMonth = 6, maxPages = 3,
+      uf = "mg", municipality = Some(MunicipalitySelector.All))
+    val sim = ReferenceSimulator.crawl(munCfg)
+    val got = CrawlJob.run(spark, munCfg)
+    val gotLog = got.log.collect().toSeq
+    assert(canonLog(gotLog) === canonLog(sim.log), "municipality crawl log")
+    // municipality lineage present and imageIds municipality-prefixed
+    assert(gotLog.forall(e => e.uf == "MG" && e.municipality.nonEmpty))
+    assert(gotLog.forall(e => e.imageId.startsWith(
+      s"MG-${e.municipality.replace(' ', '_')}-")))
+    // every municipality of the dropdown got its own seed per month
+    val nMun = graft.fetch.SyntheticWeb.municipalities("MG").size
+    assert(got.seeds.size === 2 * nMun)
+    assert(got.seeds.map(_.municipality).distinct.size === nMun)
+    // seeds enumerate municipality innermost, in dropdown order
+    val munOrder = graft.fetch.SyntheticWeb.municipalities("MG").map(_._1)
+    assert(got.seeds.sortBy(_.seedSeq).map(_.municipality) ===
+      Seq.fill(2)(munOrder).flatten)
+    // URL-seen parity
+    assert(CrawlJob.seenFrom(got.log).collect().toSet ===
+      sim.log.filter(_.status == CrawlStatus.Success).map(_.urlHash).toSet)
+  }
+
+  test("municipality single-select + UF validation (P10) + placeholder filter (P2)") {
+    val one = graft.fetch.SyntheticWeb.municipalities("SP")(2)
+    val cfg1 = CrawlConfig(sites = Seq("mds_parcelas"),
+      years = YearSelector.Single(2023), months = MonthSelector.Single(3),
+      nowYear = 2024, nowMonth = 6, maxPages = 3,
+      uf = " sp ", municipality = Some(MunicipalitySelector.Single(one._1)))
+    val sim = ReferenceSimulator.crawl(cfg1)
+    val got = CrawlJob.run(spark, cfg1)
+    assert(canonLog(got.log.collect().toSeq) === canonLog(sim.log))
+    assert(got.seeds.map(s => (s.uf, s.municipality, s.munValue)) ===
+      Seq(("SP", one._1, one._2)))
+    // P10: invalid UFs are rejected like the reference's input check
+    for (bad <- Seq("XX", "M", "MGG", ""))
+      assertThrows[IllegalArgumentException] {
+        graft.frontier.SeedExpansion.expand(cfg1.copy(uf = bad))
+      }
+    // unknown municipality name is rejected
+    assertThrows[IllegalArgumentException] {
+      graft.frontier.SeedExpansion.expand(cfg1.copy(
+        municipality = Some(MunicipalitySelector.Single("NÃO EXISTE"))))
+    }
+    // P2: the raw dropdown has placeholder/empty-value options that
+    // the scan filters out, position-independently
+    val raw = graft.fetch.SyntheticWeb.municipalityOptions("SP")
+    val kept = graft.fetch.SyntheticWeb.municipalities("SP")
+    assert(raw.exists(_._2.isEmpty) && raw.exists(_._1 == "-- Selecione --"))
+    assert(raw.count(_._2.isEmpty) === 2) // header + mid-list noise
+    assert(kept.forall(o => o._2.nonEmpty && o._1 != "-- Selecione --"))
+    assert(kept.size === raw.size - 2)
+  }
+
+  test("sick host: quarantine pauses the domain, health probe flags it; parity holds") {
+    val sickCfg = graft.queries.CrawlQueries.healthConfig
+    val sim = ReferenceSimulator.crawl(sickCfg)
+    val got = CrawlJob.run(spark, sickCfg)
+    val gotLog = got.log.collect().toSeq
+    assert(canonLog(gotLog) === canonLog(sim.log), "sick-host crawl log")
+
+    // every sick-host URL exhausts retries → error; healthy site unaffected
+    val sick = gotLog.filter(_.host.startsWith("sick-"))
+    assert(sick.nonEmpty)
+    assert(sick.forall(_.status == CrawlStatus.Error))
+    assert(sick.forall(_.attempts == sickCfg.budget.maxRetries))
+    // quarantine fired: after each 3rd consecutive failure the next
+    // start waits >= quarantineMs past the previous entry's timeline
+    val starts = sick.sortBy(_.vtimeMs).map(_.vtimeMs)
+    val gaps = starts.sliding(2).filter(_.length == 2).map(p => p(1) - p(0))
+      .toSeq
+    assert(gaps.count(_ >= sickCfg.budget.quarantineMs) >=
+      sick.size / 3 - 1, s"expected quarantine gaps, got $gaps")
+
+    // health table: probe flags the sick host, aggregates expose the
+    // failure rate and the quarantine gap evidence
+    val health = CrawlJob.hostHealth(got.log).collect()
+      .map(r => r.getAs[String]("host") ->
+        (r.getAs[Boolean]("healthy"), r.getAs[Double]("error_rate"),
+          r.getAs[Long]("max_gap_ms"))).toMap
+    val (sickHealthy, sickErrRate, sickGap) = health("sick-portal.gov.br")
+    assert(!sickHealthy && sickErrRate == 1.0 &&
+      sickGap >= sickCfg.budget.quarantineMs)
+    assert(health.filterNot(_._1.startsWith("sick-")).values
+      .forall(_._1 == true))
+  }
+
   test("metrics aggregate matches the log") {
     val got = CrawlJob.run(spark, cfg)
     val m = CrawlJob.metrics(got.log, got.images)

@@ -42,6 +42,14 @@ object ReferenceSimulator {
     val domains =
       mutable.LinkedHashMap.empty[(String, String),
         mutable.ArrayBuffer[ScheduledEntry]]
+    // municipality dimension: dropdown scan + placeholder filter + UF
+    // validation (mds_saldo.py:643-662, mds_parcelas.py:424-428,
+    // mds_saldo_ui.py:783-804), enumerated per (year,month) like the
+    // reference's re-navigate-per-municipality loop
+    val munDim = SeedExpansion.municipalityDim(cfg)
+    val ufNorm =
+      if (cfg.municipality.isEmpty) "" else SeedExpansion.validateUf(cfg.uf)
+
     cfg.sites.foreach { site =>
       val domainEntries = mutable.ArrayBuffer.empty[ScheduledEntry]
       var emptyYearStreak = 0
@@ -52,32 +60,46 @@ object ReferenceSimulator {
         SeedExpansion.months(cfg.months).foreach { m =>
           // P5 future guard — same emission rule as SeedExpansion.expand
           if (y < cfg.nowYear || (y == cfg.nowYear && m <= cfg.nowMonth)) {
-            seedSeq += 1
-            if (!yearsStopped && !monthStopped) {
-              crawled += PeriodSeed(site, y, m, seedSeq)
-              // harvest with keep-first dedup (reference set semantics)
-              val seenUrls = mutable.LinkedHashSet.empty[String]
-              val entries = mutable.ArrayBuffer.empty[ScheduledEntry]
-              var n = 0
-              SyntheticWeb.harvestPeriod(site, y, m, cfg.maxPages, cfg.webSeed)
-                .foreach { case (k, _, _, url, title) =>
-                  val host = UrlCanon.host(url)
-                  if (title.trim.nonEmpty && url.startsWith("http") &&
-                    !seenUrls.contains(url) &&
-                    !SyntheticWeb.disallowed(host, url)) {
-                    seenUrls += url
-                    n += 1
-                    entries += ScheduledEntry(site, y, m, seedSeq, k.toLong,
-                      n, f"$m%02d-$y-RES-$n%03d", url, Hashing.xxh64(url),
-                      host, title)
+            var monthFiles = 0L
+            munDim.foreach { case (mun, munValue) =>
+              seedSeq += 1
+              if (!yearsStopped && !monthStopped) {
+                crawled += PeriodSeed(site, y, m, seedSeq, ufNorm, mun,
+                  munValue)
+                // harvest with keep-first dedup (reference set
+                // semantics, one seen set per form-submission session)
+                val seenUrls = mutable.LinkedHashSet.empty[String]
+                val entries = mutable.ArrayBuffer.empty[ScheduledEntry]
+                var n = 0
+                val imgPrefix =
+                  if (mun.isEmpty) ""
+                  else s"$ufNorm-${mun.replace(' ', '_')}-"
+                SyntheticWeb.harvestPeriod(site, y, m, cfg.maxPages,
+                    cfg.webSeed, ufNorm, munValue)
+                  .foreach { case (k, _, _, url, title) =>
+                    val host = UrlCanon.host(url)
+                    if (title.trim.nonEmpty && url.startsWith("http") &&
+                      !seenUrls.contains(url) &&
+                      !SyntheticWeb.disallowed(host, url)) {
+                      seenUrls += url
+                      n += 1
+                      entries += ScheduledEntry(site, y, m, seedSeq, k.toLong,
+                        n, f"$imgPrefix$m%02d-$y-RES-$n%03d", url,
+                        Hashing.xxh64(url), host, title, ufNorm, mun)
+                    }
                   }
-                }
-              val files = entries.count(e => HostScheduler.terminalStatus(
-                e.urlHash, cfg.budget.maxRetries) == CrawlStatus.Success)
-              domainEntries ++= entries
-              yearFiles += files
-              if (allMonthsMode && files == 0L) monthStopped = true
+                val files = entries.count(e => HostScheduler.terminalStatus(
+                  e.urlHash, cfg.budget.maxRetries, e.host) ==
+                  CrawlStatus.Success)
+                domainEntries ++= entries
+                monthFiles += files
+              }
             }
+            yearFiles += monthFiles
+            // the stop decision is per MONTH on the month total
+            // (municipality counts summed, mds_saldo.py:339-341)
+            if (!yearsStopped && !monthStopped && allMonthsMode &&
+              monthFiles == 0L) monthStopped = true
           }
         }
         if (!yearsStopped && allYearsMode) {

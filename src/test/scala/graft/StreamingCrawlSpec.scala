@@ -75,4 +75,85 @@ class StreamingCrawlSpec extends AnyFunSuite {
     val nImg = got.filter("status = 'success'").count()
     assert(nImg === batch.images.count())
   }
+
+  test("streaming skip-if-exists: restart over committed URLs emits skipped rows, zero budget") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-seen").toString
+    val frontierDir = s"$base/frontier"
+    Files.createDirectories(java.nio.file.Paths.get(frontierDir))
+
+    // a first crawl committed these URLs (the seen table)
+    val first = CrawlJob.run(spark, cfg)
+    val seenSet = CrawlJob.seenFrom(first.log).collect().toSet
+    val seenTable = spark.createDataset(seenSet.toSeq)
+    // batch reference for the SECOND run (resume semantics)
+    val batch2 = CrawlJob.run(spark, cfg, seenSet)
+
+    val entries = first.frontier.collect()
+      .sortBy(e => (e.site, e.seedSeq, e.discoverySeq))
+    val (w1, w2) = entries.partition(_.month <= 2)
+    def writeWave(w: Seq[ScheduledEntry], name: String): Unit = {
+      val stage = s"$base/stage-$name"
+      spark.createDataset(w).repartition(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(frontierDir, s"$name.parquet"))
+    }
+    // wave 1, then a kill-restart over a source that also has wave 2 —
+    // the restarted stream must SKIP committed URLs, not re-fetch them
+    writeWave(w1.toSeq, "wave1")
+    val q1 = StreamingCrawl.start(spark, frontierDir, s"$base/out",
+      s"$base/ck", cfg.budget, seenTable = Some(seenTable))
+    q1.processAllAvailable(); q1.stop()
+    writeWave(w2.toSeq, "wave2")
+    val q2 = StreamingCrawl.start(spark, frontierDir, s"$base/out",
+      s"$base/ck", cfg.budget, seenTable = Some(seenTable))
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(s"$base/out")
+    // every committed URL re-streamed is skipped with 0 attempts
+    val skipped = got.filter("status = 'skipped'").collect()
+    assert(skipped.nonEmpty)
+    assert(skipped.forall(_.getAs[Int]("attempts") == 0))
+    assert(skipped.map(_.getAs[Long]("urlHash")).toSet.subsetOf(seenSet))
+    // and the full streamed timeline equals the batch resume run
+    def canon(rows: Seq[(String, Long, Long, Int, String)]) =
+      rows.sortBy(t => (t._1, t._2, t._3, t._4))
+    val gotC = canon(got.select("site", "urlHash", "vtimeMs", "attempts",
+      "status").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getString(4))).toSeq)
+    val wantC = canon(batch2.log.collect()
+      .map(l => (l.site, l.urlHash, l.vtimeMs, l.attempts, l.status)).toSeq)
+    assert(gotC === wantC, "streaming resume differs from batch resume")
+  }
+
+  test("streaming strict per-host mode matches the batch strict timeline") {
+    import spark.implicits._
+    val strictCfg = cfg.copy(sites = Seq("mds_parcelas", "mds_saldo"),
+      strictPerHost = true)
+    val base = Files.createTempDirectory("graft-stream-strict").toString
+    val frontierDir = s"$base/frontier"
+    Files.createDirectories(java.nio.file.Paths.get(frontierDir))
+    val batch = CrawlJob.run(spark, strictCfg)
+    val entries = batch.frontier.collect()
+      .sortBy(e => (e.seedSeq, e.discoverySeq))
+    val stage = s"$base/stage"
+    spark.createDataset(entries.toSeq).repartition(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath,
+      java.nio.file.Paths.get(frontierDir, "wave.parquet"))
+    val q = StreamingCrawl.start(spark, frontierDir, s"$base/out",
+      s"$base/ck", strictCfg.budget, strictPerHost = true)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("urlHash", "vtimeMs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = batch.log.collect()
+      .map(l => (l.urlHash, l.vtimeMs)).sorted
+    assert(got.toSeq === want.toSeq,
+      "strict-mode streaming timeline differs from batch")
+  }
 }
