@@ -92,6 +92,47 @@ object Bench {
   private def bestOf(runs: Seq[(Long, Double)]): (Long, Double) =
     runs.minBy(_._2)
 
+  /** Wall-time each oracle SQL in DuckDB over the same parquet tables;
+    * returns a JSON object `{"name": sec, ...}` ("{}" on any failure —
+    * duckdb is a driver-side tool, not a library dependency). */
+  private def timeDuckdb(sfDir: String): String =
+    try {
+      def esc(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val oracleJson = SparkEntry.oracleSql
+        .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+        .mkString("{", ",", "}")
+      val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+      java.nio.file.Files.writeString(tmp, oracleJson)
+      val script =
+        """import json, sys, time, glob, os
+          |import duckdb
+          |sf, path = sys.argv[1], sys.argv[2]
+          |con = duckdb.connect()
+          |for p in glob.glob(f"{sf}/*.parquet"):
+          |    name = os.path.basename(p)[: -len(".parquet")]
+          |    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+          |out = {}
+          |for name, sql in sorted(json.load(open(path)).items()):
+          |    t0 = time.time()
+          |    try:
+          |        con.sql(sql).fetchall()
+          |        out[name] = round(time.time() - t0, 3)
+          |    except Exception:
+          |        pass
+          |print(json.dumps(out))
+          |""".stripMargin
+      import scala.sys.process._
+      Seq("python3", "-c", script, sfDir, tmp.toString).!!.trim
+    } catch { case _: Throwable => "{}" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -102,12 +143,15 @@ object Bench {
     var results = Seq.empty[(String, Double)]
     var demoUrls = 0L
     var demoSec = 0.0
+    var duckdbQueries = "{}"
     if (!crawlOnly) {
       val spark = newSession(cpus)
       // warmup: run the cheapest query once to pay codegen/classloading
       SparkEntry.queries("q14_hourly_activity")(spark, sfDir).count()
+      // the crawl_* demo views share one cached crawl — timed once as
+      // crawl_demo below instead of 5x here
       val skip = Set("crawl_log", "crawl_images", "crawl_seen",
-        "crawl_frontier", "crawl_metrics", "multimodal_features") // below
+        "crawl_frontier", "crawl_metrics")
       results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot(q => skip(q._1)).map { case (name, fn) =>
           val t0 = System.nanoTime()
@@ -120,6 +164,10 @@ object Bench {
       demoUrls = demo.log.count()
       demoSec = (System.nanoTime() - tCrawl0) / 1e9
       spark.stop()
+      // per-query DuckDB wall times on the same tables — the honest
+      // per-query baseline for the 2x guard (driver-side duckdb; "{}"
+      // when the interpreter is unavailable)
+      duckdbQueries = timeDuckdb(sfDir)
     }
 
     // ---- 2+3. crawl scaling: N vs 4N executors ----------------------
@@ -162,6 +210,7 @@ object Bench {
         f""""scaling_efficiency_1_to_4_executors":$eff%.3f,""" +
         f""""demo_urls":$demoUrls,"demo_sec":$demoSec%.2f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"crawl":$crawlJson,"sf":"$sfDir"}""")
+      s""""queries":$qs,"duckdb_queries":$duckdbQueries,""" +
+      s""""crawl":$crawlJson,"sf":"$sfDir"}""")
   }
 }

@@ -24,7 +24,9 @@ object SparkEntry {
       graft.queries.CrawlQueries.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.ReportQueries.queries ++
-      graft.queries.FrontierQueries.queries
+      graft.queries.FrontierQueries.queries ++
+      graft.queries.JsonQueries.queries ++
+      graft.queries.CsvQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +34,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.ReportQueries.oracleSql ++
-      graft.queries.FrontierQueries.oracleSql
+      graft.queries.FrontierQueries.oracleSql ++
+      graft.queries.JsonQueries.oracleSql ++
+      graft.queries.CsvQueries.oracleSql
 }

@@ -67,6 +67,25 @@ object ReportOps {
     }
   }
 
+  /** P12 LLM answer cleanup (municipality_corrector.py:94-114), all
+    * Catalyst built-ins: when the answer starts with a markdown
+    * header, take the first line that is not a header/link/url; unwrap
+    * markdown links `[text](url)` to `text`; strip residual markdown
+    * chars; trim and strip wrapping quotes. */
+  def cleanLlmAnswer(c: Column): Column = {
+    val t = trim(c)
+    val picked = when(t.startsWith("#"),
+      coalesce(element_at(filter(split(c, "\n"), l => {
+        val lt = trim(l)
+        length(lt) > 0 && !lt.startsWith("#") && !lt.startsWith("[") &&
+          !lt.startsWith("http")
+      }), 1), t)).otherwise(t)
+    val noLinks =
+      regexp_replace(picked, "\\[([^\\]]+)\\]\\([^)]+\\)", "$1")
+    val noMd = regexp_replace(noLinks, "[#*_`]", "")
+    trim(regexp_replace(trim(noMd), "^[\"']+|[\"']+$", ""))
+  }
+
   /** Assemble the normalized report table from raw extraction rows. */
   def assemble(raw: DataFrame): DataFrame = {
     val normalized = extractionFields.foldLeft(raw) { (df, f) =>

@@ -129,6 +129,32 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(gotC === wantC, "streaming resume differs from batch resume")
   }
 
+  test("progress listener records per-batch metrics rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-prog").toString
+    val frontierDir = s"$base/frontier"
+    Files.createDirectories(java.nio.file.Paths.get(frontierDir))
+    val batch = CrawlJob.run(spark,
+      cfg.copy(sites = Seq("portal_saude_mg")))
+    val stage = s"$base/stage"
+    spark.createDataset(batch.frontier.collect().toSeq
+      .sortBy(e => (e.seedSeq, e.discoverySeq)))
+      .repartition(1).write.parquet(stage)
+    Files.copy(new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath,
+      java.nio.file.Paths.get(frontierDir, "wave.parquet"))
+    val listener = graft.streaming.CrawlProgressListener.attach(spark)
+    try {
+      val q = StreamingCrawl.start(spark, frontierDir, s"$base/out",
+        s"$base/ck", cfg.budget)
+      q.processAllAvailable(); q.stop()
+      val progress = listener.toDF(spark).collect()
+      assert(progress.nonEmpty, "no progress rows recorded")
+      assert(progress.map(_.getAs[Long]("numInputRows")).sum ===
+        batch.frontier.count())
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming strict per-host mode matches the batch strict timeline") {
     import spark.implicits._
     val strictCfg = cfg.copy(sites = Seq("mds_parcelas", "mds_saldo"),
