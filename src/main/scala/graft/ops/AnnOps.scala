@@ -97,6 +97,108 @@ object AnnOps {
       .orderBy($"qid", $"rk")
   }
 
+  /** Elementwise vector-mean aggregator (the k-means update step):
+    * partial sums merge map-side, so one refinement shuffles nlist ×
+    * partitions tiny rows instead of n·dim exploded rows. */
+  private final case class VecMean(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Float], (Array[Double], Long), Array[Double]] {
+    def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    def reduce(b: (Array[Double], Long),
+        v: Seq[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(a: (Array[Double], Long),
+        b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    def finish(b: (Array[Double], Long)): Array[Double] =
+      if (b._2 == 0) null else b._1.map(_ / b._2)
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Nearest centroid index by cosine (ties → lowest index). */
+  private def nearestCentroids(centroids: Array[Array[Double]],
+      v: Array[Float], n: Int): Array[Int] = {
+    val scored = centroids.indices.map { i =>
+      val c = centroids(i)
+      var dotCv = 0.0; var nc = 0.0; var j = 0
+      while (j < c.length) { dotCv += c(j) * v(j); nc += c(j) * c(j); j += 1 }
+      val d = math.sqrt(nc) * norm(v)
+      (if (d == 0.0) -1.0 else dotCv / d, i)
+    }
+    scored.sortBy { case (cos, i) => (-cos, i) }.take(n).map(_._2).toArray
+  }
+
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer —
+    * `nlist` seed centroids (the candidates with the lowest
+    * xxh64(cid)) refined by `iters` spherical k-means iterations run
+    * as Spark aggregations — partitions candidates into nlist lists; a
+    * query scans only its `nProbe` nearest lists (expected scan
+    * fraction nProbe/nlist), with exact cosine on the probed lists.
+    *
+    * Scale shape: the centroid table is MODEL state (nlist·dim
+    * doubles ≪ data, like MLlib KMeans) and is the only thing
+    * broadcast; candidate vectors are assigned map-side and shuffled
+    * once per refinement on (cluster, pos) partial sums. Centroids
+    * are quantized to 6 dp per iteration so assignments are bit-stable
+    * under any partitioning/cluster size. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def quantize(a: Array[Double]): Array[Double] =
+      a.map(x => math.rint(x * 1e6) / 1e6)
+    var centroids: Array[Array[Double]] = candidates
+      .select($"cid", $"cv", xxhash64($"cid").as("h"))
+      .orderBy($"h", $"cid").limit(nlist)
+      .select($"cv").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(quantize)
+    require(centroids.nonEmpty, "empty candidate set")
+    val dim = centroids(0).length
+    val vecMean = udaf(VecMean(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assign = udf((v: Seq[Float]) =>
+        nearestCentroids(bc.value, v.toArray, 1)(0))
+      val means = candidates
+        .select(assign($"cv").as("cl"), $"cv")
+        .groupBy($"cl").agg(vecMean($"cv").as("m"))
+        .collect()
+      val next = centroids.map(_.clone) // empty clusters keep position
+      means.foreach { r =>
+        val m = r.getSeq[Double](1)
+        if (m != null) next(r.getInt(0)) = m.toArray
+      }
+      centroids = next.map(quantize)
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Float]) =>
+      nearestCentroids(bc.value, v.toArray, 1)(0))
+    val probes = udf((v: Seq[Float]) =>
+      nearestCentroids(bc.value, v.toArray, nProbe))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+      cosine(a.toArray, b.toArray))
+    val cands = candidates.withColumn("cl", assign($"cv"))
+    val qs = queries.withColumn("cl", explode(probes($"qv")))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
+    cands.join(broadcast(qs), Seq("cl"))
+      .withColumn("cosine", round(cosUdf($"qv", $"cv"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"qid", $"cid", $"cosine", $"rk")
+      .orderBy($"qid", $"rk")
+  }
+
   /** Multi-table LSH top-k: `tables` independent sign-bit sketches of
     * `planes` bits each; query probes its bucket plus every 1-bit flip
     * in each table; candidates from any probed bucket are ranked
@@ -124,9 +226,14 @@ object AnnOps {
       .withColumn("bucket", explode(bucketsUdf($"cv")))
     val qs = queries.withColumn("bucket", explode(probesUdf($"qv")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
-    qs.join(cands, Seq("bucket"))
+    // the query side is small by contract (tables·(planes+1) probe
+    // rows per query) — broadcast it twice so the big candidate table
+    // is never shuffled: the bucket join streams candidates map-side,
+    // and the final vector lookup shuffles only the candidate-PAIR ids
+    cands.join(broadcast(qs.select($"qid", $"bucket")), Seq("bucket"))
       .select($"qid", $"cid").distinct()
-      .join(queries, Seq("qid")).join(candidates, Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .join(candidates, Seq("cid"))
       .withColumn("cosine", round(cosUdf($"qv", $"cv"), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)

@@ -64,6 +64,12 @@ object TextOps {
       (acc, w) => acc + when(length(w) <= 4, 1L)
         .otherwise(ceil(length(w) / 4.0).cast("long")))
 
+  /** P4 min-text gate (pdf_call.py:73: documents whose stripped text
+    * is under 100 chars are dropped before extraction): a codegen'd
+    * predicate — null-safe, trims first like the reference. */
+  def minTextOk(text: Column, minChars: Int = 100): Column =
+    text.isNotNull && length(trim(text)) >= minChars
+
   // ---- quality scoring --------------------------------------------------
 
   /** Composite quality score in [0,1] from length, alpha ratio, mean

@@ -60,6 +60,15 @@ object OpsQueries {
       AnnOps.lshTopK(q, c, k = 5)
     }),
 
+    "ann_ivf_top5" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.filter(col("vec_id") >= 3)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      AnnOps.ivfTopK(q, c, k = 5)
+    }),
+
     "text_analysis" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
         .withColumn("lang_pred", TextOps.langId(col("text")))

@@ -76,6 +76,17 @@ object TextQueries {
         .orderBy($"source")
     }),
 
+    // ---- P4 min-text gate as a standalone operator (pdf_call.py:73)
+    "q45_min_text_filter" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(graft.ops.TextOps.minTextOk($"text", 200))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min(length(trim($"text"))).cast("long").as("min_len"))
+        .orderBy($"lang")
+    }),
+
     // ---- embedding norms per label (array fold in double)
     "q35_embedding_norms" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -127,6 +138,12 @@ object TextQueries {
       """SELECT source, count(*) AS n, count(DISTINCT lang) AS langs,
         | CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_min_text_filter" ->
+      """SELECT lang, count(*) AS n_kept,
+        | CAST(min(length(trim(text))) AS BIGINT) AS min_len
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(trim(text)) >= 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_embedding_norms" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_sum(list_transform(embedding,

@@ -96,6 +96,22 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall < 0.6")
   }
 
+  test("IVF top-k recall >= 0.5 vs brute force; probes nProbe/nlist of the data") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val brute = AnnOps.bruteTopK(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnOps.ivfTopK(q, c, 10, nlist = 16, nProbe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall < 0.5")
+    // every reported neighbor is a genuine candidate with k results
+    assert(ivf.size === 5 * 10)
+  }
+
   test("language ID on real-language samples") {
     assert(TextOps.langIdScala(
       "the cat sat on the mat and it is warm in the sun") === "en")

@@ -50,4 +50,28 @@ class UrlExpressionsSpec extends AnyFunSuite {
     // and not wrapped in a ScalaUDF (the thing we graduated from)
     assert(!plan.contains("ScalaUDF"), "expected native expression, got UDF")
   }
+
+  test("GraftExtensions injects the functions at session construction") {
+    // spark.sql.extensions is a STATIC conf (read from the
+    // SparkContext at launch, i.e. spark-submit --conf); in-process we
+    // exercise the same class through builder.withExtensions on an
+    // isolated session over the shared context
+    val sc = spark.sparkContext
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master(sc.master)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT canonical_url('HTTP://Ex.COM:80/a/../b#f') AS c," +
+          " url_host('https://A.B.GOV.BR/x') AS h").collect()(0)
+      assert(r.getString(0) === "http://ex.com/b")
+      assert(r.getString(1) === "a.b.gov.br")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
 }
