@@ -138,6 +138,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nSites = sys.env.getOrElse("SPARK_GRAFT_BENCH_SITES", "2400").toInt
     val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("crawl")
+    // profiling aid: run ONLY battery queries matching this regex and
+    // skip the crawl/scaling sections entirely
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
 
     // ---- 1. query battery ------------------------------------------
     var results = Seq.empty[(String, Double)]
@@ -153,21 +156,34 @@ object Bench {
       val skip = Set("crawl_log", "crawl_images", "crawl_seen",
         "crawl_frontier", "crawl_metrics")
       results = SparkEntry.queries.toSeq.sortBy(_._1)
-        .filterNot(q => skip(q._1)).map { case (name, fn) =>
+        .filterNot(q => skip(q._1))
+        .filter(q => filter.forall(re => q._1.matches(re)))
+        .map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
           name -> (System.nanoTime() - t0) / 1e9
         }
-      // crawl demo (the 3 reference sites, hot-host skew) timed as one
-      val tCrawl0 = System.nanoTime()
-      val demo = CrawlJob.run(spark, graft.queries.CrawlQueries.demoConfig)
-      demoUrls = demo.log.count()
-      demoSec = (System.nanoTime() - tCrawl0) / 1e9
+      if (filter.isEmpty) {
+        // crawl demo (the 3 reference sites, hot-host skew) timed as one
+        val tCrawl0 = System.nanoTime()
+        val demo = CrawlJob.run(spark, graft.queries.CrawlQueries.demoConfig)
+        demoUrls = demo.log.count()
+        demoSec = (System.nanoTime() - tCrawl0) / 1e9
+      }
       spark.stop()
       // per-query DuckDB wall times on the same tables — the honest
       // per-query baseline for the 2x guard (driver-side duckdb; "{}"
       // when the interpreter is unavailable)
-      duckdbQueries = timeDuckdb(sfDir)
+      if (filter.isEmpty) duckdbQueries = timeDuckdb(sfDir)
+    }
+
+    if (filter.nonEmpty) {
+      // profiling mode: battery subset only, no crawl/scaling sections
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"filtered","value":${results.map(_._2).sum},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      return
     }
 
     // ---- 2+3. crawl scaling: N vs 4N executors ----------------------

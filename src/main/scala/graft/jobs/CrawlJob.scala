@@ -75,8 +75,15 @@ object CrawlJob {
   def buildFrontier(spark: SparkSession,
       raw: Dataset[FrontierEntry]): Dataset[ScheduledEntry] = {
     import spark.implicits._
-    val robotsUdf = udf((host: String, url: String) =>
-      SyntheticWeb.disallowed(host, url))
+    // robots rules as a BROADCAST dimension (host, disallowed path
+    // prefix) anti-joined against the frontier — no per-row UDF, the
+    // whole filter stays in codegen (parse_url + startswith), and real
+    // robots.txt rule sets (millions of hosts) would arrive as a table
+    // exactly like this instead of a closure-captured map
+    val robotsRules = spark.createDataset(
+      SyntheticWeb.robotsDisallow.toSeq.flatMap { case (h, ps) =>
+        ps.map(p => (h, p))
+      }).toDF("r_host", "r_prefix")
     // windows keyed by seedSeq: one seed = one form-submission session;
     // dedup and numbering are per session like the reference's
     // per-listing seen set and list-index naming. (For sites without
@@ -91,7 +98,10 @@ object CrawlJob {
       .filter(length(trim($"title")) > 0 && $"url".startsWith("http"))
       .withColumn("rn", row_number().over(dedupW))
       .filter($"rn" === 1)
-      .filter(!robotsUdf($"host", $"url"))
+      .join(broadcast(robotsRules),
+        $"host" === $"r_host" &&
+          parse_url($"url", lit("PATH")).startsWith($"r_prefix"),
+        "left_anti")
       .withColumn("seq", row_number().over(numW))
       // artifact naming: [mes]-[ano]-RES-[nnn] (portal_saude_mg.py:
       // 488-501); municipality sessions prefix uf+municipality like

@@ -154,9 +154,13 @@ object AnnOps {
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // the quantizer makes iters+2 passes over the candidates — cache
+    // them once (vectors only; tiny next to the corpus they index)
+    val cands0 = candidates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def quantize(a: Array[Double]): Array[Double] =
       a.map(x => math.rint(x * 1e6) / 1e6)
-    var centroids: Array[Array[Double]] = candidates
+    var centroids: Array[Array[Double]] = cands0
       .select($"cid", $"cv", xxhash64($"cid").as("h"))
       .orderBy($"h", $"cid").limit(nlist)
       .select($"cv").collect()
@@ -170,7 +174,7 @@ object AnnOps {
       val bc = spark.sparkContext.broadcast(centroids)
       val assign = udf((v: Seq[Float]) =>
         nearestCentroids(bc.value, v.toArray, 1)(0))
-      val means = candidates
+      val means = cands0
         .select(assign($"cv").as("cl"), $"cv")
         .groupBy($"cl").agg(vecMean($"cv").as("m"))
         .collect()
@@ -188,7 +192,7 @@ object AnnOps {
       nearestCentroids(bc.value, v.toArray, nProbe))
     val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
       cosine(a.toArray, b.toArray))
-    val cands = candidates.withColumn("cl", assign($"cv"))
+    val cands = cands0.withColumn("cl", assign($"cv"))
     val qs = queries.withColumn("cl", explode(probes($"qv")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
     cands.join(broadcast(qs), Seq("cl"))

@@ -86,6 +86,25 @@ object CrawlQueries {
         .orderBy(col("site"), col("year"), col("month"))
     }),
 
+    // D2 at scale through the driver: two resumable runs against one
+    // committed table — run 2 probes the PERSISTED partition-aligned
+    // Bloom (BloomSeen.write/probe) + exact join and must spend zero
+    // budget re-fetching (all durable URLs come back `skipped`)
+    "crawl_resume" -> ((s: SparkSession, _: String) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-resume").toString
+      val cfg = demoConfig.copy(sites = Seq("portal_saude_mg"),
+        months = MonthSelector.Multiple(Seq(1, 2, 3)))
+      val (r1, _) = CrawlJob.runResumable(s, cfg, dir, "run-1")
+      r1.log.count()
+      val (r2, _) = CrawlJob.runResumable(s, cfg, dir, "run-2")
+      r2.log.toDF()
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("attempts")).cast("long").as("attempts"))
+        .orderBy(col("status"))
+    }),
+
     // S11 host health: probe fields + per-host crawl health aggregates
     // over a config with a planted sick host and the quarantine rule
     // armed (mds_saldo.py:249-294, portal_saude_mg.py:730-747)
