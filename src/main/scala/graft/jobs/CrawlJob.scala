@@ -123,10 +123,13 @@ object CrawlJob {
   /** Speculative per-period successful-download counts (cheap: status
     * is a pure function of urlHash; no payloads materialized). */
   def periodCounts(spark: SparkSession, frontier: Dataset[ScheduledEntry],
-      maxRetries: Int): Map[(String, Int, Int), Long] = {
+      budget: PolitenessBudget,
+      hostBudgets: Map[String, PolitenessBudget] = Map.empty)
+      : Map[(String, Int, Int), Long] = {
     import spark.implicits._
     val statusUdf = udf((h: Long, host: String) =>
-      HostScheduler.terminalStatus(h, maxRetries, host))
+      HostScheduler.terminalStatus(h,
+        hostBudgets.getOrElse(host, budget).maxRetries, host))
     frontier
       .groupBy($"site", $"year", $"month")
       .agg(count(when(statusUdf($"urlHash", $"host") === CrawlStatus.Success,
@@ -149,7 +152,9 @@ object CrawlJob {
   def scheduleAndFetch(spark: SparkSession, frontier: Dataset[ScheduledEntry],
       budget: PolitenessBudget,
       seen: Set[Long] = Set.empty,
-      strictPerHost: Boolean = false): Dataset[CrawlLogEntry] = {
+      strictPerHost: Boolean = false,
+      hostBudgets: Map[String, PolitenessBudget] = Map.empty)
+      : Dataset[CrawlLogEntry] = {
     import spark.implicits._
     require(seen.size <= 1000000,
       "broadcast seen-set path is demo/test-only; use runResumable's " +
@@ -178,7 +183,9 @@ object CrawlJob {
                 buf.hasNext && domainOf(buf.head) == key
               def next(): ScheduledEntry = buf.next()
             }
-            HostScheduler.run(domain, budget, seenBc.value.contains)
+            HostScheduler.run(domain,
+              hostBudgets.getOrElse(key._2, budget),
+              seenBc.value.contains)
           }
         }.flatten
       }
@@ -246,7 +253,9 @@ object CrawlJob {
   def scheduleAndFetchFlagged(
       flagged: Dataset[(ScheduledEntry, Boolean)],
       budget: PolitenessBudget,
-      strictPerHost: Boolean = false): Dataset[CrawlLogEntry] = {
+      strictPerHost: Boolean = false,
+      hostBudgets: Map[String, PolitenessBudget] = Map.empty)
+      : Dataset[CrawlLogEntry] = {
     val spark = flagged.sparkSession
     import spark.implicits._
     val numPartitions = spark.sessionState.conf.numShufflePartitions
@@ -270,7 +279,8 @@ object CrawlJob {
                 buf.hasNext && domainOf(buf.head._1) == key
               def next(): (ScheduledEntry, Boolean) = buf.next()
             }
-            HostScheduler.runFlagged(domain, budget)
+            HostScheduler.runFlagged(domain,
+              hostBudgets.getOrElse(key._2, budget))
           }
         }.flatten
       }
@@ -304,7 +314,7 @@ object CrawlJob {
         flagSeenPersisted(surviving, seenTable, bloomDir, meta)
     }
     val log = scheduleAndFetchFlagged(flagged, cfg.budget,
-      cfg.strictPerHost).cache()
+      cfg.strictPerHost, cfg.hostBudgets).cache()
     val result = CrawlResult(seeds, pruned, surviving, log,
       materializeImages(log))
     val snap = graft.table.TableIO.commit(spark, tableDir, result.images,
@@ -329,7 +339,7 @@ object CrawlJob {
     val frontier = buildFrontier(spark, raw).cache()
     val (pruned, surviving) = pruneIfActive(spark, cfg, seeds, frontier)
     val log0 = scheduleAndFetch(spark, surviving, cfg.budget, seen,
-      cfg.strictPerHost)
+      cfg.strictPerHost, cfg.hostBudgets)
     val log = if (cacheLog) log0.cache() else log0
     CrawlResult(seeds, pruned, surviving, log, materializeImages(log))
   }
@@ -346,7 +356,8 @@ object CrawlJob {
     val allMonthsMode = cfg.months == MonthSelector.All
     if (!allYearsMode && !allMonthsMode) (seeds, frontier)
     else {
-      val counts = periodCounts(spark, frontier, cfg.budget.maxRetries)
+      val counts = periodCounts(spark, frontier, cfg.budget,
+        cfg.hostBudgets)
       val pruned = SeedExpansion.prune(seeds, counts, allYearsMode,
         allMonthsMode)
       val prunedKeys = pruned.map(p => (p.site, p.year, p.month)).toSet

@@ -160,4 +160,11 @@ final case class CrawlConfig(
       * and the municipality selector. `municipality = None` disables
       * the dimension (site 1 has none). */
     uf: String = "",
-    municipality: Option[MunicipalitySelector] = None)
+    municipality: Option[MunicipalitySelector] = None,
+    /** Per-host budget overrides — how a robots.txt `Crawl-delay`
+      * (or a per-site rate config) lands on the scheduler. Hosts not
+      * listed use `budget`. */
+    hostBudgets: Map[String, PolitenessBudget] = Map.empty) {
+  def budgetFor(host: String): PolitenessBudget =
+    hostBudgets.getOrElse(host, budget)
+}

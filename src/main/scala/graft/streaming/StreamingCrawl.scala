@@ -44,13 +44,15 @@ object StreamingCrawl {
   /** The stateful per-domain handler over (entry, alreadySeen) pairs:
     * flagged-seen entries emit `skipped` rows and consume zero budget
     * (D2, portal_saude_mg.py:452-459), exactly like the batch path. */
-  def handleDomain(budget: PolitenessBudget)(
+  def handleDomain(budget: PolitenessBudget,
+      hostBudgets: Map[String, PolitenessBudget] = Map.empty)(
       key: (String, String), entries: Iterator[(ScheduledEntry, Boolean)],
       state: GroupState[HostScheduler.DomainState])
       : Iterator[StreamedOutcome] = {
     val s0 = state.getOption.getOrElse(HostScheduler.DomainState.initial)
     val sorted = entries.toSeq.sortBy(t => (t._1.seedSeq, t._1.discoverySeq))
-    val (outcomes, s1) = HostScheduler.runBufferedFlagged(sorted, budget, s0)
+    val (outcomes, s1) = HostScheduler.runBufferedFlagged(sorted,
+      hostBudgets.getOrElse(key._2, budget), s0)
     state.update(s1)
     outcomes.iterator.map(flatten)
   }
@@ -66,7 +68,9 @@ object StreamingCrawl {
   def outcomes(frontier: Dataset[ScheduledEntry],
       budget: PolitenessBudget,
       seenTable: Option[Dataset[Long]] = None,
-      strictPerHost: Boolean = false): Dataset[StreamedOutcome] = {
+      strictPerHost: Boolean = false,
+      hostBudgets: Map[String, PolitenessBudget] = Map.empty)
+      : Dataset[StreamedOutcome] = {
     val spark = frontier.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -83,7 +87,7 @@ object StreamingCrawl {
       .groupByKey(t =>
         (if (strictPerHost) "" else t._1.site, t._1.host))
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(handleDomain(budget))
+        GroupStateTimeout.NoTimeout)(handleDomain(budget, hostBudgets))
   }
 
   /** Start the fetch loop reading frontier parquet waves from

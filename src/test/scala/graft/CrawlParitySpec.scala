@@ -227,6 +227,26 @@ class CrawlParitySpec extends AnyFunSuite {
       .forall(_._1 == true))
   }
 
+  test("per-host crawl-delay override (robots Crawl-delay): parity + slower host timeline") {
+    val slowHost = "aplicacoes.mds.gov.br"
+    val cfgSlow = cfg.copy(hostBudgets = Map(
+      slowHost -> cfg.budget.copy(crawlDelayMs = 5000, burst = 1)))
+    val sim = ReferenceSimulator.crawl(cfgSlow)
+    val got = CrawlJob.run(spark, cfgSlow)
+    assert(canonLog(got.log.collect().toSeq) === canonLog(sim.log),
+      "host-budget crawl log differs from simulator")
+    // the overridden host is actually slower than under the default
+    // budget; other hosts are untouched
+    val base = CrawlJob.run(spark, cfg)
+    def maxT(l: Seq[CrawlLogEntry], host: String) =
+      l.filter(_.host == host).map(_.vtimeMs).max
+    val slowLog = got.log.collect().toSeq
+    val baseLog = base.log.collect().toSeq
+    assert(maxT(slowLog, slowHost) > maxT(baseLog, slowHost))
+    assert(maxT(slowLog, "portal-antigo.saude.mg.gov.br") ===
+      maxT(baseLog, "portal-antigo.saude.mg.gov.br"))
+  }
+
   test("metrics aggregate matches the log") {
     val got = CrawlJob.run(spark, cfg)
     val m = CrawlJob.metrics(got.log, got.images)

@@ -82,6 +82,35 @@ class OpsSpec extends AnyFunSuite {
       s"missed planted vector copies: ${expected -- found}")
   }
 
+  test("embedding near-dup multi-table recall on PERTURBED (non-identical) copies") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // perturb one component — near-dup but not sketch-identical
+    val perturbed = rows.map { case (id, v) =>
+      val w = v.clone; w(0) = w(0) + 0.3f; (id + 1000000L, w)
+    }
+    // only pairs whose TRUE cosine clears the threshold are expected
+    val expected = rows.zip(perturbed).collect {
+      case ((a, va), (b, vb))
+        if graft.ops.AnnOps.cosine(va, vb) >= 0.9 => (a, b)
+    }.toSet
+    assert(expected.nonEmpty, "perturbation too strong for the test")
+    val df = spark.createDataset((rows ++ perturbed).toSeq)
+      .toDF("vec_id", "embedding")
+    val found = DedupOps.embeddingNearDup(df, "vec_id", "embedding",
+      threshold = 0.9, planes = 16, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (expected & found).size.toDouble / expected.size
+    assert(recall >= 0.5, s"multi-table recall $recall < 0.5")
+    // and every reported pair really clears the threshold
+    val vecs = (rows ++ perturbed).toMap
+    found.foreach { case (a, b) =>
+      assert(graft.ops.AnnOps.cosine(vecs(a), vecs(b)) >= 0.9 - 1e-6) }
+  }
+
   test("LSH top-k recall >= 0.6 vs brute force") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

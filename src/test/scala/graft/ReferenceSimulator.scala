@@ -89,7 +89,7 @@ object ReferenceSimulator {
                     }
                   }
                 val files = entries.count(e => HostScheduler.terminalStatus(
-                  e.urlHash, cfg.budget.maxRetries, e.host) ==
+                  e.urlHash, cfg.budgetFor(e.host).maxRetries, e.host) ==
                   CrawlStatus.Success)
                 domainEntries ++= entries
                 monthFiles += files
@@ -113,9 +113,10 @@ object ReferenceSimulator {
           mutable.ArrayBuffer.empty[ScheduledEntry]) += e
       }
     }
-    domains.values.foreach { entries =>
+    domains.foreach { case ((_, host), entries) =>
       val ordered = entries.sortBy(e => (e.seedSeq, e.discoverySeq))
-      HostScheduler.run(ordered.iterator, cfg.budget, seen.contains)
+      HostScheduler.run(ordered.iterator, cfg.budgetFor(host),
+          seen.contains)
         .foreach { l =>
           log += l
           graft.fetch.PayloadStage.imageFor(l).foreach(images += _)
