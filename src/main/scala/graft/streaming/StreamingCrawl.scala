@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.model._
+import graft.model.{CrawlStatus, ImageRecord}
 import graft.politeness.HostScheduler
 
 /** Structured-Streaming fetch loop (north rule): frontier entries
@@ -88,6 +89,64 @@ object StreamingCrawl {
         (if (strictPerHost) "" else t._1.site, t._1.host))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(handleDomain(budget, hostBudgets))
+  }
+
+  /** Idempotent per-micro-batch snapshot commit (the north rule's
+    * "streaming fetch loop writing into Iceberg tables with lineage +
+    * checkpointed resume"): successes become ImageRecords in the
+    * partitioned table, durable urlHashes extend the seen set, lineage
+    * carries `runTag-batch-N`. A batch replayed after a crash (the
+    * foreachBatch at-least-once contract) is detected by its runId in
+    * the snapshot chain and skipped — commits stay exactly-once. */
+  def commitOutcomesBatch(tableDir: String, runTag: String)(
+      batch: Dataset[StreamedOutcome], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val runId = s"$runTag-batch-$batchId"
+    if (!graft.table.TableIO.committedRunIds(tableDir).contains(runId)) {
+      val cached = batch.persist()
+      try {
+        if (!cached.isEmpty) {
+          val images = cached
+            .filter(o => o.status == CrawlStatus.Success && o.bytes != null)
+            .map(o => ImageRecord(o.imageId, o.bytes, o.w, o.h, o.fmt,
+              o.caption, o.phash, o.site, o.year, o.month, o.url,
+              o.urlHash, o.vtimeMs, o.attempts))
+          val seen = cached
+            .filter(o => o.status == CrawlStatus.Success ||
+              o.status == CrawlStatus.Skipped)
+            .map(_.urlHash).distinct()
+          val periods = cached
+            .map(o => s"${o.site}/${o.year}/${o.month}").distinct()
+            .collect().sorted.toSeq
+          graft.table.TableIO.commit(spark, tableDir, images, seen,
+            runId, periods, note = "streaming micro-batch")
+        }
+      } finally cached.unpersist()
+    }
+  }
+
+  /** The streaming fetch loop with a TABLE sink: frontier waves →
+    * politeness scheduling → one snapshot commit per micro-batch. */
+  def startToTable(spark: SparkSession, frontierDir: String,
+      tableDir: String, checkpointDir: String, budget: PolitenessBudget,
+      runTag: String = "stream",
+      seenTable: Option[Dataset[Long]] = None,
+      strictPerHost: Boolean = false,
+      hostBudgets: Map[String, PolitenessBudget] = Map.empty) = {
+    import spark.implicits._
+    val schema = Encoders.product[ScheduledEntry].schema
+    val frontier = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(frontierDir)
+      .as[ScheduledEntry]
+    outcomes(frontier, budget, seenTable, strictPerHost, hostBudgets)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(commitOutcomesBatch(tableDir, runTag) _)
+      .option("checkpointLocation", checkpointDir)
+      .start()
   }
 
   /** Start the fetch loop reading frontier parquet waves from

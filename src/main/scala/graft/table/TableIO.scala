@@ -129,6 +129,17 @@ object TableIO {
     snap
   }
 
+  /** runIds of every committed snapshot in the chain — the idempotence
+    * check for replayed streaming micro-batches (a replayed
+    * foreachBatch must not double-commit). Linear in snapshot count;
+    * a catalog-backed table would index this. */
+  def committedRunIds(dir: String): Set[String] =
+    currentVersion(dir) match {
+      case None => Set.empty
+      case Some(v) =>
+        (1 to v).map(readSnapshot(dir, _).lineage.runId).toSet
+    }
+
   /** Read the committed image table (union of all committed data dirs;
     * orphaned uncommitted dirs are never touched). */
   def readImages(spark: SparkSession, dir: String): DataFrame =

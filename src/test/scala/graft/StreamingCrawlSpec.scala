@@ -155,6 +155,57 @@ class StreamingCrawlSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming table sink: per-batch snapshot commits, exactly-once under replay") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-table").toString
+    val frontierDir = s"$base/frontier"
+    val tableDir = s"$base/table"
+    Files.createDirectories(java.nio.file.Paths.get(frontierDir))
+    val batch = CrawlJob.run(spark, cfg)
+    val entries = batch.frontier.collect()
+      .sortBy(e => (e.site, e.seedSeq, e.discoverySeq))
+    val (w1, w2) = entries.partition(_.month <= 2)
+    def writeWave(w: Seq[ScheduledEntry], name: String): Unit = {
+      val stage = s"$base/stage-$name"
+      spark.createDataset(w).repartition(1).write.parquet(stage)
+      Files.copy(new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+        java.nio.file.Paths.get(frontierDir, s"$name.parquet"))
+    }
+    writeWave(w1.toSeq, "wave1")
+    val q1 = StreamingCrawl.startToTable(spark, frontierDir, tableDir,
+      s"$base/ck", cfg.budget)
+    q1.processAllAvailable(); q1.stop()
+    writeWave(w2.toSeq, "wave2")
+    val q2 = StreamingCrawl.startToTable(spark, frontierDir, tableDir,
+      s"$base/ck", cfg.budget)
+    q2.processAllAvailable(); q2.stop()
+
+    // the committed table equals the batch crawl's image output
+    val got = graft.table.TableIO.readImages(spark, tableDir)
+      .select("image_id", "site", "year", "month", "phash").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).sorted
+    val want = batch.images.collect()
+      .map(i => (i.image_id, i.site, i.year, i.month, i.phash)).sorted
+    assert(got.toSeq === want.toSeq, "table content differs from batch")
+    // seen set committed too
+    assert(graft.table.TableIO.readSeen(spark, tableDir).collect().toSet ===
+      CrawlJob.seenFrom(batch.log).collect().toSet)
+    // lineage carries one runId per non-empty micro-batch
+    val runIds = graft.table.TableIO.committedRunIds(tableDir)
+    assert(runIds.forall(_.startsWith("stream-batch-")))
+    // replay protection: re-committing an already-committed batchId is
+    // a no-op (foreachBatch is at-least-once; commits must not double)
+    val before = graft.table.TableIO.currentVersion(tableDir).get
+    val replayed = spark.createDataset(Seq.empty[
+      graft.streaming.StreamingCrawl.StreamedOutcome])
+    val someCommitted = runIds.head.stripPrefix("stream-batch-").toLong
+    StreamingCrawl.commitOutcomesBatch(tableDir, "stream")(
+      replayed, someCommitted)
+    assert(graft.table.TableIO.currentVersion(tableDir).get === before)
+  }
+
   test("streaming strict per-host mode matches the batch strict timeline") {
     import spark.implicits._
     val strictCfg = cfg.copy(sites = Seq("mds_parcelas", "mds_saldo"),
