@@ -185,6 +185,10 @@ object AnnOps {
       }
       centroids = next.map(quantize)
     }
+    // quantizer built — the cache served its iters+1 passes; the final
+    // probe plan below reads the source once, so release it now rather
+    // than leaving it pinned for the caller's lifetime
+    cands0.unpersist(blocking = false)
     val bc = spark.sparkContext.broadcast(centroids)
     val assign = udf((v: Seq[Float]) =>
       nearestCentroids(bc.value, v.toArray, 1)(0))
@@ -192,7 +196,7 @@ object AnnOps {
       nearestCentroids(bc.value, v.toArray, nProbe))
     val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
       cosine(a.toArray, b.toArray))
-    val cands = cands0.withColumn("cl", assign($"cv"))
+    val cands = candidates.withColumn("cl", assign($"cv"))
     val qs = queries.withColumn("cl", explode(probes($"qv")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
     cands.join(broadcast(qs), Seq("cl"))

@@ -25,8 +25,11 @@ object CsvQueries {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
       math.abs(dir.hashCode).toString
     val outPath = Paths.get(out)
-    if (Files.exists(outPath))
-      Files.list(outPath).forEach(p => Files.delete(p))
+    if (Files.exists(outPath)) {
+      val listing = Files.list(outPath)
+      try listing.forEach(p => Files.delete(p))
+      finally listing.close()
+    }
     Files.createDirectories(outPath)
     val nations = s.read.parquet(s"$dir/nation.parquet")
       .select("n_nationkey", "n_name", "n_regionkey")
