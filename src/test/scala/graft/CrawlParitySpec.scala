@@ -227,6 +227,27 @@ class CrawlParitySpec extends AnyFunSuite {
       .forall(_._1 == true))
   }
 
+  test("municipality x all-months: early-stop judges the MONTH total across municipalities") {
+    val cfgAll = CrawlConfig(
+      sites = Seq("mds_saldo"),
+      years = YearSelector.Single(2023),
+      months = MonthSelector.All,
+      nowYear = 2024, nowMonth = 6, maxPages = 3,
+      uf = "MG", municipality = Some(MunicipalitySelector.All))
+    val sim = ReferenceSimulator.crawl(cfgAll)
+    val got = CrawlJob.run(spark, cfgAll)
+    assert(canonLog(got.log.collect().toSeq) === canonLog(sim.log))
+    assert(got.prunedSeeds.map(p => (p.year, p.month, p.municipality)) ===
+      sim.crawledPeriods.map(p => (p.year, p.month, p.municipality)))
+    // a month either keeps ALL its municipality seeds or none — the
+    // stop decision is per month, never mid-dropdown
+    val nMun = graft.fetch.SyntheticWeb.municipalities("MG").size
+    val perMonth = got.prunedSeeds.groupBy(p => (p.year, p.month))
+      .values.map(_.size).toSet
+    assert(perMonth === Set(nMun),
+      s"months with partial municipality sets: $perMonth")
+  }
+
   test("per-host crawl-delay override (robots Crawl-delay): parity + slower host timeline") {
     val slowHost = "aplicacoes.mds.gov.br"
     val cfgSlow = cfg.copy(hostBudgets = Map(
