@@ -151,8 +151,15 @@ object Bench {
       val spark = newSession(cpus)
       // warmup: run the cheapest query once to pay codegen/classloading
       SparkEntry.queries("q14_hourly_activity")(spark, sfDir).count()
-      // the crawl_* demo views share one cached crawl — timed once as
-      // crawl_demo below instead of 5x here
+      // the demo crawl backs several battery entries (crawl_errors,
+      // multimodal_features, the crawl_* views) through a shared
+      // per-JVM cache — materialize and time it ONCE here so battery
+      // entries measure only their own work instead of the first
+      // consumer absorbing a whole crawl
+      val tCrawl0 = System.nanoTime()
+      val demo = graft.queries.CrawlQueries.demoResult(spark)
+      demoUrls = demo.log.count()
+      demoSec = (System.nanoTime() - tCrawl0) / 1e9
       val skip = Set("crawl_log", "crawl_images", "crawl_seen",
         "crawl_frontier", "crawl_metrics")
       results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -163,13 +170,6 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
           name -> (System.nanoTime() - t0) / 1e9
         }
-      if (filter.isEmpty) {
-        // crawl demo (the 3 reference sites, hot-host skew) timed as one
-        val tCrawl0 = System.nanoTime()
-        val demo = CrawlJob.run(spark, graft.queries.CrawlQueries.demoConfig)
-        demoUrls = demo.log.count()
-        demoSec = (System.nanoTime() - tCrawl0) / 1e9
-      }
       spark.stop()
       // per-query DuckDB wall times on the same tables — the honest
       // per-query baseline for the 2x guard (driver-side duckdb; "{}"

@@ -17,14 +17,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[UrlExpressions.type].getName, name, usage)
 
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    // arity-checked: a malformed SQL call must fail analysis with the
+    // function named, not NoSuchElementException / a silently dropped
+    // second argument
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument, got ${exprs.length}")
+    build(exprs.head)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("canonical_url"),
       info("canonical_url",
         "canonical_url(url) - canonicalized URL (scheme/host case, " +
           "default ports, fragments, query sort)"),
-      (exprs: Seq[Expression]) => UrlExpressions.CanonicalizeUrl(exprs.head)))
+      unary("canonical_url")(UrlExpressions.CanonicalizeUrl(_))))
     ext.injectFunction((FunctionIdentifier("url_host"),
       info("url_host", "url_host(url) - lowercased host of the URL"),
-      (exprs: Seq[Expression]) => UrlExpressions.UrlHost(exprs.head)))
+      unary("url_host")(UrlExpressions.UrlHost(_))))
   }
 }

@@ -42,7 +42,9 @@ object SeedExpansion {
     * the normalized code; throws on invalid input like the reference's
     * input rejection. */
   def validateUf(uf: String): String = {
-    val u = uf.trim.toUpperCase
+    // Locale.ROOT: the default locale's casing (e.g. Turkish dotted I)
+    // must not change which UFs validate
+    val u = uf.trim.toUpperCase(java.util.Locale.ROOT)
     require(u.length == 2, s"UF deve ter exatamente 2 caracteres: '$uf'")
     require(graft.fetch.SyntheticWeb.validStates.contains(u),
       s"UF '$u' não é válida")

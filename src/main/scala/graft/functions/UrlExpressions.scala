@@ -57,11 +57,19 @@ object UrlExpressions {
   def url_host(c: Column): Column =
     ColumnBridge.column(UrlHost(ColumnBridge.expression(c)))
 
+  private def one(name: String, exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument, got ${exprs.length}")
+    exprs.head
+  }
+
   /** SQL surface: `SELECT canonical_url(u), url_host(u)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "canonical_url", exprs => CanonicalizeUrl(exprs.head), "scala_udf")
+      "canonical_url",
+      exprs => CanonicalizeUrl(one("canonical_url", exprs)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "url_host", exprs => UrlHost(exprs.head), "scala_udf")
+      "url_host", exprs => UrlHost(one("url_host", exprs)), "scala_udf")
   }
 }

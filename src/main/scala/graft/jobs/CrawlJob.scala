@@ -296,7 +296,21 @@ object CrawlJob {
     val seenCount = seenTable.count()
     // partition-aligned persisted Bloom prefilter (rebuilt per run
     // from the committed seen set; filters live in table storage and
-    // are probed shuffle-aligned — never collected or broadcast)
+    // are probed shuffle-aligned — never collected or broadcast).
+    // Filters of PRIOR runs are never read again — garbage-collect
+    // them before writing this run's set, or daily resumable crawls
+    // would accumulate an unbounded _bloom/ graveyard of full-size
+    // filter sets. (Single-writer table contract, like the commit.)
+    val bloomRoot = java.nio.file.Paths.get(tableDir, "_bloom")
+    if (java.nio.file.Files.exists(bloomRoot)) {
+      val listing = java.nio.file.Files.list(bloomRoot)
+      try listing.forEach { old =>
+        val files = java.nio.file.Files.list(old)
+        try files.forEach(java.nio.file.Files.delete(_))
+        finally files.close()
+        java.nio.file.Files.delete(old)
+      } finally listing.close()
+    }
     val bloomDir = s"$tableDir/_bloom/run-$runId"
     val bloom =
       if (seenCount == 0) None

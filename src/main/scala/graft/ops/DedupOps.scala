@@ -96,14 +96,18 @@ object DedupOps {
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPer = numHashes / bands
-    // shingle ONCE per document; the signature stage and the verify
-    // stage both consume the precomputed sorted shingle-hash array, so
-    // the exact-Jaccard verify is a merge-intersect over candidate
-    // pairs' arrays — never a per-pair re-shingling of full texts.
+    // shingle arrays are computed per document, never per PAIR: the
+    // signature stage and the two verify joins each derive `prep`
+    // map-side (3 shingle passes over the corpus total) and the
+    // exact-Jaccard verify is a merge-intersect over candidate pairs'
+    // arrays. Deliberately NOT persisted: the sorted hash array is
+    // ~8x the text size, so at corpus scale caching it would spill
+    // multiples of the input to executor disk — recomputing a
+    // map-side UDF is the cheaper, bounded choice (and leaves nothing
+    // pinned across calls).
     val shUdf = udf((t: String) => shingles(t, shingleK))
     val prep = df
       .select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigUdf = udf((sh: Seq[Long]) => minhash(sh.toArray, numHashes))
     val bandUdf = udf((sig: Seq[Long]) =>
       (0 until bands).map(b => Hashing.xxh64(

@@ -168,10 +168,17 @@ object BloomSeen {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     filterRows(hashes, parts, numBytes, k).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
+        // tmp name includes the task ATTEMPT id: under speculative
+        // execution (or a zombie task racing its retry) two attempts
+        // of the same partition must not interleave writes into one
+        // tmp file — each writes its own, and the ATOMIC_MOVE makes
+        // whichever finishes last win with a complete filter
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         it.foreach { r =>
           val part = r.getInt(0)
           val tmp = java.nio.file.Paths.get(dir,
-            f".part-$part%05d.bloom.tmp")
+            f".part-$part%05d.bloom.$attempt%d.tmp")
           java.nio.file.Files.write(tmp, r.getAs[Array[Byte]](1))
           java.nio.file.Files.move(tmp, filterFile(dir, part),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
