@@ -311,7 +311,7 @@ object CrawlJob {
         java.nio.file.Files.delete(old)
       } finally listing.close()
     }
-    val bloomDir = s"$tableDir/_bloom/run-$runId"
+    val bloomDir = s"$tableDir/_bloom/$runId"
     val bloom =
       if (seenCount == 0) None
       else Some(graft.seen.BloomSeen.write(seenTable, bloomDir,

@@ -35,6 +35,14 @@ class ResumableCrawlSpec extends AnyFunSuite {
     assert(log2.filterNot(e => seen1.contains(e.urlHash))
       .forall(_.status != CrawlStatus.Skipped))
 
+    // bloom filters of prior runs are garbage-collected: after run-2
+    // the _bloom dir holds run-2's filter set only (one file per
+    // partition + nothing from run-1)
+    val bloomRoot = new java.io.File(s"$dir/_bloom")
+    assert(bloomRoot.listFiles().map(_.getName).toSeq === Seq("run-2"))
+    assert(bloomRoot.listFiles()(0).listFiles()
+      .forall(_.getName.endsWith(".bloom")))
+
     // parity with the broadcast-set reference path
     val ref = CrawlJob.run(spark, cfg, seen1)
     def canon(l: Seq[CrawlLogEntry]) =

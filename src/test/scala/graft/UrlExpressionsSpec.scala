@@ -69,6 +69,16 @@ class UrlExpressionsSpec extends AnyFunSuite {
           " url_host('https://A.B.GOV.BR/x') AS h").collect()(0)
       assert(r.getString(0) === "http://ex.com/b")
       assert(r.getString(1) === "a.b.gov.br")
+      // wrong arity fails analysis with the function named — never a
+      // NoSuchElementException or a silently dropped argument
+      val e = intercept[Exception] {
+        s2.sql("SELECT canonical_url('a', 'b')").collect()
+      }
+      assert(e.getMessage.contains("canonical_url"), e.getMessage)
+      val e0 = intercept[Exception] {
+        s2.sql("SELECT url_host()").collect()
+      }
+      assert(e0.getMessage.contains("url_host"), e0.getMessage)
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
