@@ -50,7 +50,16 @@ object CrawlJob {
       prunedSeeds: Seq[PeriodSeed],
       frontier: Dataset[ScheduledEntry],
       log: Dataset[CrawlLogEntry],
-      images: Dataset[ImageRecord])
+      images: Dataset[ImageRecord]) {
+    /** Release every dataset this result may have pinned (the frontier
+      * and, when `cacheLog`, the crawl log). Call when the result has
+      * been fully consumed — long-lived JVMs running many crawls must
+      * not accumulate pinned storage. */
+    def unpersist(): Unit = {
+      frontier.unpersist(blocking = false)
+      log.unpersist(blocking = false)
+    }
+  }
 
   /** Harvest all periods' listing pages into the raw frontier. */
   def harvest(spark: SparkSession, cfg: CrawlConfig,
@@ -303,13 +312,18 @@ object CrawlJob {
     // filter sets. (Single-writer table contract, like the commit.)
     val bloomRoot = java.nio.file.Paths.get(tableDir, "_bloom")
     if (java.nio.file.Files.exists(bloomRoot)) {
+      // depth-first delete, tolerant of stray plain files and
+      // unexpected nesting (a crashed writer's tmp debris must not
+      // abort the next resumable run)
+      def deleteRec(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(deleteRec) finally children.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
       val listing = java.nio.file.Files.list(bloomRoot)
-      try listing.forEach { old =>
-        val files = java.nio.file.Files.list(old)
-        try files.forEach(java.nio.file.Files.delete(_))
-        finally files.close()
-        java.nio.file.Files.delete(old)
-      } finally listing.close()
+      try listing.forEach(deleteRec) finally listing.close()
     }
     val bloomDir = s"$tableDir/_bloom/$runId"
     val bloom =
@@ -334,6 +348,12 @@ object CrawlJob {
     val snap = graft.table.TableIO.commit(spark, tableDir, result.images,
       seenFrom(result.log).except(seenTable), runId,
       pruned.map(p => s"${p.site}/${p.year}/${p.month}"))
+    // the commit materialized everything these caches serve; release
+    // them now (the returned `log` stays cached for the caller — see
+    // CrawlResult.unpersist for full release) so repeated resumable
+    // runs in one JVM don't accumulate pinned storage
+    seenTable.unpersist(blocking = false)
+    frontier.unpersist(blocking = false)
     (result, snap)
   }
 

@@ -208,6 +208,12 @@ object DedupOps {
       tables: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the table tag lives in the top byte of the packed key: more than
+    // 56 planes would overlap it and silently merge buckets across
+    // tables (results stay correct via exact verify, but the prefilter
+    // degrades toward one shared table)
+    require(planes >= 1 && planes <= 56,
+      s"planes must be in [1,56], got $planes")
     val sketchUdf = udf((v: Seq[Float]) => {
       val a = v.toArray
       (0 until tables).map(t =>

@@ -80,8 +80,12 @@ object CrawlQueries {
             .as("n_max_retries"),
           count(when(col("errorKind") === "validation", 1))
             .as("n_validation"),
-          slice(array_sort(collect_list(struct(col("seq"),
-            col("errorDetail")))), 1, 3).getField("errorDetail")
+          // flattened to ONE display string (" | "-joined): the driver
+          // value-compare hashes scalar columns; an ARRAY<STRING> here
+          // crashed its pandas sort in round 2
+          concat_ws(" | ",
+            slice(array_sort(collect_list(struct(col("seq"),
+              col("errorDetail")))), 1, 3).getField("errorDetail"))
             .as("first_errors"))
         .orderBy(col("site"), col("year"), col("month"))
     }),
@@ -98,11 +102,18 @@ object CrawlQueries {
       val (r1, _) = CrawlJob.runResumable(s, cfg, dir, "run-1")
       r1.log.count()
       val (r2, _) = CrawlJob.runResumable(s, cfg, dir, "run-2")
-      r2.log.toDF()
+      val out = r2.log.toDF()
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),
           sum(col("attempts")).cast("long").as("attempts"))
         .orderBy(col("status"))
+      // materialize the (tiny) aggregate, then release BOTH runs'
+      // cached datasets — this entry must leave no storage pinned in a
+      // long-lived battery/verify JVM
+      val rows = out.collect().toSeq
+      r1.unpersist(); r2.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), out.schema)
     }),
 
     // S11 host health: probe fields + per-host crawl health aggregates

@@ -45,8 +45,12 @@ object JsonQueries {
         when(pmod($"doc_id" * 7 + 3, lit(10)) < 8,
           concat(lit("https://portal-antigo.saude.mg.gov.br/files/"),
             $"doc_id", lit(".pdf"))).as("url"),
+        // title keyed on doc_id only: deriving it from `text` made
+        // n_empty_title diverge from the arithmetic oracle whenever a
+        // document's text was itself null/empty
         when(pmod($"doc_id" * 11 + 2, lit(10)) < 9,
-          substring($"text", 1, 40)).otherwise(lit("")).as("title"),
+          concat(lit("Documento nº "), $"doc_id")).otherwise(lit(""))
+          .as("title"),
         concat(lit("/data/downloads/doc-"), $"doc_id", lit(".pdf"))
           .as("full_path"),
         $"source")

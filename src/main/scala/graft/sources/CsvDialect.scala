@@ -48,17 +48,23 @@ object CsvDialect {
     */
   def read(spark: SparkSession, path: String, skipLines: Int = 1,
       candidates: Seq[String] = Seq(";", ",")): DataFrame = {
+    // cache only for the duration of this call: the sniff (head) and
+    // the csv reader's header scan share one decode, then the cache is
+    // released — callers' downstream actions re-read the (small)
+    // source files instead of pinning decoded lines for the JVM life
     val lines = latin1Lines(spark, path, skipLines).cache()
-    val header = lines.head(1).headOption.getOrElse("")
-    sniffSep(header, candidates) match {
-      case Some(sep) =>
-        spark.read
-          .option("sep", sep)
-          .option("header", "true")
-          .option("inferSchema", "false")
-          .csv(lines)
-      case None => lines.toDF("line")
-    }
+    try {
+      val header = lines.head(1).headOption.getOrElse("")
+      sniffSep(header, candidates) match {
+        case Some(sep) =>
+          spark.read
+            .option("sep", sep)
+            .option("header", "true")
+            .option("inferSchema", "false")
+            .csv(lines)
+        case None => lines.toDF("line")
+      }
+    } finally lines.unpersist(blocking = false)
   }
 
   /** A7: per-source record count (post-header). */

@@ -26,7 +26,25 @@ class CrawlParitySpec extends AnyFunSuite {
   private def canonLog(l: Seq[CrawlLogEntry]) =
     l.sortBy(e => (e.site, e.host, e.vtimeMs, e.year, e.month, e.seq))
       .map(e => (e.site, e.year, e.month, e.seq, e.imageId, e.url, e.urlHash,
-        e.host, e.vtimeMs, e.attempts, e.status))
+        e.host, e.vtimeMs, e.attempts, e.status,
+        e.errorKind, e.errorDetail))
+
+  /** K5/O4 content pin, independent of the shared fetch code path:
+    * re-derive the expected error strings from the OTHER log fields
+    * (status, url, attempts) and require an exact match per row. */
+  private def assertErrorColumns(l: Seq[CrawlLogEntry]): Unit =
+    l.foreach { e =>
+      val expected = e.status match {
+        case CrawlStatus.Error => ("max_retries",
+          s"Download failed for ${e.url}: gave up after ${e.attempts} attempts")
+        case CrawlStatus.Corrupt => ("validation",
+          s"Download failed for ${e.url}: payload failed size/magic check")
+        case CrawlStatus.NoData => ("no_data", "Nenhum registro encontrado")
+        case _ => ("", "")
+      }
+      assert((e.errorKind, e.errorDetail) === expected,
+        s"error columns for ${e.url} (status=${e.status})")
+    }
 
   test("distributed crawl equals reference simulator exactly") {
     val sim = ReferenceSimulator.crawl(cfg)
@@ -35,6 +53,11 @@ class CrawlParitySpec extends AnyFunSuite {
 
     assert(gotLog.size === sim.log.size, "crawl-log row count")
     assert(canonLog(gotLog) === canonLog(sim.log), "ordered crawl log")
+    // K5/O4: error-detail columns carry the reference's message shapes
+    assertErrorColumns(gotLog)
+    assert(gotLog.exists(_.status == CrawlStatus.Error) ||
+      gotLog.exists(_.status == CrawlStatus.Corrupt),
+      "config should produce at least one error row or the pin is vacuous")
 
     // URL-seen set exact equality
     val gotSeen = CrawlJob.seenFrom(got.log).collect().toSet
@@ -206,6 +229,12 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sick.nonEmpty)
     assert(sick.forall(_.status == CrawlStatus.Error))
     assert(sick.forall(_.attempts == sickCfg.budget.maxRetries))
+    // K5: exhausted-retry rows carry the max_retries kind + the
+    // reference's "Download failed for {url}: ..." message
+    assertErrorColumns(gotLog)
+    assert(sick.forall(e => e.errorKind == "max_retries" &&
+      e.errorDetail ==
+        s"Download failed for ${e.url}: gave up after ${e.attempts} attempts"))
     // quarantine fired: after each 3rd consecutive failure the next
     // start waits >= quarantineMs past the previous entry's timeline
     val starts = sick.sortBy(_.vtimeMs).map(_.vtimeMs)
