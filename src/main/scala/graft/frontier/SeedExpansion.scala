@@ -64,11 +64,20 @@ object SeedExpansion {
         sel match {
           case MunicipalitySelector.All => all
           case MunicipalitySelector.Single(name) =>
-            all.filter(_._1 == name) match {
-              case Seq() => throw new IllegalArgumentException(
-                s"município '$name' não encontrado no estado $uf")
-              case found => found
-            }
+            // P9 fallback matching (mds_saldo.py:588-601,
+            // mds_parcelas.py:358-376): first case-INSENSITIVE exact
+            // match over the dropdown in order; failing that, the
+            // first option CONTAINING the requested text
+            // (case-insensitive); else reject like the reference's
+            // "not found in dropdown" raise
+            val req = name.toUpperCase(java.util.Locale.ROOT)
+            all.find(_._1.toUpperCase(java.util.Locale.ROOT) == req)
+              .orElse(
+                all.find(_._1.toUpperCase(java.util.Locale.ROOT)
+                  .contains(req)))
+              .map(Seq(_))
+              .getOrElse(throw new IllegalArgumentException(
+                s"município '$name' não encontrado no estado $uf"))
         }
     }
 

@@ -98,7 +98,8 @@ object StreamingCrawl {
     * carries `runTag-batch-N`. A batch replayed after a crash (the
     * foreachBatch at-least-once contract) is detected by its runId in
     * the snapshot chain and skipped — commits stay exactly-once. */
-  def commitOutcomesBatch(tableDir: String, runTag: String)(
+  def commitOutcomesBatch(tableDir: String, runTag: String,
+      compactEvery: Int = 0)(
       batch: Dataset[StreamedOutcome], batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -119,8 +120,16 @@ object StreamingCrawl {
           val periods = cached
             .map(o => s"${o.site}/${o.year}/${o.month}").distinct()
             .collect().sorted.toSeq
-          graft.table.TableIO.commit(spark, tableDir, images, seen,
-            runId, periods, note = "streaming micro-batch")
+          val snap = graft.table.TableIO.commit(spark, tableDir, images,
+            seen, runId, periods, note = "streaming micro-batch")
+          // manifest maintenance: a stream commits one snapshot per
+          // micro-batch, so without periodic compaction readImages
+          // plans O(batches) unions over the stream's life. Compact
+          // whenever the chain holds `compactEvery` data dirs; replay
+          // idempotence is unaffected (the cumulative runIds index
+          // travels through compaction).
+          if (compactEvery > 0 && snap.dataDirs.size >= compactEvery)
+            graft.table.TableIO.compact(spark, tableDir)
         }
       } finally cached.unpersist()
     }
@@ -133,7 +142,8 @@ object StreamingCrawl {
       runTag: String = "stream",
       seenTable: Option[Dataset[Long]] = None,
       strictPerHost: Boolean = false,
-      hostBudgets: Map[String, PolitenessBudget] = Map.empty) = {
+      hostBudgets: Map[String, PolitenessBudget] = Map.empty,
+      compactEvery: Int = 0) = {
     import spark.implicits._
     val schema = Encoders.product[ScheduledEntry].schema
     val frontier = spark.readStream
@@ -144,7 +154,7 @@ object StreamingCrawl {
     outcomes(frontier, budget, seenTable, strictPerHost, hostBudgets)
       .writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch(commitOutcomesBatch(tableDir, runTag) _)
+      .foreachBatch(commitOutcomesBatch(tableDir, runTag, compactEvery) _)
       .option("checkpointLocation", checkpointDir)
       .start()
   }

@@ -43,9 +43,13 @@ object TableIO {
   final case class Lineage(runId: String, parentVersion: Int,
       periods: Seq[String], note: String)
 
+  /** `runIds` is the CUMULATIVE set of committed run ids — carried
+    * forward in every snapshot so idempotence checks read one file
+    * instead of walking the whole chain (null when reading snapshots
+    * written before this field existed; see [[chainRunIds]]). */
   final case class Snapshot(version: Int, dataDirs: Seq[String],
       seenDirs: Seq[String], partitions: Seq[PartitionMeta],
-      totalRows: Long, lineage: Lineage)
+      totalRows: Long, lineage: Lineage, runIds: Seq[String] = Nil)
 
   private val mapper = {
     val m = new ObjectMapper()
@@ -122,22 +126,87 @@ object TableIO {
         (if (hasSeen) Seq(seenDirName) else Nil),
       parts,
       parent.map(_.totalRows).getOrElse(0L) + parts.map(_.rows).sum,
-      Lineage(runId, parent.map(_.version).getOrElse(0), periods, note))
+      Lineage(runId, parent.map(_.version).getOrElse(0), periods, note),
+      runIds = parent.map(chainRunIds(dir, _)).getOrElse(Nil) :+ runId)
     atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
     atomicWrite(hintPath(dir), version.toString)
     snap
   }
 
+  /** Cumulative run ids of `snap`: its own `runIds` index when
+    * present, else (legacy snapshots written before the index) a
+    * linear walk of the chain. */
+  private def chainRunIds(dir: String, snap: Snapshot): Seq[String] =
+    if (snap.runIds != null && snap.runIds.nonEmpty) snap.runIds
+    else (1 to snap.version).map(readSnapshot(dir, _).lineage.runId)
+
   /** runIds of every committed snapshot in the chain — the idempotence
     * check for replayed streaming micro-batches (a replayed
-    * foreachBatch must not double-commit). Linear in snapshot count;
-    * a catalog-backed table would index this. */
+    * foreachBatch must not double-commit). ONE snapshot read per call
+    * (the cumulative index travels in each snapshot); legacy chains
+    * without the index fall back to the linear walk. */
   def committedRunIds(dir: String): Set[String] =
-    currentVersion(dir) match {
+    currentSnapshot(dir) match {
       case None => Set.empty
-      case Some(v) =>
-        (1 to v).map(readSnapshot(dir, _).lineage.runId).toSet
+      case Some(s) => chainRunIds(dir, s).toSet
+    }
+
+  /** Compact the snapshot chain: rewrite every committed data/seen
+    * dir into ONE dir each and commit a snapshot referencing only
+    * those. A long-running streaming crawl appends one dataDir per
+    * micro-batch commit, so without compaction [[readImages]] plans
+    * O(versions) unions and the chain walk is O(versions²) over a
+    * stream's life — this is the manifest-rewrite a real table format
+    * (e.g. Iceberg's rewrite_data_files) runs on a schedule. Older
+    * version dirs stay on disk for snapshot time travel; the
+    * cumulative `runIds` index is preserved, so replay idempotence
+    * survives even if old snapshot FILES are expired. No-op (None) on
+    * an empty/uninitialized table. */
+  def compact(spark: SparkSession, dir: String,
+      note: String = "compaction"): Option[Snapshot] =
+    currentSnapshot(dir).map { parent =>
+      import spark.implicits._
+      val version = parent.version + 1
+      val dataDirName = f"data/v$version%05d"
+      val seenDirName = f"seen/v$version%05d"
+      val hasImages = parent.dataDirs.nonEmpty
+      val hasSeen = parent.seenDirs.nonEmpty
+      if (hasImages)
+        readImages(spark, dir).write.mode(SaveMode.Overwrite)
+          .partitionBy("site", "year", "month")
+          .parquet(s"$dir/$dataDirName")
+      if (hasSeen)
+        readSeen(spark, dir).toDF("urlHash").write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/$seenDirName")
+      // cumulative per-partition meta recomputed from the compacted
+      // data (a regular commit's `partitions` covers its delta only)
+      val parts =
+        if (!hasImages) Seq.empty[PartitionMeta]
+        else spark.read.parquet(s"$dir/$dataDirName")
+          .groupBy($"site", $"year", $"month")
+          .agg(count(lit(1)).as("rows"),
+            sum(length($"bytes")).cast("long").as("bytes"))
+          .collect()
+          .map(r => PartitionMeta(r.getString(0), r.getInt(1), r.getInt(2),
+            r.getLong(3), r.getLong(4)))
+          .sortBy(p => (p.site, p.year, p.month))
+          .toSeq
+      val runId = f"compact-v$version%05d"
+      val snap = Snapshot(
+        version,
+        if (hasImages) Seq(dataDirName) else Nil,
+        if (hasSeen) Seq(seenDirName) else Nil,
+        parts,
+        parent.totalRows,
+        Lineage(runId, parent.version, Nil,
+          s"$note: ${parent.dataDirs.size} data dirs, " +
+            s"${parent.seenDirs.size} seen dirs -> 1 each"),
+        runIds = chainRunIds(dir, parent) :+ runId)
+      atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
+      atomicWrite(hintPath(dir), version.toString)
+      snap
     }
 
   /** Read the committed image table (union of all committed data dirs;

@@ -197,6 +197,27 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(canonLog(got.log.collect().toSeq) === canonLog(sim.log))
     assert(got.seeds.map(s => (s.uf, s.municipality, s.munValue)) ===
       Seq(("SP", one._1, one._2)))
+    // P9 fallback matching (mds_saldo.py:588-601): case-INSENSITIVE
+    // exact match resolves to the same dropdown option...
+    val lowerCfg = cfg1.copy(
+      municipality = Some(MunicipalitySelector.Single(one._1.toLowerCase)))
+    assert(graft.frontier.SeedExpansion.expand(lowerCfg)
+      .map(s => (s.municipality, s.munValue)) === Seq((one._1, one._2)))
+    // ...and the resolved crawl is byte-identical to the canonical one
+    val gotLower = CrawlJob.run(spark, lowerCfg)
+    assert(canonLog(gotLower.log.collect().toSeq) === canonLog(sim.log),
+      "lowercase municipality input must resolve to the same crawl")
+    // P9: no exact match -> FIRST option CONTAINING the text, in
+    // dropdown order (partial + ambiguous-prefix cases)
+    val partCfg = cfg1.copy(
+      municipality = Some(MunicipalitySelector.Single("sp 003")))
+    assert(graft.frontier.SeedExpansion.expand(partCfg)
+      .map(s => (s.municipality, s.munValue)) === Seq((one._1, one._2)))
+    val ambCfg = cfg1.copy(
+      municipality = Some(MunicipalitySelector.Single("MUN SP 00")))
+    assert(graft.frontier.SeedExpansion.expand(ambCfg)
+      .map(_.municipality) === Seq("MUN SP 001"),
+      "ambiguous partial must resolve to the first containing option")
     // P10: invalid UFs are rejected like the reference's input check
     for (bad <- Seq("XX", "M", "MGG", ""))
       assertThrows[IllegalArgumentException] {

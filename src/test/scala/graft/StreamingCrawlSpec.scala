@@ -206,6 +206,53 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(graft.table.TableIO.currentVersion(tableDir).get === before)
   }
 
+  test("streaming auto-compaction bounds the snapshot chain; contents and replay protection unchanged") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-compact").toString
+    val frontierDir = s"$base/frontier"
+    val tableDir = s"$base/table"
+    Files.createDirectories(java.nio.file.Paths.get(frontierDir))
+    val batch = CrawlJob.run(spark, cfg)
+    val entries = batch.frontier.collect()
+      .sortBy(e => (e.site, e.seedSeq, e.discoverySeq))
+    // four waves -> four micro-batches; compactEvery=2 rewrites the
+    // chain whenever two data dirs accumulate
+    entries.groupBy(_.month).toSeq.sortBy(_._1).foreach { case (m, w) =>
+      val stage = s"$base/stage-$m"
+      spark.createDataset(w.toSeq).repartition(1).write.parquet(stage)
+      Files.copy(new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+        java.nio.file.Paths.get(frontierDir, f"wave$m%02d.parquet"))
+    }
+    val q = StreamingCrawl.startToTable(spark, frontierDir, tableDir,
+      s"$base/ck", cfg.budget, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+
+    val snap = graft.table.TableIO.currentSnapshot(tableDir).get
+    assert(snap.dataDirs.size <= 2,
+      s"chain not bounded: ${snap.dataDirs}")
+    assert(snap.runIds.exists(_.startsWith("compact-v")),
+      "compaction should have fired at least once")
+    // contents still equal the batch crawl
+    val got = graft.table.TableIO.readImages(spark, tableDir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === batch.images.collect()
+      .map(i => (i.image_id, i.phash)).toSet)
+    assert(graft.table.TableIO.readSeen(spark, tableDir).collect().toSet ===
+      CrawlJob.seenFrom(batch.log).collect().toSet)
+    // replay protection survives compaction: every streamed batchId is
+    // still in the (compacted) runIds index, so a replay is a no-op
+    val streamed = snap.runIds.filter(_.startsWith("stream-batch-"))
+    assert(streamed.nonEmpty)
+    val before = graft.table.TableIO.currentVersion(tableDir).get
+    val replayed = spark.createDataset(Seq.empty[
+      graft.streaming.StreamingCrawl.StreamedOutcome])
+    StreamingCrawl.commitOutcomesBatch(tableDir, "stream")(
+      replayed, streamed.head.stripPrefix("stream-batch-").toLong)
+    assert(graft.table.TableIO.currentVersion(tableDir).get === before)
+  }
+
   test("streaming strict per-host mode matches the batch strict timeline") {
     import spark.implicits._
     val strictCfg = cfg.copy(sites = Seq("mds_parcelas", "mds_saldo"),

@@ -59,6 +59,62 @@ class TableIOSpec extends AnyFunSuite {
     assert(gotIds === wantIds)
   }
 
+  test("compaction: N commits -> 1 data dir, identical contents, runIds index intact") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 10 commits, one month each (some may be empty months — the
+    // chain still grows one snapshot per commit)
+    val runIds = (1 to 10).map(i => f"run-$i%02d")
+    runIds.zipWithIndex.foreach { case (rid, i) =>
+      val cfg = cfgA.copy(months = MonthSelector.Single(i % 6 + 1))
+      val seenSoFar = TableIO.readSeen(spark, dir).collect().toSet
+      val r = CrawlJob.run(spark, cfg, seenSoFar)
+      TableIO.commit(spark, dir, r.images,
+        CrawlJob.seenFrom(r.log).filter(h => !seenSoFar.contains(h)),
+        rid, Nil)
+    }
+    val before = TableIO.currentSnapshot(dir).get
+    assert(before.version === 10)
+    assert(before.dataDirs.size > 1, "chain should have accumulated dirs")
+    val imgBefore = TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val seenBefore = TableIO.readSeen(spark, dir).collect().toSet
+    assert(TableIO.committedRunIds(dir) === runIds.toSet)
+
+    val snap = TableIO.compact(spark, dir).get
+    assert(snap.version === 11)
+    assert(snap.dataDirs.size === 1 && snap.seenDirs.size === 1,
+      "compaction must leave exactly one dir each")
+    // contents identical through the compacted snapshot
+    val imgAfter = TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(imgAfter === imgBefore)
+    assert(TableIO.readSeen(spark, dir).collect().toSet === seenBefore)
+    assert(snap.totalRows === before.totalRows)
+    // cumulative partition meta covers the whole table now
+    assert(snap.partitions.map(_.rows).sum === imgAfter.size)
+    // runIds index: every original run still answers the idempotence
+    // check, via ONE snapshot read — prove it by deleting every OLD
+    // snapshot file (expire) and asking again
+    assert(runIds.toSet.subsetOf(TableIO.committedRunIds(dir)))
+    (1 to 10).foreach { v =>
+      Files.delete(java.nio.file.Paths.get(dir, "snapshots",
+        f"v$v%05d.json"))
+    }
+    assert(runIds.toSet.subsetOf(TableIO.committedRunIds(dir)),
+      "runIds must come from the latest snapshot's index alone")
+    // and a post-compaction commit keeps appending normally
+    val r = CrawlJob.run(spark, cfgA.copy(months = MonthSelector.Single(6)),
+      TableIO.readSeen(spark, dir).collect().toSet)
+    val snap2 = TableIO.commit(spark, dir, r.images,
+      spark.emptyDataset[Long], "run-post", Nil)
+    assert(snap2.version === 12)
+    assert(snap2.runIds.takeRight(1) === Seq("run-post"))
+    assert(runIds.toSet.subsetOf(snap2.runIds.toSet))
+  }
+
   test("crashed (uncommitted) write is invisible; recommit lands cleanly") {
     import spark.implicits._
     val dir = tmpDir()
