@@ -21,10 +21,14 @@ import graft.sources.CsvDialect
   * latin-1 → parse → typed-columns path lossless. */
 object CsvQueries {
 
+  private lazy val fixtureBase: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_csv_")
+
   private def writeFixtures(s: SparkSession, dir: String): String = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-      math.abs(dir.hashCode).toString
-    val outPath = Paths.get(out)
+    // per-process fixture root: concurrent Verify/Bench JVMs must not
+    // overwrite each other's staged CSVs
+    val outPath = fixtureBase.resolve(math.abs(dir.hashCode).toString)
+    val out = outPath.toString
     if (Files.exists(outPath)) {
       val listing = Files.list(outPath)
       try listing.forEach(p => Files.delete(p))

@@ -58,8 +58,37 @@ object FrontierQueries {
           col("urlHash"), col("vtimeMs"), col("attempts"), col("status"))
         .orderBy(col("uf"), col("municipality"), col("year"), col("month"),
           col("seq"))
+    }),
+
+    // G4 crawl ORACLE row (not just rows-only): the per-municipality
+    // numbering spine of a full distributed crawl. 2011 months {1,10}
+    // is a deterministic fixture where every MG municipality period is
+    // non-empty (checked against SyntheticWeb.pageCount), so the
+    // grouped log must cover the exact year×month×municipality
+    // product; within each group the O1 numbering starts at 1, is
+    // contiguous (row_number semantics survive the distributed dedup +
+    // robots pipeline), and the seq-1 artifact name is the pure
+    // integer-format string DuckDB regenerates.
+    "q46_municipality_crawl_spine" -> ((s: SparkSession, _: String) => {
+      CrawlJob.run(s, spineConfig).log.toDF()
+        .groupBy(col("site"), col("year"), col("month"), col("uf"),
+          col("municipality"))
+        .agg(min(col("seq")).cast("long").as("first_seq"),
+          (max(col("seq")) === count(lit(1))).as("contiguous"),
+          min(when(col("seq") === 1, col("imageId")))
+            .as("first_image_id"))
+        .orderBy(col("year"), col("month"), col("municipality"))
     })
   )
+
+  /** All-municipality crawl over a fixture period set with NO empty
+    * (year, month, municipality) — see q46's oracle note. */
+  private val spineConfig = CrawlConfig(
+    sites = Seq("mds_saldo"),
+    years = YearSelector.Single(2011),
+    months = MonthSelector.Multiple(Seq(1, 10)),
+    nowYear = 2024, nowMonth = 6, maxPages = 3,
+    uf = "MG", municipality = Some(MunicipalitySelector.All))
 
   val oracleSql: Map[String, String] = Map(
     // MG: ordinal 12 → 5 + (12*7+3)%9 = 11 municipalities, dropdown
@@ -76,6 +105,23 @@ object FrontierQueries {
         |CROSS JOIN generate_series(1, 12) u(m)
         |CROSS JOIN generate_series(1, 5 + (12*7+3)%9) v(i)
         |WHERE y < 2024 OR m <= 6
-        |ORDER BY seed_seq""".stripMargin
+        |ORDER BY seed_seq""".stripMargin,
+    // the spine: full MG municipality dim × {2011-01, 2011-10}; seq
+    // numbering starts at 1 and is contiguous per municipality
+    // session; the first artifact name is
+    // MG-MUN_MG_<iii>-<mm>-2011-RES-001 (CrawlJob imageId format)
+    "q46_municipality_crawl_spine" ->
+      """SELECT 'mds_saldo' AS site, CAST(2011 AS INT) AS year,
+        | CAST(m AS INT) AS month, 'MG' AS uf,
+        | concat('MUN MG ', lpad(CAST(i AS VARCHAR), 3, '0'))
+        |   AS municipality,
+        | CAST(1 AS BIGINT) AS first_seq,
+        | true AS contiguous,
+        | concat('MG-MUN_MG_', lpad(CAST(i AS VARCHAR), 3, '0'), '-',
+        |   lpad(CAST(m AS VARCHAR), 2, '0'), '-2011-RES-001')
+        |   AS first_image_id
+        |FROM (VALUES (1), (10)) t(m)
+        |CROSS JOIN generate_series(1, 5 + (12*7+3)%9) v(i)
+        |ORDER BY month, municipality""".stripMargin
   )
 }

@@ -25,6 +25,9 @@ import org.apache.spark.sql.types._
   */
 object JsonQueries {
 
+  private lazy val fixtureBase: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_q42_")
+
   private val manifestSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("filename", StringType),
@@ -54,8 +57,10 @@ object JsonQueries {
         concat(lit("/data/downloads/doc-"), $"doc_id", lit(".pdf"))
           .as("full_path"),
         $"source")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q42_" +
-        math.abs(dir.hashCode).toString
+      // per-process fixture root: two concurrent Verify/Bench JVMs
+      // must not overwrite each other's staged JSON
+      val tmp = fixtureBase.resolve(math.abs(dir.hashCode).toString)
+        .toString
       manifest.write.mode("overwrite").json(tmp)
       // S10: distributed JSON scan with enforced schema + validation
       s.read.schema(manifestSchema).json(tmp)

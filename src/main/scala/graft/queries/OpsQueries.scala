@@ -33,7 +33,48 @@ object OpsQueries {
     d.unionByName(mutated)
   }
 
+  private def annSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = emb(s, dir)
+    (e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      e.filter(col("vec_id") >= 3)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+  }
+
+  /** Recall@5 of an approximate ANN path against the exact brute-force
+    * ranking (the oracle-green q36 baseline), computed IN Spark — one
+    * row per query id, recall as a BIGINT fraction ×1000 so the driver
+    * snapshot gets a hashable VALUE gate on the approximate paths, not
+    * just a row count. */
+  private def annRecall(s: SparkSession, dir: String,
+      approx: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
+    val (q, c) = annSides(s, dir)
+    val brute = AnnOps.bruteTopK(q, c, 5).select(col("qid"), col("cid"))
+    val got = approx(q, c, 5)
+      .select(col("qid"), col("cid")).withColumn("hit", lit(1))
+    brute.join(got, Seq("qid", "cid"), "left_outer")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0))) * 1000 /
+        count(lit(1))).cast("long").as("recall_x1000"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // operating points sized for the toy-scale tables (500-2k vectors):
+    // LSH 2^6=64 buckets keeps bucket occupancy ~8-30 (planes grows
+    // with log n at corpus scale); IVF probes nProbe/nlist = 1/2 of
+    // the lists. Measured recall@5 across sf0.001/0.01/0.1:
+    // LSH 0.93/0.80/1.00, IVF 0.73/0.73/0.73 — floors 0.6/0.5 pinned
+    // in OpsSpec.
+    "ann_lsh_recall" -> ((s: SparkSession, dir: String) =>
+      annRecall(s, dir,
+        AnnOps.lshTopK(_, _, _, planes = 6, tables = 8))),
+
+    "ann_ivf_recall" -> ((s: SparkSession, dir: String) =>
+      annRecall(s, dir,
+        AnnOps.ivfTopK(_, _, _, nlist = 16, nProbe = 8))),
+
     "dedup_minhash_pairs" -> ((s: SparkSession, dir: String) =>
       DedupOps.minhashPairs(withPlantedDupes(s, dir), "doc_id", "text",
         threshold = 0.5)),
@@ -52,20 +93,12 @@ object OpsQueries {
     }),
 
     "ann_lsh_top5" -> ((s: SparkSession, dir: String) => {
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val c = e.filter(col("vec_id") >= 3)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val (q, c) = annSides(s, dir)
       AnnOps.lshTopK(q, c, k = 5)
     }),
 
     "ann_ivf_top5" -> ((s: SparkSession, dir: String) => {
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val c = e.filter(col("vec_id") >= 3)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val (q, c) = annSides(s, dir)
       AnnOps.ivfTopK(q, c, k = 5)
     }),
 

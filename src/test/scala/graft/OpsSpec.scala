@@ -141,6 +141,25 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.size === 5 * 10)
   }
 
+  test("ann recall query entries (driver value gates) hold the spec floors") {
+    val lsh = graft.queries.OpsQueries.queries("ann_lsh_recall")(spark, sf)
+      .collect()
+    assert(lsh.length === 3, "one recall row per query id")
+    val lshAvg = lsh.map(_.getAs[Long]("recall_x1000")).sum / lsh.length
+    assert(lshAvg >= 600, s"LSH avg recall_x1000 $lshAvg < 600")
+    val ivf = graft.queries.OpsQueries.queries("ann_ivf_recall")(spark, sf)
+      .collect()
+    assert(ivf.length === 3)
+    val ivfAvg = ivf.map(_.getAs[Long]("recall_x1000")).sum / ivf.length
+    assert(ivfAvg >= 500, s"IVF avg recall_x1000 $ivfAvg < 500")
+    // sanity: the metric is a fraction of exactly k=5 hits
+    (lsh ++ ivf).foreach { r =>
+      val v = r.getAs[Long]("recall_x1000")
+      assert(v >= 0 && v <= 1000 && v % 200 == 0,
+        s"recall_x1000 $v is not an n/5 fraction")
+    }
+  }
+
   test("language ID on real-language samples") {
     assert(TextOps.langIdScala(
       "the cat sat on the mat and it is warm in the sun") === "en")
