@@ -80,17 +80,42 @@ object AnnOps {
   @inline private def bucketKey(table: Int, sketch: Long): Long =
     (table.toLong << 56) | sketch
 
+  /** Codegen'd dot product over two float-array columns — the same
+    * sequential double fold as [[dot]] (bit-identical), kept inside
+    * whole-stage codegen instead of a UDF boxing round-trip. */
+  private def dotCol(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd vector norm (IEEE sqrt of [[dotCol]] — bit-equal to
+    * [[norm]]). Computed ONCE PER ROW on each side of a top-k join, so
+    * the per-PAIR scoring work is a single dot product instead of the
+    * three full passes a self-contained cosine would pay. */
+  private def normCol(x: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = sqrt(dotCol(x, x))
+
+  /** Cosine from a per-pair dot and precomputed per-side norms;
+    * bit-equal to [[cosine]] (same operation order). */
+  private def cosineFromNorms(qv: org.apache.spark.sql.Column,
+      cv: org.apache.spark.sql.Column, qn: org.apache.spark.sql.Column,
+      cn: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = qn * cn
+    when(d === 0.0, lit(0.0)).otherwise(dotCol(qv, cv) / d)
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest
     * candidates (ties broken by candidate id — fully deterministic). */
   def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int)
       : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-      cosine(a.toArray, b.toArray))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
-    candidates.crossJoin(broadcast(queries))
-      .withColumn("cosine", round(cosUdf($"qv", $"cv"), 6))
+    candidates.withColumn("cnorm", normCol($"cv"))
+      .crossJoin(broadcast(queries.withColumn("qnorm", normCol($"qv"))))
+      .withColumn("cosine",
+        round(cosineFromNorms($"qv", $"cv", $"qnorm", $"cnorm"), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)
       .select($"qid", $"cid", $"cosine", $"rk")
@@ -194,13 +219,14 @@ object AnnOps {
       nearestCentroids(bc.value, v.toArray, 1)(0))
     val probes = udf((v: Seq[Float]) =>
       nearestCentroids(bc.value, v.toArray, nProbe))
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-      cosine(a.toArray, b.toArray))
     val cands = candidates.withColumn("cl", assign($"cv"))
+      .withColumn("cnorm", normCol($"cv"))
     val qs = queries.withColumn("cl", explode(probes($"qv")))
+      .withColumn("qnorm", normCol($"qv"))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
     cands.join(broadcast(qs), Seq("cl"))
-      .withColumn("cosine", round(cosUdf($"qv", $"cv"), 6))
+      .withColumn("cosine",
+        round(cosineFromNorms($"qv", $"cv", $"qnorm", $"cnorm"), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)
       .select($"qid", $"cid", $"cosine", $"rk")
@@ -228,8 +254,6 @@ object AnnOps {
           .map(bucketKey(t, _))
       }.toArray
     })
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-      cosine(a.toArray, b.toArray))
     val cands = candidates
       .withColumn("bucket", explode(bucketsUdf($"cv")))
     val qs = queries.withColumn("bucket", explode(probesUdf($"qv")))
@@ -240,9 +264,11 @@ object AnnOps {
     // and the final vector lookup shuffles only the candidate-PAIR ids
     cands.join(broadcast(qs.select($"qid", $"bucket")), Seq("bucket"))
       .select($"qid", $"cid").distinct()
-      .join(broadcast(queries), Seq("qid"))
-      .join(candidates, Seq("cid"))
-      .withColumn("cosine", round(cosUdf($"qv", $"cv"), 6))
+      .join(broadcast(queries.withColumn("qnorm", normCol($"qv"))),
+        Seq("qid"))
+      .join(candidates.withColumn("cnorm", normCol($"cv")), Seq("cid"))
+      .withColumn("cosine",
+        round(cosineFromNorms($"qv", $"cv", $"qnorm", $"cnorm"), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)
       .select($"qid", $"cid", $"cosine", $"rk")
