@@ -36,5 +36,6 @@ object SparkEntry {
       graft.queries.ReportQueries.oracleSql ++
       graft.queries.FrontierQueries.oracleSql ++
       graft.queries.JsonQueries.oracleSql ++
-      graft.queries.CsvQueries.oracleSql
+      graft.queries.CsvQueries.oracleSql ++
+      graft.queries.OpsQueries.oracleSql
 }

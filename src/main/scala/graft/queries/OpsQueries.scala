@@ -102,6 +102,47 @@ object OpsQueries {
       AnnOps.ivfTopK(q, c, k = 5)
     }),
 
+    // ORACLE-checked planted-duplicate gates: the 20 lowest-id docs
+    // get a mutated copy (one appended token); every original must be
+    // re-found as a (id, id+1e6) MinHash-LSH pair — structural at
+    // threshold 0.5 (the mutation moves Jaccard of a >=57-char doc to
+    // ~0.73+), so DuckDB can assert ALL-TRUE from the documents table
+    // alone. A banding/signature/verify regression flips rows false
+    // and fails the hash compare. (SimHash is excluded: one appended
+    // token legitimately moves short docs past hamming 3; its planted
+    // recovery is pinned in OpsSpec instead.)
+    "dedup_planted_text" -> ((s: SparkSession, dir: String) => {
+      val pairs = DedupOps
+        .minhashPairs(withPlantedDupes(s, dir), "doc_id", "text",
+          threshold = 0.5)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("doc_id"), lit(true).as("found"))
+      docs(s, dir).orderBy("doc_id").limit(20).select(col("doc_id"))
+        .join(pairs, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("minhash_found"))
+        .orderBy("doc_id")
+    }),
+
+    // same gate for the embedding path: IDENTICAL copies share every
+    // sign-LSH sketch by construction and verify at cosine 1.0, so
+    // all-true is structural, not empirical.
+    "dedup_planted_embedding" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val copies = e.orderBy("vec_id").limit(10)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val pairs = DedupOps
+        .embeddingNearDup(e.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.999)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("vec_id"), lit(true).as("found"))
+      e.orderBy("vec_id").limit(10).select(col("vec_id"))
+        .join(pairs, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("found"), lit(false)).as("embedding_found"))
+        .orderBy("vec_id")
+    }),
+
     "text_analysis" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
         .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -126,5 +167,16 @@ object OpsQueries {
         .drop("hist16") // array col: keep the dump schema flat
         .orderBy(col("image_id"), col("fmt"))
     })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_planted_text" ->
+      """SELECT doc_id, true AS minhash_found
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_planted_embedding" ->
+      """SELECT vec_id, true AS embedding_found
+        |FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)
+        |ORDER BY vec_id""".stripMargin
   )
 }
