@@ -209,6 +209,47 @@ object TableIO {
       snap
     }
 
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRec) finally children.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** Expire everything the CURRENT snapshot does not reference: data/
+    * seen dirs of superseded versions (reclaimable after [[compact]]
+    * rewrote them), orphaned dirs of crashed uncommitted writes, and
+    * old snapshot files. The Iceberg `expire_snapshots` analog — time
+    * travel to expired versions is gone, but replay idempotence
+    * survives because the cumulative runIds index travels in the
+    * latest snapshot (proven in TableIOSpec). Single-writer contract,
+    * like commit/compact. */
+  def expire(dir: String): Unit =
+    currentSnapshot(dir).foreach { cur =>
+      val keep = (cur.dataDirs ++ cur.seenDirs).toSet
+      for (root <- Seq("data", "seen")) {
+        val rp = Paths.get(dir, root)
+        if (Files.exists(rp)) {
+          val ls = Files.list(rp)
+          try ls.forEach { child =>
+            if (!keep.contains(s"$root/${child.getFileName}"))
+              deleteRec(child)
+          } finally ls.close()
+        }
+      }
+      // make sure the surviving snapshot carries the runIds index
+      // BEFORE deleting the chain it would otherwise be derived from
+      // (legacy chains written before the index existed)
+      if (cur.runIds == null || cur.runIds.isEmpty) {
+        val withIds = cur.copy(runIds = chainRunIds(dir, cur))
+        atomicWrite(Paths.get(dir, "snapshots", f"v${cur.version}%05d.json"),
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withIds))
+      }
+      for (v <- 1 until cur.version)
+        Files.deleteIfExists(Paths.get(dir, "snapshots", f"v$v%05d.json"))
+    }
+
   /** Read the committed image table (union of all committed data dirs;
     * orphaned uncommitted dirs are never touched). */
   def readImages(spark: SparkSession, dir: String): DataFrame =

@@ -96,15 +96,34 @@ class TableIOSpec extends AnyFunSuite {
     // cumulative partition meta covers the whole table now
     assert(snap.partitions.map(_.rows).sum === imgAfter.size)
     // runIds index: every original run still answers the idempotence
-    // check, via ONE snapshot read — prove it by deleting every OLD
-    // snapshot file (expire) and asking again
+    // check, via ONE snapshot read — prove it by EXPIRING the chain
+    // (deletes old snapshot files + superseded/orphaned dirs)
     assert(runIds.toSet.subsetOf(TableIO.committedRunIds(dir)))
+    // plant an orphaned uncommitted dir (crashed writer debris)
+    val orphan = java.nio.file.Paths.get(dir, "data", "v00099")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.tmp"), "debris")
+    TableIO.expire(dir)
+    assert(!Files.exists(orphan), "expire must remove orphaned dirs")
     (1 to 10).foreach { v =>
-      Files.delete(java.nio.file.Paths.get(dir, "snapshots",
-        f"v$v%05d.json"))
+      assert(!Files.exists(java.nio.file.Paths.get(dir, "snapshots",
+        f"v$v%05d.json")), s"old snapshot v$v should be expired")
     }
+    // only the compacted dirs survive on disk
+    val dataDirs = Files.list(java.nio.file.Paths.get(dir, "data"))
+    val left = try {
+      val b = Seq.newBuilder[String]
+      dataDirs.forEach(p => b += p.getFileName.toString)
+      b.result()
+    } finally dataDirs.close()
+    assert(left === Seq("v00011"), s"unexpected data dirs: $left")
     assert(runIds.toSet.subsetOf(TableIO.committedRunIds(dir)),
       "runIds must come from the latest snapshot's index alone")
+    // contents still intact after expiry
+    assert(TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === imgBefore)
+    assert(TableIO.readSeen(spark, dir).collect().toSet === seenBefore)
     // and a post-compaction commit keeps appending normally
     val r = CrawlJob.run(spark, cfgA.copy(months = MonthSelector.Single(6)),
       TableIO.readSeen(spark, dir).collect().toSet)
