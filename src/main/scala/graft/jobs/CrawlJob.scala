@@ -67,8 +67,13 @@ object CrawlJob {
     import spark.implicits._
     val maxPages = cfg.maxPages
     val webSeed = cfg.webSeed
+    // one task handles a handful of seeds; parallelism scales with the
+    // session's shuffle-partition setting (a 1000-executor cluster
+    // raises it), never capped by a constant
+    val harvestParts = math.max(1, math.min(seeds.size,
+      math.max(64, spark.sessionState.conf.numShufflePartitions * 2)))
     spark.createDataset(seeds)
-      .repartition(math.max(1, math.min(seeds.size, 64)))
+      .repartition(harvestParts)
       .flatMap { s =>
         SyntheticWeb.harvestPeriod(s.site, s.year, s.month, maxPages, webSeed,
             s.uf, s.munValue)
@@ -326,10 +331,17 @@ object CrawlJob {
       try listing.forEach(deleteRec) finally listing.close()
     }
     val bloomDir = s"$tableDir/_bloom/$runId"
+    // partition count scales with BOTH the cluster conf (probe
+    // parallelism) and the key count (≤ ~100M keys ≈ 120 MiB filter
+    // per partition at 1% FPP, so a single task never loads a
+    // multi-GiB filter no matter how large the seen set grows)
+    val bloomParts = math.max(
+      math.max(1, spark.sessionState.conf.numShufflePartitions / 2),
+      math.ceil(seenCount / 100e6).toInt)
     val bloom =
       if (seenCount == 0) None
       else Some(graft.seen.BloomSeen.write(seenTable, bloomDir,
-        parts = math.max(1, spark.sessionState.conf.numShufflePartitions / 2),
+        parts = bloomParts,
         expectedKeys = math.max(seenCount, 1024L), fpp = 0.01))
 
     val seeds = SeedExpansion.expand(cfg)
