@@ -318,6 +318,47 @@ class CrawlParitySpec extends AnyFunSuite {
       maxT(baseLog, "portal-antigo.saude.mg.gov.br"))
   }
 
+  test("parity holds on randomized configs (seeded, 5 draws)") {
+    // feature interactions the fixed-config tests don't enumerate:
+    // site subsets x selector shapes x maxPages x strictPerHost x
+    // host-budget overrides. Seeded -> fully deterministic.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val allSites = Seq("portal_saude_mg", "mds_parcelas", "mds_saldo")
+    for (i <- 1 to 5) {
+      val sites = rnd.shuffle(allSites).take(1 + rnd.nextInt(3))
+      val years = rnd.nextInt(3) match {
+        case 0 => YearSelector.Single(2020 + rnd.nextInt(5))
+        case 1 =>
+          val a = 2019 + rnd.nextInt(4); YearSelector.Range(a, a + rnd.nextInt(3))
+        case _ => YearSelector.Multiple(Seq(2021, 2023))
+      }
+      val months = rnd.nextInt(3) match {
+        case 0 => MonthSelector.All
+        case 1 => MonthSelector.Single(1 + rnd.nextInt(12))
+        case _ =>
+          val ms = (1 to 12).filter(_ => rnd.nextBoolean()).take(4)
+          MonthSelector.Multiple(if (ms.isEmpty) Seq(3) else ms)
+      }
+      val rcfg = CrawlConfig(
+        sites = sites, years = years, months = months,
+        nowYear = 2024, nowMonth = 6,
+        maxPages = 2 + rnd.nextInt(3),
+        strictPerHost = rnd.nextBoolean(),
+        hostBudgets =
+          if (rnd.nextBoolean())
+            Map("aplicacoes.mds.gov.br" ->
+              PolitenessBudget(crawlDelayMs = 3000, burst = 2))
+          else Map.empty)
+      val sim = ReferenceSimulator.crawl(rcfg)
+      val got = CrawlJob.run(spark, rcfg)
+      assert(canonLog(got.log.collect().toSeq) === canonLog(sim.log),
+        s"randomized config #$i diverged: $rcfg")
+      assert(CrawlJob.seenFrom(got.log).collect().toSet ===
+        sim.log.filter(_.status == CrawlStatus.Success).map(_.urlHash).toSet,
+        s"randomized config #$i seen-set diverged")
+    }
+  }
+
   test("metrics aggregate matches the log") {
     val got = CrawlJob.run(spark, cfg)
     val m = CrawlJob.metrics(got.log, got.images)
