@@ -45,6 +45,22 @@ object SyntheticWeb {
     "portal-antigo.saude.mg.gov.br" -> Seq("/private/", "/admin/"),
     "aplicacoes.mds.gov.br" -> Seq("/private/", "/interno/"))
 
+  val robotsHosts: Seq[String] = robotsDisallow.keys.toSeq.sorted
+
+  /** The robots.txt TEXT a host serves — the engine PARSES this
+    * (graft.politeness.RobotsTxt) instead of reading the rule map
+    * directly, like a production crawler would. Includes a foreign
+    * bot's group and comments that a correct parser must skip. */
+  def robotsTxt(host: String): String = {
+    val sb = new StringBuilder
+    sb.append("# robots.txt for ").append(host).append('\n')
+    sb.append("User-agent: datahoover\nDisallow: /\n\n")
+    sb.append("User-agent: *\n")
+    robotsDisallow.getOrElse(host, Nil)
+      .foreach(p => sb.append("Disallow: ").append(p).append('\n'))
+    sb.toString
+  }
+
   def disallowed(host: String, url: String): Boolean = {
     val path = {
       val i = url.indexOf("://")

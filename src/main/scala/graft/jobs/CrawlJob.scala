@@ -93,10 +93,15 @@ object CrawlJob {
     // prefix) anti-joined against the frontier — no per-row UDF, the
     // whole filter stays in codegen (parse_url + startswith), and real
     // robots.txt rule sets (millions of hosts) would arrive as a table
-    // exactly like this instead of a closure-captured map
+    // exactly like this instead of a closure-captured map. The rows
+    // come from PARSING each host's served robots.txt text
+    // (RobotsTxt.parse, RFC 9309 group selection + precedence); the
+    // synthetic rule sets are allow-free plain prefixes, so the
+    // prefix anti-join realizes Rules.permits exactly.
     val robotsRules = spark.createDataset(
-      SyntheticWeb.robotsDisallow.toSeq.flatMap { case (h, ps) =>
-        ps.map(p => (h, p))
+      SyntheticWeb.robotsHosts.flatMap { h =>
+        graft.politeness.RobotsTxt.parse(SyntheticWeb.robotsTxt(h))
+          .disallows.map(p => (h, p))
       }).toDF("r_host", "r_prefix")
     // windows keyed by seedSeq: one seed = one form-submission session;
     // dedup and numbering are per session like the reference's

@@ -1,0 +1,122 @@
+package graft.politeness
+
+import graft.model.PolitenessBudget
+
+/** robots.txt parser (RFC 9309 subset + the de-facto `Crawl-delay`
+  * extension) — the politeness scheduler's rule SOURCE: the reference
+  * honors `respect_robots_txt: true` (config/sites_config.json:213)
+  * and hard-codes per-host pacing; here the per-host disallow table
+  * and crawl-delay budget overrides are parsed from robots.txt text
+  * exactly as a production crawler would receive them.
+  *
+  * Supported (documented subset):
+  *  - group selection per RFC 9309 §2.2.1: all groups whose
+  *    `User-agent` line case-insensitively equals the crawler's
+  *    product token are merged; if none match, the `*` groups apply;
+  *  - `Disallow` / `Allow` path prefixes with longest-match
+  *    precedence, `Allow` winning length ties (RFC 9309 §2.2.2);
+  *    an empty `Disallow:` value means unrestricted;
+  *  - `Crawl-delay: <seconds>` (non-standard but ubiquitous) —
+  *    surfaced so callers can turn it into a [[PolitenessBudget]]
+  *    override per host;
+  *  - comments (`#`), blank-line group separation, case-insensitive
+  *    directive names, CR/LF endings.
+  * Not supported: `*`/`$` wildcards inside paths (the rule sets this
+  * engine consumes are plain prefixes, like the reference's).
+  */
+object RobotsTxt {
+
+  final case class Rules(
+      allows: Seq[String],
+      disallows: Seq[String],
+      crawlDelaySec: Option[Double]) {
+
+    /** RFC 9309 §2.2.2 precedence: the longest matching prefix rule
+      * decides; `Allow` wins a length tie; no matching rule → allowed. */
+    def permits(path: String): Boolean = {
+      val d = disallows.filter(path.startsWith).map(_.length)
+        .maxOption.getOrElse(-1)
+      val a = allows.filter(path.startsWith).map(_.length)
+        .maxOption.getOrElse(-1)
+      a >= d
+    }
+  }
+
+  object Rules {
+    val permitAll: Rules = Rules(Nil, Nil, None)
+  }
+
+  private final case class Group(agents: Seq[String], allows: Seq[String],
+      disallows: Seq[String], crawlDelay: Option[Double])
+
+  /** Parse `text` and return the merged rules that apply to
+    * `userAgent` (product token, matched case-insensitively; falls
+    * back to the `*` groups). */
+  def parse(text: String, userAgent: String = "graft"): Rules = {
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = Vector.empty[String]
+    var allows = Vector.empty[String]
+    var disallows = Vector.empty[String]
+    var delay: Option[Double] = None
+    var inRules = false // false while collecting consecutive UA lines
+
+    def flush(): Unit = {
+      if (agents.nonEmpty)
+        groups += Group(agents, allows, disallows, delay)
+      agents = Vector.empty; allows = Vector.empty
+      disallows = Vector.empty; delay = None; inRules = false
+    }
+
+    text.split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val key = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(i + 1).trim
+          key match {
+            case "user-agent" =>
+              // a UA line after rule lines starts a NEW group; several
+              // consecutive UA lines share one group (RFC 9309 §2.2.1)
+              if (inRules) flush()
+              agents :+= value.toLowerCase(java.util.Locale.ROOT)
+            case "disallow" =>
+              inRules = true
+              if (value.nonEmpty) disallows :+= value
+            case "allow" =>
+              inRules = true
+              if (value.nonEmpty) allows :+= value
+            case "crawl-delay" =>
+              inRules = true
+              delay = value.toDoubleOption.orElse(delay)
+            case _ => inRules = true // unknown directive: part of group
+          }
+        }
+      }
+    }
+    flush()
+
+    val matching = groups.filter(_.agents.contains(ua)) match {
+      case m if m.nonEmpty => m
+      case _ => groups.filter(_.agents.contains("*"))
+    }
+    if (matching.isEmpty) Rules.permitAll
+    else Rules(
+      matching.flatMap(_.allows).toSeq,
+      matching.flatMap(_.disallows).toSeq,
+      matching.flatMap(_.crawlDelay).headOption)
+  }
+
+  /** Per-host budget overrides from parsed robots texts: hosts whose
+    * robots.txt sets `Crawl-delay` get `base` with that inter-request
+    * delay (and burst 1 — a crawl-delay host expects strict pacing).
+    * Feed the result into `CrawlConfig.hostBudgets`. */
+  def budgetOverrides(robotsByHost: Map[String, String],
+      base: PolitenessBudget,
+      userAgent: String = "graft"): Map[String, PolitenessBudget] =
+    robotsByHost.flatMap { case (host, text) =>
+      parse(text, userAgent).crawlDelaySec.map(d =>
+        host -> base.copy(crawlDelayMs = (d * 1000).toLong, burst = 1))
+    }
+}

@@ -318,6 +318,21 @@ class CrawlParitySpec extends AnyFunSuite {
       maxT(baseLog, "portal-antigo.saude.mg.gov.br"))
   }
 
+  test("robots.txt Crawl-delay drives hostBudgets; parity holds with parsed budgets") {
+    val slowHost = "aplicacoes.mds.gov.br"
+    val robots = Map(slowHost ->
+      "User-agent: datahoover\nDisallow: /\n\nUser-agent: *\nCrawl-delay: 5\n")
+    val derived = graft.politeness.RobotsTxt
+      .budgetOverrides(robots, cfg.budget)
+    assert(derived === Map(slowHost ->
+      cfg.budget.copy(crawlDelayMs = 5000, burst = 1)))
+    val cfgRobots = cfg.copy(hostBudgets = derived)
+    val sim = ReferenceSimulator.crawl(cfgRobots)
+    val got = CrawlJob.run(spark, cfgRobots)
+    assert(canonLog(got.log.collect().toSeq) === canonLog(sim.log),
+      "parsed-robots budget crawl differs from simulator")
+  }
+
   test("parity holds on randomized configs (seeded, 5 draws)") {
     // feature interactions the fixed-config tests don't enumerate:
     // site subsets x selector shapes x maxPages x strictPerHost x

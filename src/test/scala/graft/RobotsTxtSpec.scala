@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.PolitenessBudget
+import graft.politeness.RobotsTxt
+
+/** RFC 9309-subset robots.txt parser: group selection, precedence,
+  * crawl-delay extraction, and the round-trip through the synthetic
+  * web's served texts. */
+class RobotsTxtSpec extends AnyFunSuite {
+
+  test("group selection: exact UA match beats *, foreign groups ignored") {
+    val text =
+      """# comment line
+        |User-agent: datahoover
+        |Disallow: /
+        |
+        |User-agent: graft
+        |Disallow: /private/
+        |
+        |User-agent: *
+        |Disallow: /everything/
+        |""".stripMargin
+    val r = RobotsTxt.parse(text, "graft")
+    assert(r.disallows === Seq("/private/"))
+    assert(r.permits("/public/x"))
+    assert(!r.permits("/private/x"))
+    // unknown agent falls back to '*'
+    val star = RobotsTxt.parse(text, "otherbot")
+    assert(star.disallows === Seq("/everything/"))
+    // UA matching is case-insensitive
+    assert(RobotsTxt.parse(text, "GRAFT").disallows === Seq("/private/"))
+  }
+
+  test("consecutive UA lines share one group; groups for same UA merge") {
+    val text =
+      """User-agent: graft
+        |User-agent: graft-image
+        |Disallow: /a/
+        |
+        |User-agent: graft
+        |Disallow: /b/
+        |""".stripMargin
+    assert(RobotsTxt.parse(text, "graft").disallows === Seq("/a/", "/b/"))
+    assert(RobotsTxt.parse(text, "graft-image").disallows === Seq("/a/"))
+  }
+
+  test("longest-match precedence, Allow wins length ties, empty Disallow = allow all") {
+    val text =
+      """User-agent: *
+        |Disallow: /docs/
+        |Allow: /docs/public/
+        |""".stripMargin
+    val r = RobotsTxt.parse(text)
+    assert(!r.permits("/docs/secret.pdf"))
+    assert(r.permits("/docs/public/report.pdf"))
+    assert(r.permits("/other/"))
+    // tie: Allow and Disallow same prefix -> allowed
+    val tie = RobotsTxt.parse(
+      "User-agent: *\nDisallow: /x/\nAllow: /x/\n")
+    assert(tie.permits("/x/y"))
+    // empty Disallow value is unrestricted
+    val empty = RobotsTxt.parse("User-agent: *\nDisallow:\n")
+    assert(empty.disallows.isEmpty && empty.permits("/anything"))
+  }
+
+  test("crawl-delay parsed; CRLF + inline comments + case-insensitive keys") {
+    val text =
+      "USER-AGENT: *\r\nDISALLOW: /admin/ # keep out\r\nCrawl-Delay: 2.5\r\n"
+    val r = RobotsTxt.parse(text)
+    assert(r.disallows === Seq("/admin/"))
+    assert(r.crawlDelaySec === Some(2.5))
+    // no robots at all -> permit everything
+    assert(RobotsTxt.parse("").permits("/anything"))
+  }
+
+  test("budgetOverrides: Crawl-delay becomes a strict per-host budget") {
+    val base = PolitenessBudget()
+    val robots = Map(
+      "slow.gov.br" -> "User-agent: *\nCrawl-delay: 5\n",
+      "normal.gov.br" -> "User-agent: *\nDisallow: /x/\n")
+    val out = RobotsTxt.budgetOverrides(robots, base)
+    assert(out === Map(
+      "slow.gov.br" -> base.copy(crawlDelayMs = 5000, burst = 1)))
+  }
+
+  test("round-trip: parsing the synthetic web's served robots.txt equals its rule map") {
+    graft.fetch.SyntheticWeb.robotsHosts.foreach { h =>
+      val parsed = RobotsTxt.parse(graft.fetch.SyntheticWeb.robotsTxt(h))
+      assert(parsed.disallows ===
+        graft.fetch.SyntheticWeb.robotsDisallow(h), s"host $h")
+      assert(parsed.allows.isEmpty)
+    }
+  }
+}
