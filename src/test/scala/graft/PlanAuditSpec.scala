@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gates: the scale-critical plan properties
+  * (scan pushdown, column pruning, broadcast of small sides, top-k
+  * window pushdown, no cartesian blowups) are asserted in CI, not just
+  * eyeballed in ExplainMain output — a refactor that silently drops
+  * one of them fails here before it costs anything at scale. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def plan(name: String): String =
+    formatted(SparkEntry.queries(name)(spark, sf))
+
+  test("q06: filters are pushed into the parquet scan; scan reads only needed columns") {
+    val p = plan("q06_filtered_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filters in:\n$p")
+    // projection pruning: the lineitem scan must not read all 16 cols
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = readSchema.split(",").length
+    assert(cols <= 4, s"scan reads $cols columns, expected <=4: $readSchema")
+  }
+
+  test("q19: the filtered manifest side is broadcast, not shuffled") {
+    val p = plan("q19_manifest_join")
+    assert(p.contains("BroadcastHashJoin"), s"manifest join not broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal)"),
+      "manifest filter not pushed to scan")
+  }
+
+  test("q36 top-k: ranking window uses WindowGroupLimit pushdown; query side broadcast") {
+    val p = plan("q36_knn_top5")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k filter not pushed below the window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "small query side not broadcast")
+  }
+
+  test("q03 top-n: global order+limit plans as TakeOrderedAndProject, no global sort") {
+    val p = plan("q03_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-n not pushed:\n$p")
+  }
+
+  test("robots anti-join stays broadcast (frontier never shuffles for robots)") {
+    import spark.implicits._
+    val raw = graft.jobs.CrawlJob.harvest(spark,
+      graft.queries.CrawlQueries.demoConfig,
+      graft.frontier.SeedExpansion.expand(
+        graft.queries.CrawlQueries.demoConfig))
+    val p = formatted(
+      graft.jobs.CrawlJob.buildFrontier(spark, raw).toDF())
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"robots filter is not a broadcast anti-join:\n$p")
+  }
+}
