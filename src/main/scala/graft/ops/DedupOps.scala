@@ -45,6 +45,32 @@ object DedupOps {
     }
   }
 
+  /** Word n-gram hash set (n consecutive whitespace tokens),
+    * lowercased, sorted + distinct — the token-level alternative to
+    * character [[shingles]] (catches reorder/near-copy at phrase
+    * granularity; insensitive to intra-token edits). */
+  def wordNgrams(text: String, n: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array(Hashing.xxh64(toks.mkString(" ")))
+    else {
+      val m = toks.length - n + 1
+      val all = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        all(i) = Hashing.xxh64(toks.slice(i, i + n).mkString(" "))
+        i += 1
+      }
+      java.util.Arrays.sort(all)
+      var w = 1
+      i = 1
+      while (i < m) {
+        if (all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+        i += 1
+      }
+      if (w == m) all else java.util.Arrays.copyOf(all, w)
+    }
+  }
+
   /** Exact Jaccard similarity of two documents' shingle sets. */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0
@@ -88,13 +114,32 @@ object DedupOps {
     sig
   }
 
-  /** MinHash-LSH near-duplicate pairs.
+  /** MinHash-LSH near-duplicate pairs over character k-shingles.
     * @param df (id BIGINT, text STRING)
     * @return (id_a, id_b, jaccard) with id_a < id_b and
     *         jaccard ≥ threshold, exact-verified. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    lshJaccardPairs(df, idCol, textCol, shingles(_, shingleK),
+      numHashes, bands, threshold)
+
+  /** Word n-gram Jaccard near-duplicate pairs: same
+    * signature→band→verify dataflow, over [[wordNgrams]] sets —
+    * phrase-granular duplicate detection with ~one set element per
+    * TOKEN instead of one per character (≈8× smaller sets and
+    * signatures than char shingles at the same corpus, the standard
+    * trade for long documents). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame =
+    lshJaccardPairs(df, idCol, textCol, wordNgrams(_, n),
+      numHashes, bands, threshold)
+
+  /** Shared MinHash-LSH dataflow, parameterized by the set builder. */
+  private def lshJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, shingler: String => Array[Long],
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -108,7 +153,7 @@ object DedupOps {
     // multiples of the input to executor disk — recomputing a
     // map-side UDF is the cheaper, bounded choice (and leaves nothing
     // pinned across calls).
-    val shUdf = udf((t: String) => shingles(t, shingleK))
+    val shUdf = udf((t: String) => shingler(t))
     val prep = df
       .select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
     val sigUdf = udf((sh: Seq[Long]) => minhash(sh.toArray, numHashes))

@@ -83,6 +83,10 @@ object OpsQueries {
       DedupOps.simhashPairs(withPlantedDupes(s, dir), "doc_id", "text",
         maxDist = 3)),
 
+    "dedup_ngram_pairs" -> ((s: SparkSession, dir: String) =>
+      DedupOps.ngramJaccardPairs(withPlantedDupes(s, dir), "doc_id",
+        "text", n = 2, threshold = 0.5)),
+
     "dedup_embedding_pairs" -> ((s: SparkSession, dir: String) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       // plant near-identical copies: same vector, id offset
@@ -112,15 +116,18 @@ object OpsQueries {
     // token legitimately moves short docs past hamming 3; its planted
     // recovery is pinned in OpsSpec instead.)
     "dedup_planted_text" -> ((s: SparkSession, dir: String) => {
-      val pairs = DedupOps
-        .minhashPairs(withPlantedDupes(s, dir), "doc_id", "text",
-          threshold = 0.5)
+      val planted = withPlantedDupes(s, dir)
+      def hits(pairs: DataFrame, as: String): DataFrame = pairs
         .filter(col("id_b") === col("id_a") + 1000000L)
-        .select(col("id_a").as("doc_id"), lit(true).as("found"))
+        .select(col("id_a").as("doc_id"), lit(true).as(as))
       docs(s, dir).orderBy("doc_id").limit(20).select(col("doc_id"))
-        .join(pairs, Seq("doc_id"), "left_outer")
+        .join(hits(DedupOps.minhashPairs(planted, "doc_id", "text",
+          threshold = 0.5), "mh"), Seq("doc_id"), "left_outer")
+        .join(hits(DedupOps.ngramJaccardPairs(planted, "doc_id", "text",
+          n = 2, threshold = 0.5), "ng"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          coalesce(col("found"), lit(false)).as("minhash_found"))
+          coalesce(col("mh"), lit(false)).as("minhash_found"),
+          coalesce(col("ng"), lit(false)).as("ngram_found"))
         .orderBy("doc_id")
     }),
 
@@ -170,8 +177,10 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // word-bigram mutation adds ~2 of ~T ngrams -> jaccard near 1:
+    // all-true is structural for BOTH jaccard families
     "dedup_planted_text" ->
-      """SELECT doc_id, true AS minhash_found
+      """SELECT doc_id, true AS minhash_found, true AS ngram_found
         |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
         |ORDER BY doc_id""".stripMargin,
     "dedup_planted_embedding" ->

@@ -62,6 +62,35 @@ class OpsSpec extends AnyFunSuite {
       s"missed planted simhash pairs: ${expected -- found}")
   }
 
+  test("word n-gram Jaccard finds planted near-dups; sets are token-granular") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val planted = docs.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", $"doc_id" + lit(1000000L))
+      .withColumn("text", concat($"text", lit(" documento duplicado")))
+    val pairs = DedupOps.ngramJaccardPairs(docs.unionByName(planted),
+      "doc_id", "text", n = 2, threshold = 0.5)
+    val hits = pairs.collect()
+      .filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(hits.length === 20, "every planted copy re-found via bigrams")
+    // reported jaccard really is the word-bigram set similarity
+    hits.take(3).foreach { r =>
+      val a = docs.filter($"doc_id" === r.getLong(0))
+        .select("text").collect()(0).getString(0)
+      val exp = DedupOps.jaccard(DedupOps.wordNgrams(a, 2),
+        DedupOps.wordNgrams(a + " documento duplicado", 2))
+      assert(math.abs(r.getDouble(2) - exp) < 1e-5)
+    }
+    // token granularity: ~one set element per token, not per char
+    val t = "um dois tres quatro cinco"
+    assert(DedupOps.wordNgrams(t, 2).length === 4)
+    assert(DedupOps.wordNgrams("curto", 2).length === 1) // < n tokens
+    assert(DedupOps.shingles(t, 5).length > 15)
+  }
+
   test("jaccard + shingles basics") {
     val a = DedupOps.shingles("the quick brown fox", 5)
     assert(DedupOps.jaccard(a, a) === 1.0)
