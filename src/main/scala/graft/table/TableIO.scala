@@ -209,6 +209,70 @@ object TableIO {
       snap
     }
 
+  /** Re-open periods for refetch (the reference's revised-data
+    * workflow: a government portal republishes a month, the crawler
+    * must re-download it — file deletion in the reference, a seen-set
+    * eviction here). Commits a compaction-style snapshot whose data
+    * EXCLUDES the given (site, year, month) partitions and whose seen
+    * set excludes those partitions' urlHashes, so the next resumable
+    * run refetches exactly those periods and skips everything else.
+    * No-op (None) on an empty table. */
+  def invalidatePeriods(spark: SparkSession, dir: String,
+      periods: Set[(String, Int, Int)]): Option[Snapshot] =
+    currentSnapshot(dir).map { parent =>
+      import spark.implicits._
+      val version = parent.version + 1
+      val dataDirName = f"data/v$version%05d"
+      val seenDirName = f"seen/v$version%05d"
+      val all = readImages(spark, dir)
+      val dropped = spark.sparkContext.broadcast(periods)
+      val keepPred = (site: String, y: Int, m: Int) =>
+        !dropped.value.contains((site, y, m))
+      val keepUdf = udf(keepPred)
+      val kept = all.filter(keepUdf($"site", $"year", $"month"))
+      val droppedHashes = all
+        .filter(!keepUdf($"site", $"year", $"month"))
+        .select($"urlHash".as[Long])
+      val hasImages = parent.dataDirs.nonEmpty && !kept.isEmpty
+      if (hasImages)
+        kept.write.mode(SaveMode.Overwrite)
+          .partitionBy("site", "year", "month")
+          .parquet(s"$dir/$dataDirName")
+      val newSeen = readSeen(spark, dir).toDF("urlHash")
+        .join(droppedHashes.toDF("dh"), col("urlHash") === col("dh"),
+          "left_anti")
+      val hasSeen = parent.seenDirs.nonEmpty && !newSeen.isEmpty
+      if (hasSeen)
+        newSeen.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/$seenDirName")
+      val parts =
+        if (!hasImages) Seq.empty[PartitionMeta]
+        else spark.read.parquet(s"$dir/$dataDirName")
+          .groupBy($"site", $"year", $"month")
+          .agg(count(lit(1)).as("rows"),
+            sum(length($"bytes")).cast("long").as("bytes"))
+          .collect()
+          .map(r => PartitionMeta(r.getString(0), r.getInt(1), r.getInt(2),
+            r.getLong(3), r.getLong(4)))
+          .sortBy(p => (p.site, p.year, p.month))
+          .toSeq
+      val runId = f"invalidate-v$version%05d"
+      val snap = Snapshot(
+        version,
+        if (hasImages) Seq(dataDirName) else Nil,
+        if (hasSeen) Seq(seenDirName) else Nil,
+        parts,
+        parts.map(_.rows).sum,
+        Lineage(runId, parent.version,
+          periods.toSeq.sorted.map(p => s"${p._1}/${p._2}/${p._3}"),
+          s"re-opened ${periods.size} periods for refetch"),
+        runIds = chainRunIds(dir, parent) :+ runId)
+      atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
+      atomicWrite(hintPath(dir), version.toString)
+      snap
+    }
+
   private def deleteRec(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val children = Files.list(p)

@@ -52,6 +52,47 @@ class ResumableCrawlSpec extends AnyFunSuite {
     assert(canon(log2.toSeq) === canon(ref.log.collect().toSeq))
   }
 
+  test("invalidatePeriods re-opens a revised month: only it refetches, table converges") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-invalidate").toString
+    val (r1, _) = CrawlJob.runResumable(spark, cfg, dir, "run-1")
+    val fullImages = r1.images.collect()
+      .map(i => (i.image_id, i.site, i.phash)).toSet
+    val monthTwoHashes = r1.log.collect()
+      .filter(e => e.month == 2 && e.status == CrawlStatus.Success)
+      .map(_.urlHash).toSet
+    assert(monthTwoHashes.nonEmpty, "month 2 must have successes")
+
+    // the portal republished month 2 -> re-open BOTH sites' month 2
+    val reopened = cfg.sites.map(s => (s, 2024, 2)).toSet
+    val snap = graft.table.TableIO
+      .invalidatePeriods(spark, dir, reopened).get
+    assert(snap.lineage.runId.startsWith("invalidate-"))
+    // seen set no longer contains month-2 hashes; table dropped month 2
+    val seenAfter = graft.table.TableIO.readSeen(spark, dir).collect().toSet
+    assert((seenAfter & monthTwoHashes).isEmpty)
+    assert(graft.table.TableIO.readImages(spark, dir)
+      .filter(col("month") === 2).count() === 0)
+
+    // next resumable run refetches EXACTLY month 2
+    val (r2, _) = CrawlJob.runResumable(spark, cfg, dir, "run-2")
+    val log2 = r2.log.collect()
+    assert(log2.filter(_.month == 2)
+      .forall(_.status != CrawlStatus.Skipped), "month 2 must refetch")
+    assert(log2.filter(e => e.month != 2 &&
+        CrawlJob.seenFrom(r1.log).collect().toSet.contains(e.urlHash))
+      .forall(_.status == CrawlStatus.Skipped),
+      "other committed months must stay skipped")
+    // final table equals the original uninterrupted crawl
+    val gotImages = graft.table.TableIO.readImages(spark, dir)
+      .select("image_id", "site", "phash").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotImages === fullImages)
+    // replay idempotence index survived the invalidation commit
+    assert(graft.table.TableIO.committedRunIds(dir)
+      .contains("run-1"))
+  }
+
   test("strict per-host mode flows through the resumable (flagged) path") {
     val dir = Files.createTempDirectory("graft-resume-strict").toString
     val strictCfg = cfg.copy(strictPerHost = true)
