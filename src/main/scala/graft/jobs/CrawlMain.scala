@@ -6,11 +6,18 @@ import graft.model._
 
 /** CLI entry: run the demo crawl resumably into an Iceberg-style table.
   *
-  * {{{ sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table [runId]" }}}
+  * {{{
+  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table [runId] [strict]"
+  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table compact"
+  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table expire"
+  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table invalidate <site> <year> <month>"
+  * }}}
   *
-  * Running it twice against the same table demonstrates checkpointed
-  * resume: the second run's log is all `skipped` and the table gains
-  * no rows.
+  * Running the crawl twice against the same table demonstrates
+  * checkpointed resume: the second run's log is all `skipped` and the
+  * table gains no rows. `compact`/`expire` are the table-maintenance
+  * commands; `invalidate` re-opens one period for refetch (the
+  * revised-data workflow).
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
@@ -29,6 +36,30 @@ object CrawlMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    runId match {
+      case "compact" =>
+        graft.table.TableIO.compact(spark, tableDir) match {
+          case Some(s) => println(s"[crawl] compacted -> v${s.version} " +
+            s"(${s.dataDirs.size} data dir, ${s.seenDirs.size} seen dir)")
+          case None => println("[crawl] nothing to compact")
+        }
+        spark.stop(); return
+      case "expire" =>
+        graft.table.TableIO.expire(tableDir)
+        println(s"[crawl] expired superseded/orphaned dirs under $tableDir")
+        spark.stop(); return
+      case "invalidate" if args.length >= 5 =>
+        val period = (args(2), args(3).toInt, args(4).toInt)
+        graft.table.TableIO.invalidatePeriods(spark, tableDir,
+            Set(period)) match {
+          case Some(s) =>
+            println(s"[crawl] re-opened $period -> v${s.version}")
+          case None => println("[crawl] empty table, nothing to invalidate")
+        }
+        spark.stop(); return
+      case _ => ()
+    }
 
     // optional trailing arg "strict": per-host (not per-site-process)
     // politeness domains
