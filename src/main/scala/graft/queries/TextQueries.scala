@@ -40,6 +40,26 @@ object TextQueries {
         .orderBy($"h")
     }),
 
+    // ---- the corpus-curation PIPELINE as one oracle-checked query:
+    //      min-text filter (P4) → exact content dedup keep-first (D1
+    //      semantics on documents) → per-source corpus report. Every
+    //      stage is deterministic + SQL-expressible, so DuckDB verifies
+    //      the operator COMPOSITION end-to-end, not just each stage.
+    "q47_pipeline_curation" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy(md5($"text".cast("binary")))
+        .orderBy($"doc_id")
+      t(s, dir, "documents")
+        .filter(length($"text") >= 100)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " "))).cast("long").as("tokens"),
+          round(avg(length($"text")), 4).as("avg_chars"))
+        .orderBy($"source")
+    }),
+
     // ---- token counting (whitespace tokenizer) per language
     "q31_token_stats" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -122,6 +142,14 @@ object TextQueries {
     "q30_doc_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_pipeline_curation" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        | round(avg(length(text)), 4) AS avg_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |        ORDER BY doc_id) AS rn
+        |      FROM documents WHERE length(text) >= 100)
+        |WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_token_stats" ->
       """SELECT lang,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks,
