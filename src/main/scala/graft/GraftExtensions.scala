@@ -37,5 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("url_host"),
       info("url_host", "url_host(url) - lowercased host of the URL"),
       unary("url_host")(UrlExpressions.UrlHost(_))))
+    ext.injectFunction((FunctionIdentifier("vec_dot_f32"),
+      info("vec_dot_f32",
+        "vec_dot_f32(a, b) - dot product of two float arrays " +
+          "(double accumulation, codegen)"),
+      { exprs =>
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"vec_dot_f32 requires exactly 2 arguments, got ${exprs.length}")
+        graft.functions.VecExpressions.FloatVecDot(exprs(0), exprs(1))
+      }))
   }
 }

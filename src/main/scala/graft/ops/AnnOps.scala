@@ -80,30 +80,20 @@ object AnnOps {
   @inline private def bucketKey(table: Int, sketch: Long): Long =
     (table.toLong << 56) | sketch
 
-  /** Codegen'd dot product over two float-array columns — the same
-    * sequential double fold as [[dot]] (bit-identical), kept inside
-    * whole-stage codegen instead of a UDF boxing round-trip. */
-  private def dotCol(x: org.apache.spark.sql.Column,
-      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Codegen'd vector norm (IEEE sqrt of [[dotCol]] — bit-equal to
-    * [[norm]]). Computed ONCE PER ROW on each side of a top-k join, so
-    * the per-PAIR scoring work is a single dot product instead of the
-    * three full passes a self-contained cosine would pay. */
+  /** Dot/norm/cosine columns: the NATIVE codegen expression
+    * ([[graft.functions.VecExpressions.FloatVecDot]] — higher-order
+    * `zip_with`+`aggregate` would be CodegenFallback and break the
+    * projection's whole-stage span). Norms are computed ONCE PER ROW on
+    * each side of a top-k join, so the per-PAIR scoring work is a
+    * single generated dot-product loop. Bit-equal to [[cosine]]. */
   private def normCol(x: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = sqrt(dotCol(x, x))
+      : org.apache.spark.sql.Column =
+    graft.functions.VecExpressions.vec_norm(x)
 
-  /** Cosine from a per-pair dot and precomputed per-side norms;
-    * bit-equal to [[cosine]] (same operation order). */
   private def cosineFromNorms(qv: org.apache.spark.sql.Column,
       cv: org.apache.spark.sql.Column, qn: org.apache.spark.sql.Column,
-      cn: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val d = qn * cn
-    when(d === 0.0, lit(0.0)).otherwise(dotCol(qv, cv) / d)
-  }
+      cn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VecExpressions.vec_cosine(qv, cv, qn, cn)
 
   /** Exact cosine top-k: for each query vector, the k nearest
     * candidates (ties broken by candidate id — fully deterministic). */
