@@ -264,17 +264,21 @@ object DedupOps {
       (0 until tables).map(t =>
         (t.toLong << 56) | AnnOps.signSketch(a, planes, t)).toArray
     })
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-      AnnOps.cosine(a.toArray, b.toArray))
+    // norms once per ROW map-side; the per-PAIR verify is then a single
+    // native codegen dot product (VecExpressions.FloatVecDot)
     val sk = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", graft.functions.VecExpressions.vec_norm($"vec"))
       .withColumn("sketch", explode(sketchUdf($"vec")))
     val cand = sk.as("l").join(sk.as("r"),
         col("l.sketch") === col("r.sketch") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("vec_a"), col("r.vec").as("vec_b"))
+        col("l.vec").as("vec_a"), col("r.vec").as("vec_b"),
+        col("l.nrm").as("nrm_a"), col("r.nrm").as("nrm_b"))
       // a pair can collide in several tables — dedup on ids only
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("cosine", round(cosUdf($"vec_a", $"vec_b"), 6))
+    cand.withColumn("cosine",
+        round(graft.functions.VecExpressions.vec_cosine(
+          $"vec_a", $"vec_b", $"nrm_a", $"nrm_b"), 6))
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
       .orderBy($"id_a", $"id_b")
