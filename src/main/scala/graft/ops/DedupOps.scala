@@ -25,15 +25,34 @@ object DedupOps {
   /** Character k-shingle hash set of a document (lowercased,
     * whitespace-collapsed), returned sorted + distinct. Primitive
     * array + sort + in-place dedup — no boxing, no tree: this runs
-    * once per document per stage on the corpus hot path. */
+    * once per document per stage on the corpus hot path.
+    *
+    * ASCII documents (the overwhelming mass of a web corpus) take an
+    * allocation-free path: the normalized text is UTF-8-encoded ONCE
+    * and every window hashes a byte RANGE ([[Hashing.xxh64Range]]) —
+    * byte offsets equal char offsets, so the hashes are bit-identical
+    * to the substring form, without the two allocations per window
+    * that made shingling allocator-bound. Non-ASCII falls back to the
+    * substring path (identical results by construction). */
   def shingles(text: String, k: Int): Array[Long] = {
     val t = text.toLowerCase.replaceAll("\\s+", " ")
     if (t.length < k) Array(Hashing.xxh64(t))
     else {
       val n = t.length - k + 1
       val all = new Array[Long](n)
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var i = 0
-      while (i < n) { all(i) = Hashing.xxh64(t.substring(i, i + k)); i += 1 }
+      if (bytes.length == t.length) {
+        while (i < n) {
+          all(i) = Hashing.xxh64Range(bytes, i, k, Hashing.SparkSeed)
+          i += 1
+        }
+      } else {
+        while (i < n) {
+          all(i) = Hashing.xxh64(t.substring(i, i + k))
+          i += 1
+        }
+      }
       java.util.Arrays.sort(all)
       var w = 1
       i = 1
@@ -96,6 +115,29 @@ object DedupOps {
         (Hashing.mix(0x5EEDL, i.toLong * 2 + 1) | 1L,
           Hashing.mix(0x5EEDL, i.toLong * 2 + 2))).toArray)
 
+  /** Banded MinHash bucket keys of one document — shingle → signature
+    * → per-band key FUSED in one pass: a chained shUdf→sigUdf→bandUdf
+    * pipeline paid three Catalyst↔JVM array conversions (boxing 1k+
+    * longs per document per crossing) plus a string build per band,
+    * which dominated the whole signature stage at corpus scale. Band
+    * key = splitmix fold of the band's signature rows (salted by band
+    * index), primitive end to end. */
+  def bandKeys(text: String, shingler: String => Array[Long],
+      numHashes: Int, bands: Int): Array[Long] = {
+    val sig = minhash(shingler(text), numHashes)
+    val rowsPer = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Hashing.mix(0xBAD5EEDL + b)
+      var j = b * rowsPer
+      while (j < (b + 1) * rowsPer) { h = Hashing.mix(h ^ sig(j)); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
   /** MinHash signature of a shingle set. */
   def minhash(sh: Array[Long], numHashes: Int): Array[Long] = {
     val params = hashParams(numHashes)
@@ -143,41 +185,101 @@ object DedupOps {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPer = numHashes / bands
-    // shingle arrays are computed per document, never per PAIR: the
-    // signature stage and the two verify joins each derive `prep`
-    // map-side (3 shingle passes over the corpus total) and the
-    // exact-Jaccard verify is a merge-intersect over candidate pairs'
-    // arrays. Deliberately NOT persisted: the sorted hash array is
-    // ~8x the text size, so at corpus scale caching it would spill
-    // multiples of the input to executor disk — recomputing a
+    // shingle arrays are computed per document, never per PAIR: one
+    // full-corpus pass feeds the signature stage map-side; the verify
+    // stage recomputes arrays for CANDIDATE documents only (see the
+    // semi-join below). Deliberately NOT persisted: the sorted hash
+    // array is ~8x the text size, so at corpus scale caching it would
+    // spill multiples of the input to executor disk — recomputing a
     // map-side UDF is the cheaper, bounded choice (and leaves nothing
     // pinned across calls).
-    val shUdf = udf((t: String) => shingler(t))
-    val prep = df
-      .select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
-    val sigUdf = udf((sh: Seq[Long]) => minhash(sh.toArray, numHashes))
-    val bandUdf = udf((sig: Seq[Long]) =>
-      (0 until bands).map(b => Hashing.xxh64(
-        s"$b|" + sig.slice(b * rowsPer, (b + 1) * rowsPer)
-          .mkString(","))).toArray)
-    val banded = prep
-      .withColumn("bandHash", explode(bandUdf(sigUdf($"sh"))))
-      .select($"id", $"bandHash")
-    // candidate pairs: ids sharing any band bucket
+    val bandsUdf = udf((t: String) =>
+      bandKeys(t, shingler, numHashes, bands))
+    // the signature pass output, materialized once (eager
+    // localCheckpoint): Spark plans are trees, so the self-join below
+    // would otherwise run the WHOLE shingle→minhash pass twice (once
+    // per side — exchange reuse does not fire across the self-join's
+    // realiased subtrees, verified in the event log). (id, bandHash)
+    // rows are 16 bytes × bands per doc — storing them beats 2x the
+    // dominant CPU stage at any scale (MEMORY_AND_DISK; spills, never
+    // OOMs).
+    val banded = df
+      .select(col(idCol).as("id"),
+        explode(bandsUdf(col(textCol))).as("bandHash"))
+      .localCheckpoint(true)
+    // candidate pairs: ids sharing any band bucket. MATERIALIZED once
+    // (eager localCheckpoint): the pair table is referenced five times
+    // downstream (the join chain plus two scans per candIds branch),
+    // and Spark plans are trees — without truncating the lineage every
+    // reference re-ran the whole signature pass over the corpus
+    // (profiled: ~5x the signature cost, the dominant term at 300k
+    // docs). Candidates are the SMALL intermediate (≪ corpus rows,
+    // two BIGINTs each), exactly what should be pinned; the blocks are
+    // freed by the ContextCleaner when the result goes unreachable.
     val l = banded.as("l")
     val r = banded.as("r")
     val cand = l.join(r, col("l.bandHash") === col("r.bandHash") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    // exact verify on candidates only, over the precomputed arrays
-    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-      jaccard(a.toArray, b.toArray))
-    cand
-      .join(prep.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
-      .join(prep.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", round(jacUdf($"sh_a", $"sh_b"), 6))
+      .localCheckpoint(true)
+    // Exact verify on candidates only. Two scale rules, both measured
+    // on multi-executor runs:
+    //  1. shrink FIRST: semi-join the corpus down to ids that appear
+    //     in some candidate pair before computing/shuffling shingle
+    //     arrays — candidates ≪ corpus, so the verify stage's shuffle
+    //     carries O(candidate) arrays, not every document's (the
+    //     all-rows join was shuffle-I/O-bound: 1 and 4 executors took
+    //     the SAME wall time moving ~GBs of arrays);
+    //  2. never broadcast the array side: its logical estimate is a
+    //     few bytes/row (the planner can't see the arrays a UDF
+    //     adds — ~8x the text), so the static planner would build a
+    //     multi-hundred-MB hash relation and ship it to EVERY
+    //     executor, which anti-scales with cluster size (measured:
+    //     4 executors 2x SLOWER than 1, and 1-GiB executors die
+    //     building it). The merge hint forces the shuffle join.
+    val candIds = cand.select($"id_a".as("id"))
+      .union(cand.select($"id_b".as("id"))).distinct()
+    // candidate TEXTS materialized once (eager localCheckpoint, ~the
+    // candidate fraction of the corpus). Two measured lessons shape
+    // the verify stage:
+    //  - ship texts, not shingle arrays: the sorted hash array is
+    //    ~8.5x the text, and moving arrays through the checkpoint +
+    //    two join shuffles made the verify tail shuffle-I/O-bound
+    //    (1 and 4 executors at the same wall time);
+    //  - materialize, don't recompute: left lazy, per-row UDFs get
+    //    woven into the join's sort/merge machinery and re-evaluate
+    //    far beyond once per row (profiled at ~80x expected CPU).
+    // The exact Jaccard is then computed per ASSEMBLED PAIR — each
+    // candidate doc is shingled ~once per pair it appears in, bounded
+    // by the candidate count, never by the corpus.
+    val prepCand = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val jacTextUdf = udf((ta: String, tb: String) =>
+      jaccard(shingler(ta), shingler(tb)))
+    // join shape picked by the MEASURED candidate count (cand is
+    // materialized, so counting is free): when the pair table is
+    // broadcastable, side A attaches by broadcasting PAIRS into the
+    // text stream — texts never shuffle for that side; a huge
+    // candidate set (pathological near-dup mass) falls back to two
+    // shuffle merge joins.
+    val candSmall = cand.count() <= 5000000L
+    val out =
+      if (candSmall)
+        prepCand.join(broadcast(cand), $"id" === $"id_a")
+          .select($"id_a", $"id_b", $"text".as("text_a"))
+          .hint("merge")
+          .join(prepCand.select($"id".as("id_b"), $"text".as("text_b"))
+            .hint("merge"), Seq("id_b"))
+      else
+        cand
+          .join(prepCand.select($"id".as("id_a"), $"text".as("text_a"))
+            .hint("merge"), Seq("id_a"))
+          .join(prepCand.select($"id".as("id_b"), $"text".as("text_b"))
+            .hint("merge"), Seq("id_b"))
+    out
+      .withColumn("jaccard", round(jacTextUdf($"text_a", $"text_b"), 6))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")

@@ -38,16 +38,27 @@ object Hashing {
     (b(i) & 0xffL) | (b(i + 1) & 0xffL) << 8 | (b(i + 2) & 0xffL) << 16 |
       (b(i + 3) & 0xffL) << 24
 
-  def xxh64(bytes: Array[Byte], seed: Long): Long = {
-    val len = bytes.length
+  def xxh64(bytes: Array[Byte], seed: Long): Long =
+    xxh64Range(bytes, 0, bytes.length, seed)
+
+  /** xxh64 over `bytes[from, from+len)` — bit-equal to hashing a copy
+    * of the range, without allocating one. The shingling hot path
+    * hashes ~|text| overlapping windows per document; with this the
+    * whole document is encoded ONCE and every window hash is
+    * allocation-free (the substring+getBytes form allocated two
+    * objects per window and bounded dedup throughput on the
+    * allocator, not the ALU). */
+  def xxh64Range(bytes: Array[Byte], from: Int, len: Int,
+      seed: Long): Long = {
+    val end = from + len
     var h: Long = 0L
-    var i = 0
+    var i = from
     if (len >= 32) {
       var v1 = seed + P1 + P2
       var v2 = seed + P2
       var v3 = seed
       var v4 = seed - P1
-      while (i <= len - 32) {
+      while (i <= end - 32) {
         v1 = round(v1, read8(bytes, i))
         v2 = round(v2, read8(bytes, i + 8))
         v3 = round(v3, read8(bytes, i + 16))
@@ -61,15 +72,15 @@ object Hashing {
       h = seed + P5
     }
     h += len
-    while (i <= len - 8) {
+    while (i <= end - 8) {
       h = rotl(h ^ round(0L, read8(bytes, i)), 27) * P1 + P4
       i += 8
     }
-    if (i <= len - 4) {
+    if (i <= end - 4) {
       h = rotl(h ^ (read4(bytes, i) * P1), 23) * P2 + P3
       i += 4
     }
-    while (i < len) {
+    while (i < end) {
       h = rotl(h ^ ((bytes(i) & 0xffL) * P5), 11) * P1
       i += 1
     }

@@ -91,6 +91,25 @@ class OpsSpec extends AnyFunSuite {
     assert(DedupOps.shingles(t, 5).length > 15)
   }
 
+  test("shingle fast path (byte ranges) is bit-identical to the substring form") {
+    val rnd = new scala.util.Random(7)
+    def substrShingles(text: String, k: Int): Array[Long] = {
+      val t = text.toLowerCase.replaceAll("\\s+", " ")
+      if (t.length < k) Array(graft.url.Hashing.xxh64(t))
+      else (0 until t.length - k + 1)
+        .map(i => graft.url.Hashing.xxh64(t.substring(i, i + k)))
+        .distinct.sorted.toArray
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "São João do Acaraú — análise orçamentária nº 42", // non-ASCII path
+      "short",
+      (1 to 200).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    for (s <- samples; k <- Seq(3, 5, 9))
+      assert(DedupOps.shingles(s, k).toSeq === substrShingles(s, k).toSeq,
+        s"k=$k text=$s")
+  }
+
   test("jaccard + shingles basics") {
     val a = DedupOps.shingles("the quick brown fox", 5)
     assert(DedupOps.jaccard(a, a) === 1.0)
