@@ -45,6 +45,17 @@ object SyntheticWeb {
     "portal-antigo.saude.mg.gov.br" -> Seq("/private/", "/admin/"),
     "aplicacoes.mds.gov.br" -> Seq("/private/", "/interno/"))
 
+  /** `Allow` carve-outs UNDER disallowed prefixes (RFC 9309 §2.2.2
+    * longest-match precedence): `/private/liberado/` is crawlable even
+    * though `/private/` is not — the rule shape real robots.txt files
+    * use constantly (`Allow: /docs/public/` under `Disallow: /docs/`).
+    * The synthetic web routes a slice of its private links here so
+    * over-blocking (ignoring Allow) is a measured parity failure, not
+    * a silent one. */
+  val robotsAllow: Map[String, Seq[String]] = Map(
+    "portal-antigo.saude.mg.gov.br" -> Seq("/private/liberado/"),
+    "aplicacoes.mds.gov.br" -> Seq("/private/liberado/"))
+
   val robotsHosts: Seq[String] = robotsDisallow.keys.toSeq.sorted
 
   /** The robots.txt TEXT a host serves — the engine PARSES this
@@ -58,8 +69,16 @@ object SyntheticWeb {
     sb.append("User-agent: *\n")
     robotsDisallow.getOrElse(host, Nil)
       .foreach(p => sb.append("Disallow: ").append(p).append('\n'))
+    robotsAllow.getOrElse(host, Nil)
+      .foreach(p => sb.append("Allow: ").append(p).append('\n'))
     sb.toString
   }
+
+  /** Parsed rules per host — the single robots truth both the
+    * simulator and the distributed filter derive from. */
+  lazy val parsedRobots: Map[String, graft.politeness.RobotsTxt.Rules] =
+    robotsHosts.map(h =>
+      h -> graft.politeness.RobotsTxt.parse(robotsTxt(h))).toMap
 
   def disallowed(host: String, url: String): Boolean = {
     val path = {
@@ -71,7 +90,7 @@ object SyntheticWeb {
         if (s < 0) "/" else rest.substring(s)
       }
     }
-    robotsDisallow.getOrElse(host, Nil).exists(path.startsWith)
+    !parsedRobots.get(host).forall(_.permits(path))
   }
 
   /** The seed listing URL for one (site, year, month[, municipality])
@@ -149,7 +168,9 @@ object SyntheticWeb {
     *  - ~12%: duplicate of a link from an earlier page (keep-first
     *    dedup exercise, portal_saude_mg.py:416-423)
     *  - ~10%: empty title (dropped by P1, :404)
-    *  - ~6%: robots-disallowed path
+    *  - ~6%: path under `/private/` — ~4% robots-disallowed, ~2% in
+    *    the Allow-carved `/private/liberado/` subtree (crawlable;
+    *    exercises RFC 9309 Allow precedence end-to-end)
     *  - href shape varies: absolute / host-relative / path-relative /
     *    dot-relative (urljoin exercise, :509)
     */
@@ -173,7 +194,13 @@ object SyntheticWeb {
       val docId = srcP * 100 + srcJ
       val rr = Hashing.mix(k, srcP * 1000L + srcJ)
       val priv = Hashing.draw(rr, 4, 100) < 6
-      val dir = if (priv) "private" else "files"
+      // a third of private links land in the Allow-carved
+      // /private/liberado/ subtree — robots-crawlable despite the
+      // /private/ disallow (longest-match precedence)
+      val dir =
+        if (!priv) "files"
+        else if (Hashing.draw(rr, 12, 3) == 0) "private/liberado"
+        else "private"
       val ext = Seq("png", "jpeg", "bmp")(Hashing.draw(rr, 5, 3))
       val path = f"/$dir$munDir/$year/$month%02d/res-$docId.$ext"
       val href = Hashing.draw(r, 6, 4) match {

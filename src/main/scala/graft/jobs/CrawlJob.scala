@@ -89,20 +89,22 @@ object CrawlJob {
   def buildFrontier(spark: SparkSession,
       raw: Dataset[FrontierEntry]): Dataset[ScheduledEntry] = {
     import spark.implicits._
-    // robots rules as a BROADCAST dimension (host, disallowed path
-    // prefix) anti-joined against the frontier — no per-row UDF, the
-    // whole filter stays in codegen (parse_url + startswith), and real
-    // robots.txt rule sets (millions of hosts) would arrive as a table
-    // exactly like this instead of a closure-captured map. The rows
-    // come from PARSING each host's served robots.txt text
-    // (RobotsTxt.parse, RFC 9309 group selection + precedence); the
-    // synthetic rule sets are allow-free plain prefixes, so the
-    // prefix anti-join realizes Rules.permits exactly.
+    // robots rules as a BROADCAST dimension: one row per host carrying
+    // its rule array (prefix, isAllow) — PARSED from the host's served
+    // robots.txt (RobotsTxt.parse, RFC 9309 group selection). Real
+    // rule sets (millions of hosts) would arrive as a table exactly
+    // like this instead of a closure-captured map. The filter is a
+    // broadcast hash join on host + the native codegen
+    // `robots_permits` expression, which realizes FULL §2.2.2
+    // precedence (longest match, Allow wins ties) — an anti-join on
+    // disallow prefixes alone would over-block `Allow: /x/y/` carved
+    // under `Disallow: /x/`. Hosts without a rules row (outer join →
+    // null array) default to permitted, per the open web.
     val robotsRules = spark.createDataset(
-      SyntheticWeb.robotsHosts.flatMap { h =>
-        graft.politeness.RobotsTxt.parse(SyntheticWeb.robotsTxt(h))
-          .disallows.map(p => (h, p))
-      }).toDF("r_host", "r_prefix")
+      SyntheticWeb.robotsHosts.map { h =>
+        val r = graft.politeness.RobotsTxt.parse(SyntheticWeb.robotsTxt(h))
+        (h, r.disallows.map((_, false)) ++ r.allows.map((_, true)))
+      }).toDF("r_host", "r_rules")
     // windows keyed by seedSeq: one seed = one form-submission session;
     // dedup and numbering are per session like the reference's
     // per-listing seen set and list-index naming. (For sites without
@@ -117,10 +119,12 @@ object CrawlJob {
       .filter(length(trim($"title")) > 0 && $"url".startsWith("http"))
       .withColumn("rn", row_number().over(dedupW))
       .filter($"rn" === 1)
-      .join(broadcast(robotsRules),
-        $"host" === $"r_host" &&
-          parse_url($"url", lit("PATH")).startsWith($"r_prefix"),
-        "left_anti")
+      .join(broadcast(robotsRules), $"host" === $"r_host", "left_outer")
+      .filter(coalesce(
+        graft.functions.RobotsExpressions.robots_permits(
+          coalesce(parse_url($"url", lit("PATH")), lit("/")), $"r_rules"),
+        lit(true)))
+      .drop("r_host", "r_rules")
       .withColumn("seq", row_number().over(numW))
       // artifact naming: [mes]-[ano]-RES-[nnn] (portal_saude_mg.py:
       // 488-501); municipality sessions prefix uf+municipality like
@@ -362,8 +366,16 @@ object CrawlJob {
       cfg.strictPerHost, cfg.hostBudgets).cache()
     val result = CrawlResult(seeds, pruned, surviving, log,
       materializeImages(log))
+    // Seen delta = Success-only hashes. The skip flags are EXACT by
+    // construction (flagSeen* confirms every Bloom "maybe" with an
+    // exact join), so a Success row is provably absent from the
+    // committed seen set and a Skipped row provably present — the
+    // delta needs no `except(seenTable)`, which would re-shuffle the
+    // entire committed seen table (~80 GB of hashes at the 10^10-key
+    // design point) on every run. Equivalence of the two formulations
+    // is asserted in ResumableCrawlSpec.
     val snap = graft.table.TableIO.commit(spark, tableDir, result.images,
-      seenFrom(result.log).except(seenTable), runId,
+      newSeenFrom(result.log), runId,
       pruned.map(p => s"${p.site}/${p.year}/${p.month}"))
     // the commit materialized everything these caches serve; release
     // them now (the returned `log` stays cached for the caller — see
@@ -418,13 +430,24 @@ object CrawlJob {
     }
   }
 
-  /** The URL-seen set this crawl contributes: URLs with a durable
+  /** The URL-seen set this crawl observed: URLs with a durable
     * artifact (success now, or skipped-because-already-present). */
   def seenFrom(log: Dataset[CrawlLogEntry]): Dataset[Long] = {
     import log.sparkSession.implicits._
     log.filter(l => l.status == CrawlStatus.Success ||
         l.status == CrawlStatus.Skipped)
       .map(_.urlHash).distinct()
+  }
+
+  /** The seen-set DELTA this crawl contributes to the committed table:
+    * Success rows only. Skipped rows are by definition already in the
+    * committed set (the skip flag is exact), so including them — or
+    * diffing with `except` — only re-shuffles hashes the table already
+    * holds. Committed deltas are therefore pairwise DISJOINT, which is
+    * what lets [[graft.table.TableIO.readSeen]] skip a dedup shuffle. */
+  def newSeenFrom(log: Dataset[CrawlLogEntry]): Dataset[Long] = {
+    import log.sparkSession.implicits._
+    log.filter(_.status == CrawlStatus.Success).map(_.urlHash).distinct()
   }
 
   /** Per-host health table (S11 + recovery, portal_saude_mg.py:

@@ -8,10 +8,14 @@ import graft.model._
   *
   * {{{
   * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table [runId] [strict]"
-  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table compact"
-  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table expire"
-  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table invalidate <site> <year> <month>"
+  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table --compact"
+  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table --expire"
+  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table --invalidate <site> <year> <month>"
   * }}}
+  *
+  * Maintenance commands use `--`-prefixed flags so a crawl runId can
+  * never collide with a command name (a run literally named `compact`
+  * must crawl, not compact).
   *
   * Running the crawl twice against the same table demonstrates
   * checkpointed resume: the second run's log is all `skipped` and the
@@ -38,18 +42,18 @@ object CrawlMain {
     spark.sparkContext.setLogLevel("WARN")
 
     runId match {
-      case "compact" =>
+      case "--compact" =>
         graft.table.TableIO.compact(spark, tableDir) match {
           case Some(s) => println(s"[crawl] compacted -> v${s.version} " +
             s"(${s.dataDirs.size} data dir, ${s.seenDirs.size} seen dir)")
           case None => println("[crawl] nothing to compact")
         }
         spark.stop(); return
-      case "expire" =>
+      case "--expire" =>
         graft.table.TableIO.expire(tableDir)
         println(s"[crawl] expired superseded/orphaned dirs under $tableDir")
         spark.stop(); return
-      case "invalidate" if args.length >= 5 =>
+      case "--invalidate" if args.length >= 5 =>
         val period = (args(2), args(3).toInt, args(4).toInt)
         graft.table.TableIO.invalidatePeriods(spark, tableDir,
             Set(period)) match {

@@ -11,8 +11,10 @@ import graft.model.PolitenessBudget
   *
   * Supported (documented subset):
   *  - group selection per RFC 9309 §2.2.1: all groups whose
-  *    `User-agent` line case-insensitively equals the crawler's
-  *    product token are merged; if none match, the `*` groups apply;
+  *    `User-agent` value's product token (the value truncated at the
+  *    first `/` or whitespace, so `graft/1.0` matches `graft`)
+  *    case-insensitively equals the crawler's token are merged; if
+  *    none match, the `*` groups apply;
   *  - `Disallow` / `Allow` path prefixes with longest-match
   *    precedence, `Allow` winning length ties (RFC 9309 §2.2.2);
   *    an empty `Disallow:` value means unrestricted;
@@ -53,7 +55,10 @@ object RobotsTxt {
     * `userAgent` (product token, matched case-insensitively; falls
     * back to the `*` groups). */
   def parse(text: String, userAgent: String = "graft"): Rules = {
+    // callers may pass a full product string ("graft/1.0"); match on
+    // the bare token
     val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+      .takeWhile(c => c != '/' && !c.isWhitespace)
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = Vector.empty[String]
     var allows = Vector.empty[String]
@@ -97,7 +102,14 @@ object RobotsTxt {
     }
     flush()
 
-    val matching = groups.filter(_.agents.contains(ua)) match {
+    // RFC 9309 §2.2.1 product-token matching: the UA line's value is
+    // truncated at the first '/' or whitespace (version/comment tail)
+    // and compared case-insensitively to the crawler token — so
+    // `User-agent: graft/1.0` selects the graft group instead of
+    // silently falling back to `*`.
+    def token(agent: String): String =
+      agent.takeWhile(c => c != '/' && !c.isWhitespace)
+    val matching = groups.filter(_.agents.exists(a => token(a) == ua)) match {
       case m if m.nonEmpty => m
       case _ => groups.filter(_.agents.contains("*"))
     }
@@ -105,7 +117,9 @@ object RobotsTxt {
     else Rules(
       matching.flatMap(_.allows).toSeq,
       matching.flatMap(_.disallows).toSeq,
-      matching.flatMap(_.crawlDelay).headOption)
+      // several matching groups setting Crawl-delay: honor the MAX
+      // (most conservative) instead of first-wins
+      matching.flatMap(_.crawlDelay).maxOption)
   }
 
   /** Per-host budget overrides from parsed robots texts: hosts whose

@@ -113,9 +113,14 @@ object StreamingCrawl {
             .map(o => ImageRecord(o.imageId, o.bytes, o.w, o.h, o.fmt,
               o.caption, o.phash, o.site, o.year, o.month, o.url,
               o.urlHash, o.vtimeMs, o.attempts))
+          // Success-only delta: a Skipped outcome means the hash is
+          // already in the committed seen set (the skip flag is exact),
+          // so re-committing it would make deltas overlap and force
+          // readSeen to dedup. Deltas stay pairwise disjoint as long as
+          // the frontier contract holds (waves of one stream are
+          // deduped by the upstream frontier build, D1).
           val seen = cached
-            .filter(o => o.status == CrawlStatus.Success ||
-              o.status == CrawlStatus.Skipped)
+            .filter(o => o.status == CrawlStatus.Success)
             .map(_.urlHash).distinct()
           val periods = cached
             .map(o => s"${o.site}/${o.year}/${o.month}").distinct()

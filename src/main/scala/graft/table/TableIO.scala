@@ -21,20 +21,26 @@ import graft.model.ImageRecord
   * <dir>/data/v<N>/site=S/year=Y/month=M/part-x.parquet  (per commit)
   * <dir>/seen/v<N>/part-x.parquet                       (urlHash delta)
   * <dir>/snapshots/v<N>.json                         (manifest + lineage)
+  * <dir>/snapshots/runids.json              (cumulative runId sidecar)
   * <dir>/version-hint.txt                            (current version)
   * }}}
   *
-  * A reader resolves version-hint → snapshot → file list; data/seen
-  * directories not referenced by the current snapshot (a crashed,
-  * uncommitted write) are invisible — that is the resume guarantee:
-  * restart replays the uncommitted wave only (K2/K4, SURVEY §2.1).
-  * No real Iceberg runtime exists offline; the API is scoped to
-  * exactly what the north rule needs (partitions, lineage, snapshots,
-  * resume) behind this one object so a catalog could drop in.
+  * A snapshot's `dataDirs` entries are either whole commit dirs
+  * (`data/v00001`) or — after [[invalidatePeriods]] — partition
+  * subpaths inside one (`data/v00001/site=S/year=Y/month=M`):
+  * invalidation is a METADATA operation that drops partitions by
+  * rewriting references, never by copying data files. Readers resolve
+  * version-hint → snapshot → path list; data/seen directories not
+  * referenced by the current snapshot (a crashed, uncommitted write)
+  * are invisible — that is the resume guarantee: restart replays the
+  * uncommitted wave only (K2/K4, SURVEY §2.1). No real Iceberg runtime
+  * exists offline; the API is scoped to exactly what the north rule
+  * needs (partitions, lineage, snapshots, resume) behind this one
+  * object so a catalog could drop in.
   */
 object TableIO {
 
-  /** Per-partition manifest entry. */
+  /** Per-partition manifest entry (rows + payload bytes). */
   final case class PartitionMeta(site: String, year: Int, month: Int,
       rows: Long, bytes: Long)
 
@@ -43,13 +49,16 @@ object TableIO {
   final case class Lineage(runId: String, parentVersion: Int,
       periods: Seq[String], note: String)
 
-  /** `runIds` is the CUMULATIVE set of committed run ids — carried
-    * forward in every snapshot so idempotence checks read one file
-    * instead of walking the whole chain (null when reading snapshots
-    * written before this field existed; see [[chainRunIds]]). */
+  /** `runIds`: legacy cumulative index (snapshots written before the
+    * `runids.json` sidecar existed embedded the full list in every
+    * snapshot — O(commits²) bytes over a stream's life); new snapshots
+    * leave it empty and the sidecar carries the index. `cumulative`:
+    * whether `partitions` describes the WHOLE table (compaction /
+    * invalidation snapshots) or only this commit's delta. */
   final case class Snapshot(version: Int, dataDirs: Seq[String],
       seenDirs: Seq[String], partitions: Seq[PartitionMeta],
-      totalRows: Long, lineage: Lineage, runIds: Seq[String] = Nil)
+      totalRows: Long, lineage: Lineage, runIds: Seq[String] = Nil,
+      cumulative: Boolean = false)
 
   private val mapper = {
     val m = new ObjectMapper()
@@ -82,14 +91,149 @@ object TableIO {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // ---- cumulative runId sidecar ------------------------------------
+
+  private def runIdsPath(dir: String): Path =
+    Paths.get(dir, "snapshots", "runids.json")
+
+  private def readRunIdsSidecar(dir: String): Option[Seq[String]] =
+    if (!Files.exists(runIdsPath(dir))) None
+    else Some(mapper.readValue(Files.readString(runIdsPath(dir)),
+      classOf[Array[String]]).toSeq)
+
+  /** Append `runId` to the cumulative sidecar (called AFTER the hint
+    * swap, so the sidecar never lists an uncommitted run). A crash in
+    * the window between hint swap and sidecar write loses at most the
+    * newest id — healed here by re-adding the parent snapshot's own
+    * runId, and masked on the read side by [[committedRunIds]] always
+    * unioning the current snapshot's lineage id. */
+  private def recordRunId(dir: String, parent: Option[Snapshot],
+      runId: String): Unit = {
+    val prior = readRunIdsSidecar(dir)
+      .getOrElse(parent.map(chainRunIds(dir, _)).getOrElse(Nil))
+    val healed = parent match {
+      case Some(p) if !prior.contains(p.lineage.runId) =>
+        prior :+ p.lineage.runId
+      case _ => prior
+    }
+    atomicWrite(runIdsPath(dir),
+      mapper.writeValueAsString(healed :+ runId))
+  }
+
+  /** Cumulative run ids of `snap` WITHOUT the sidecar: its embedded
+    * legacy `runIds` index when present, else a linear chain walk. */
+  private def chainRunIds(dir: String, snap: Snapshot): Seq[String] =
+    if (snap.runIds != null && snap.runIds.nonEmpty) snap.runIds
+    else (1 to snap.version).map(readSnapshot(dir, _).lineage.runId)
+
+  /** runIds of every committed snapshot in the chain — the idempotence
+    * check for replayed streaming micro-batches (a replayed
+    * foreachBatch must not double-commit). ONE sidecar read per call;
+    * legacy tables without the sidecar fall back to the embedded index
+    * or the linear walk. */
+  def committedRunIds(dir: String): Set[String] =
+    currentSnapshot(dir) match {
+      case None => Set.empty
+      case Some(s) => readRunIdsSidecar(dir) match {
+        // `+ s.lineage.runId` covers the crash window where the hint
+        // swapped but the sidecar append did not land
+        case Some(ids) => ids.toSet + s.lineage.runId
+        case None => chainRunIds(dir, s).toSet
+      }
+    }
+
+  // ---- partition-path helpers --------------------------------------
+
+  /** The commit-dir root of a dataDirs entry: `data/v00001` for both
+    * `data/v00001` and `data/v00001/site=S/year=Y/month=M`. Used as
+    * `basePath` so partition columns survive subpath reads. */
+  private def dataRoot(entry: String): String =
+    entry.split('/').take(2).mkString("/")
+
+  private def kv(seg: String): Option[(String, String)] = {
+    val i = seg.indexOf('=')
+    if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+  }
+
+  /** Leaf partition dirs under one dataDirs entry, as
+    * (table-relative path, (site, year, month)). The entry itself may
+    * already carry some partition levels (a subpath from a previous
+    * invalidation). Pure directory listing — no file reads. */
+  private def leafPartitions(dir: String, entry: String)
+      : Seq[(String, (String, Int, Int))] = {
+    def walk(p: Path, rel: String, have: Map[String, String])
+        : Seq[(String, Map[String, String])] =
+      if (have.contains("site") && have.contains("year") &&
+          have.contains("month")) Seq(rel -> have)
+      else if (!Files.isDirectory(p)) Nil
+      else {
+        val ls = Files.list(p)
+        val children = try ls.iterator().asScala.toVector finally ls.close()
+        children.filter(Files.isDirectory(_)).flatMap { c =>
+          kv(c.getFileName.toString) match {
+            case Some((k, v)) =>
+              walk(c, s"$rel/${c.getFileName}", have + (k -> v))
+            case None => Nil
+          }
+        }
+      }
+    val entryHave = entry.split('/').flatMap(kv(_)).toMap
+    walk(Paths.get(dir, entry), entry, entryHave).map { case (rel, m) =>
+      rel -> ((m("site"), m("year").toInt, m("month").toInt))
+    }
+  }
+
+  /** Cumulative per-partition meta of `snap`, reconstructed from
+    * snapshot METADATA only: walk back to the nearest cumulative
+    * snapshot (compaction/invalidation) and sum the commit deltas on
+    * top of it — no data scan. Returns None when the walk needs an
+    * expired snapshot file (callers fall back to a scan). */
+  private def cumulativePartitionMeta(dir: String, snap: Snapshot)
+      : Option[Map[(String, Int, Int), (Long, Long)]] = {
+    def isCum(s: Snapshot) = s.cumulative ||
+      s.lineage.runId.startsWith("compact-") ||
+      s.lineage.runId.startsWith("invalidate-")
+    try {
+      var chain = List(snap)
+      while (!isCum(chain.head) && chain.head.lineage.parentVersion > 0)
+        chain ::= readSnapshot(dir, chain.head.lineage.parentVersion)
+      // chain is oldest-first; head is cumulative or the chain start
+      val acc = scala.collection.mutable.Map
+        .empty[(String, Int, Int), (Long, Long)]
+      chain.foreach { s =>
+        if (isCum(s)) acc.clear()
+        s.partitions.foreach { p =>
+          val k = (p.site, p.year, p.month)
+          val (r, b) = acc.getOrElse(k, (0L, 0L))
+          acc(k) = (r + p.rows, b + p.bytes)
+        }
+      }
+      Some(acc.toMap)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def scanPartitionMeta(spark: SparkSession, df: DataFrame)
+      : Seq[PartitionMeta] = {
+    import spark.implicits._
+    df.groupBy($"site", $"year", $"month")
+      .agg(count(lit(1)).as("rows"),
+        sum(length($"bytes")).cast("long").as("bytes"))
+      .collect()
+      .map(r => PartitionMeta(r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(p => (p.site, p.year, p.month))
+      .toSeq
+  }
+
   /** Commit one crawl wave: data + seen delta + snapshot + hint swap.
     * Data is laid out `PARTITIONED BY (site, year, month)` — the
     * reference's `<site>/<ano>/<mes>/` directory contract (§1.2,
-    * portal_saude_mg.py:206-219). */
+    * portal_saude_mg.py:206-219). The seen delta MUST be disjoint from
+    * the committed seen set (CrawlJob.newSeenFrom guarantees it) so
+    * [[readSeen]] needs no dedup shuffle. */
   def commit(spark: SparkSession, dir: String, images: Dataset[ImageRecord],
       seenDelta: Dataset[Long], runId: String,
       periods: Seq[String], note: String = ""): Snapshot = {
-    import spark.implicits._
     val parent = currentSnapshot(dir)
     val version = parent.map(_.version).getOrElse(0) + 1
     val dataDirName = f"data/v$version%05d"
@@ -109,15 +253,7 @@ object TableIO {
 
     val parts =
       if (!hasImages) Seq.empty[PartitionMeta]
-      else spark.read.parquet(s"$dir/$dataDirName")
-        .groupBy($"site", $"year", $"month")
-        .agg(count(lit(1)).as("rows"),
-          sum(length($"bytes")).cast("long").as("bytes"))
-        .collect()
-        .map(r => PartitionMeta(r.getString(0), r.getInt(1), r.getInt(2),
-          r.getLong(3), r.getLong(4)))
-        .sortBy(p => (p.site, p.year, p.month))
-        .toSeq
+      else scanPartitionMeta(spark, spark.read.parquet(s"$dir/$dataDirName"))
     val snap = Snapshot(
       version,
       parent.map(_.dataDirs).getOrElse(Nil) ++
@@ -126,47 +262,26 @@ object TableIO {
         (if (hasSeen) Seq(seenDirName) else Nil),
       parts,
       parent.map(_.totalRows).getOrElse(0L) + parts.map(_.rows).sum,
-      Lineage(runId, parent.map(_.version).getOrElse(0), periods, note),
-      runIds = parent.map(chainRunIds(dir, _)).getOrElse(Nil) :+ runId)
+      Lineage(runId, parent.map(_.version).getOrElse(0), periods, note))
     atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
     atomicWrite(hintPath(dir), version.toString)
+    recordRunId(dir, parent, runId)
     snap
   }
-
-  /** Cumulative run ids of `snap`: its own `runIds` index when
-    * present, else (legacy snapshots written before the index) a
-    * linear walk of the chain. */
-  private def chainRunIds(dir: String, snap: Snapshot): Seq[String] =
-    if (snap.runIds != null && snap.runIds.nonEmpty) snap.runIds
-    else (1 to snap.version).map(readSnapshot(dir, _).lineage.runId)
-
-  /** runIds of every committed snapshot in the chain — the idempotence
-    * check for replayed streaming micro-batches (a replayed
-    * foreachBatch must not double-commit). ONE snapshot read per call
-    * (the cumulative index travels in each snapshot); legacy chains
-    * without the index fall back to the linear walk. */
-  def committedRunIds(dir: String): Set[String] =
-    currentSnapshot(dir) match {
-      case None => Set.empty
-      case Some(s) => chainRunIds(dir, s).toSet
-    }
 
   /** Compact the snapshot chain: rewrite every committed data/seen
     * dir into ONE dir each and commit a snapshot referencing only
     * those. A long-running streaming crawl appends one dataDir per
     * micro-batch commit, so without compaction [[readImages]] plans
-    * O(versions) unions and the chain walk is O(versions²) over a
-    * stream's life — this is the manifest-rewrite a real table format
-    * (e.g. Iceberg's rewrite_data_files) runs on a schedule. Older
-    * version dirs stay on disk for snapshot time travel; the
-    * cumulative `runIds` index is preserved, so replay idempotence
-    * survives even if old snapshot FILES are expired. No-op (None) on
+    * O(versions) unions — this is the manifest-rewrite a real table
+    * format (e.g. Iceberg's rewrite_data_files) runs on a schedule.
+    * Older version dirs stay on disk for snapshot time travel; replay
+    * idempotence travels in the runids.json sidecar. No-op (None) on
     * an empty/uninitialized table. */
   def compact(spark: SparkSession, dir: String,
       note: String = "compaction"): Option[Snapshot] =
     currentSnapshot(dir).map { parent =>
-      import spark.implicits._
       val version = parent.version + 1
       val dataDirName = f"data/v$version%05d"
       val seenDirName = f"seen/v$version%05d"
@@ -183,15 +298,8 @@ object TableIO {
       // data (a regular commit's `partitions` covers its delta only)
       val parts =
         if (!hasImages) Seq.empty[PartitionMeta]
-        else spark.read.parquet(s"$dir/$dataDirName")
-          .groupBy($"site", $"year", $"month")
-          .agg(count(lit(1)).as("rows"),
-            sum(length($"bytes")).cast("long").as("bytes"))
-          .collect()
-          .map(r => PartitionMeta(r.getString(0), r.getInt(1), r.getInt(2),
-            r.getLong(3), r.getLong(4)))
-          .sortBy(p => (p.site, p.year, p.month))
-          .toSeq
+        else scanPartitionMeta(spark,
+          spark.read.parquet(s"$dir/$dataDirName"))
       val runId = f"compact-v$version%05d"
       val snap = Snapshot(
         version,
@@ -202,74 +310,96 @@ object TableIO {
         Lineage(runId, parent.version, Nil,
           s"$note: ${parent.dataDirs.size} data dirs, " +
             s"${parent.seenDirs.size} seen dirs -> 1 each"),
-        runIds = chainRunIds(dir, parent) :+ runId)
+        cumulative = true)
       atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
       atomicWrite(hintPath(dir), version.toString)
+      recordRunId(dir, Some(parent), runId)
       snap
     }
 
   /** Re-open periods for refetch (the reference's revised-data
     * workflow: a government portal republishes a month, the crawler
     * must re-download it — file deletion in the reference, a seen-set
-    * eviction here). Commits a compaction-style snapshot whose data
-    * EXCLUDES the given (site, year, month) partitions and whose seen
-    * set excludes those partitions' urlHashes, so the next resumable
-    * run refetches exactly those periods and skips everything else.
-    * No-op (None) on an empty table. */
+    * eviction here). METADATA-LEVEL: since data is laid out
+    * `site=/year=/month=`, dropping a period means rewriting snapshot
+    * REFERENCES — entries of untouched commit dirs are kept verbatim,
+    * entries mixing kept+dropped periods are replaced by their kept
+    * partition subpaths. NO image data file is copied or rewritten
+    * (Iceberg's metadata-only `DROP PARTITION` analog; at the 100 TB
+    * design point the previous full-table rewrite turned "re-crawl one
+    * month" into a full-corpus copy). Only the seen set — 8-byte
+    * hashes — is rewritten, and its eviction scan reads ONLY the
+    * dropped partitions' files. The next resumable run refetches
+    * exactly those periods and skips everything else. No-op (None) on
+    * an empty table. */
   def invalidatePeriods(spark: SparkSession, dir: String,
       periods: Set[(String, Int, Int)]): Option[Snapshot] =
     currentSnapshot(dir).map { parent =>
       import spark.implicits._
       val version = parent.version + 1
-      val dataDirName = f"data/v$version%05d"
       val seenDirName = f"seen/v$version%05d"
-      val all = readImages(spark, dir)
-      val dropped = spark.sparkContext.broadcast(periods)
-      val keepPred = (site: String, y: Int, m: Int) =>
-        !dropped.value.contains((site, y, m))
-      val keepUdf = udf(keepPred)
-      val kept = all.filter(keepUdf($"site", $"year", $"month"))
-      val droppedHashes = all
-        .filter(!keepUdf($"site", $"year", $"month"))
-        .select($"urlHash".as[Long])
-      val hasImages = parent.dataDirs.nonEmpty && !kept.isEmpty
-      if (hasImages)
-        kept.write.mode(SaveMode.Overwrite)
-          .partitionBy("site", "year", "month")
-          .parquet(s"$dir/$dataDirName")
-      val newSeen = readSeen(spark, dir).toDF("urlHash")
-        .join(droppedHashes.toDF("dh"), col("urlHash") === col("dh"),
-          "left_anti")
-      val hasSeen = parent.seenDirs.nonEmpty && !newSeen.isEmpty
-      if (hasSeen)
-        newSeen.write.mode(SaveMode.Overwrite)
-          .parquet(s"$dir/$seenDirName")
-      val parts =
-        if (!hasImages) Seq.empty[PartitionMeta]
-        else spark.read.parquet(s"$dir/$dataDirName")
-          .groupBy($"site", $"year", $"month")
-          .agg(count(lit(1)).as("rows"),
-            sum(length($"bytes")).cast("long").as("bytes"))
-          .collect()
-          .map(r => PartitionMeta(r.getString(0), r.getInt(1), r.getInt(2),
-            r.getLong(3), r.getLong(4)))
-          .sortBy(p => (p.site, p.year, p.month))
-          .toSeq
+
+      // classify every referenced leaf partition (directory listing
+      // only); an entry with no dropped leaves survives verbatim
+      val perEntry = parent.dataDirs.map(e => e -> leafPartitions(dir, e))
+      val keptDataDirs = perEntry.flatMap { case (e, leaves) =>
+        val (drop, keep) = leaves.partition(l => periods.contains(l._2))
+        if (drop.isEmpty) Seq(e) else keep.map(_._1)
+      }
+      val droppedLeaves = perEntry.flatMap(_._2)
+        .filter(l => periods.contains(l._2))
+
+      // seen eviction: anti-join against the urlHashes of ONLY the
+      // dropped partitions (their files are read directly — pruning by
+      // construction, no UDF, no full-image scan)
+      val (seenDirs, hasSeenWrite) =
+        if (droppedLeaves.isEmpty || parent.seenDirs.isEmpty)
+          (parent.seenDirs, false)
+        else {
+          val droppedHashes = spark.read
+            .parquet(droppedLeaves.map(l => s"$dir/${l._1}"): _*)
+            .select($"urlHash").toDF("dh")
+          val newSeen = readSeen(spark, dir).toDF("urlHash")
+            .join(droppedHashes, col("urlHash") === col("dh"), "left_anti")
+          if (newSeen.isEmpty) (Nil, false)
+          else {
+            newSeen.write.mode(SaveMode.Overwrite)
+              .parquet(s"$dir/$seenDirName")
+            (Seq(seenDirName), true)
+          }
+        }
+
+      // kept partition meta from snapshot metadata (no data scan);
+      // scan fallback only when the chain walk hits expired snapshots
+      val droppedKeys = droppedLeaves.map(_._2).toSet
+      val parts = cumulativePartitionMeta(dir, parent) match {
+        case Some(cum) =>
+          cum.view.filterKeys(k => !droppedKeys.contains(k) &&
+              !periods.contains(k))
+            .map { case ((s, y, m), (r, b)) => PartitionMeta(s, y, m, r, b) }
+            .toSeq.sortBy(p => (p.site, p.year, p.month))
+        case None if keptDataDirs.nonEmpty =>
+          scanPartitionMeta(spark, readFrom(spark, dir, keptDataDirs))
+        case None => Nil
+      }
       val runId = f"invalidate-v$version%05d"
       val snap = Snapshot(
         version,
-        if (hasImages) Seq(dataDirName) else Nil,
-        if (hasSeen) Seq(seenDirName) else Nil,
+        keptDataDirs,
+        seenDirs,
         parts,
         parts.map(_.rows).sum,
         Lineage(runId, parent.version,
           periods.toSeq.sorted.map(p => s"${p._1}/${p._2}/${p._3}"),
-          s"re-opened ${periods.size} periods for refetch"),
-        runIds = chainRunIds(dir, parent) :+ runId)
+          s"re-opened ${periods.size} periods for refetch " +
+            s"(metadata-only: ${droppedLeaves.size} partition refs " +
+            "dropped, 0 data files rewritten)"),
+        cumulative = true)
       atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
       atomicWrite(hintPath(dir), version.toString)
+      recordRunId(dir, Some(parent), runId)
       snap
     }
 
@@ -283,56 +413,80 @@ object TableIO {
 
   /** Expire everything the CURRENT snapshot does not reference: data/
     * seen dirs of superseded versions (reclaimable after [[compact]]
-    * rewrote them), orphaned dirs of crashed uncommitted writes, and
-    * old snapshot files. The Iceberg `expire_snapshots` analog — time
-    * travel to expired versions is gone, but replay idempotence
-    * survives because the cumulative runIds index travels in the
-    * latest snapshot (proven in TableIOSpec). Single-writer contract,
-    * like commit/compact. */
+    * rewrote them), partition dirs dropped by [[invalidatePeriods]],
+    * orphaned dirs of crashed uncommitted writes, and old snapshot
+    * files. The Iceberg `expire_snapshots` analog — time travel to
+    * expired versions is gone, but replay idempotence survives in the
+    * runids.json sidecar. Reference-aware down the tree: a commit dir
+    * referenced only through partition subpaths keeps exactly those
+    * subpaths. Single-writer contract, like commit/compact. */
   def expire(dir: String): Unit =
     currentSnapshot(dir).foreach { cur =>
       val keep = (cur.dataDirs ++ cur.seenDirs).toSet
+      // make sure the sidecar index exists BEFORE deleting the chain
+      // it would otherwise be derived from
+      if (readRunIdsSidecar(dir).isEmpty)
+        atomicWrite(runIdsPath(dir),
+          mapper.writeValueAsString(chainRunIds(dir, cur)))
+      // rel is kept outright when an entry covers it (equals it or is
+      // an ancestor of it); partially kept when some entry lives
+      // below it (recurse); otherwise deleted
+      def sweep(p: Path, rel: String): Unit =
+        if (!keep.exists(e => e == rel || rel.startsWith(e + "/"))) {
+          if (keep.exists(_.startsWith(rel + "/"))) {
+            val ls = Files.list(p)
+            val children = try ls.iterator().asScala.toVector
+              finally ls.close()
+            children.foreach(c => sweep(c, s"$rel/${c.getFileName}"))
+          } else deleteRec(p)
+        }
       for (root <- Seq("data", "seen")) {
         val rp = Paths.get(dir, root)
         if (Files.exists(rp)) {
           val ls = Files.list(rp)
           try ls.forEach { child =>
-            if (!keep.contains(s"$root/${child.getFileName}"))
-              deleteRec(child)
+            sweep(child, s"$root/${child.getFileName}")
           } finally ls.close()
         }
-      }
-      // make sure the surviving snapshot carries the runIds index
-      // BEFORE deleting the chain it would otherwise be derived from
-      // (legacy chains written before the index existed)
-      if (cur.runIds == null || cur.runIds.isEmpty) {
-        val withIds = cur.copy(runIds = chainRunIds(dir, cur))
-        atomicWrite(Paths.get(dir, "snapshots", f"v${cur.version}%05d.json"),
-          mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withIds))
       }
       for (v <- 1 until cur.version)
         Files.deleteIfExists(Paths.get(dir, "snapshots", f"v$v%05d.json"))
     }
 
-  /** Read the committed image table (union of all committed data dirs;
-    * orphaned uncommitted dirs are never touched). */
+  /** Read a set of dataDirs entries (whole commit dirs or partition
+    * subpaths): one scan per commit root with `basePath` pinned to the
+    * root so partition columns survive subpath reads. */
+  private def readFrom(spark: SparkSession, dir: String,
+      entries: Seq[String]): DataFrame =
+    entries.groupBy(dataRoot).toSeq.sortBy(_._1)
+      .map { case (root, es) =>
+        spark.read.option("basePath", s"$dir/$root")
+          .parquet(es.map(e => s"$dir/$e"): _*)
+      }
+      .reduce(_.unionByName(_))
+
+  /** Read the committed image table (union of all referenced data
+    * entries; orphaned uncommitted dirs are never touched). */
   def readImages(spark: SparkSession, dir: String): DataFrame =
     currentSnapshot(dir) match {
-      case Some(s) if s.dataDirs.nonEmpty =>
-        // one read per commit dir (each has its own partition-discovery
-        // root), then a metadata-only unionByName
-        s.dataDirs.map(d => spark.read.parquet(s"$dir/$d"))
-          .reduce(_.unionByName(_))
+      case Some(s) if s.dataDirs.nonEmpty => readFrom(spark, dir, s.dataDirs)
       case _ => spark.emptyDataFrame
     }
 
-  /** Read the committed URL-seen set. */
+  /** Read the committed URL-seen set. No dedup shuffle: committed
+    * deltas are pairwise disjoint by construction — each delta holds
+    * only that run's Success hashes, which the exact skip-flag join
+    * proves absent from every earlier delta (CrawlJob.newSeenFrom,
+    * StreamingCrawl.commitOutcomesBatch), and compact/invalidate
+    * rewrite to a single dir. At the 10^10-key design point the old
+    * unconditional `distinct()` was a full-table shuffle on every
+    * resumable run. */
   def readSeen(spark: SparkSession, dir: String): Dataset[Long] = {
     import spark.implicits._
     currentSnapshot(dir) match {
       case Some(s) if s.seenDirs.nonEmpty =>
         spark.read.parquet(s.seenDirs.map(d => s"$dir/$d"): _*)
-          .select($"urlHash").as[Long].distinct()
+          .select($"urlHash").as[Long]
       case _ => spark.emptyDataset[Long]
     }
   }

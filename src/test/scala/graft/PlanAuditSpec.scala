@@ -50,7 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-n not pushed:\n$p")
   }
 
-  test("robots anti-join stays broadcast (frontier never shuffles for robots)") {
+  test("robots filter stays broadcast + native codegen (frontier never shuffles for robots)") {
     import spark.implicits._
     val raw = graft.jobs.CrawlJob.harvest(spark,
       graft.queries.CrawlQueries.demoConfig,
@@ -58,7 +58,11 @@ class PlanAuditSpec extends AnyFunSuite {
         graft.queries.CrawlQueries.demoConfig))
     val p = formatted(
       graft.jobs.CrawlJob.buildFrontier(spark, raw).toDF())
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"robots filter is not a broadcast anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"robots rules join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"robots filter shuffles the frontier:\n$p")
+    assert(p.contains("robots_permits"),
+      s"RFC 9309 precedence filter (native expression) missing:\n$p")
   }
 }

@@ -43,6 +43,21 @@ class ResumableCrawlSpec extends AnyFunSuite {
     assert(bloomRoot.listFiles()(0).listFiles()
       .forall(_.getName.endsWith(".bloom")))
 
+    // the commit's Success-only seen delta is EQUIVALENT to the old
+    // full-shuffle formulation seenFrom(log).except(committedSeen) —
+    // exactness of the skip flags makes the `except` redundant. Checked
+    // on both runs of this two-run crawl.
+    for ((r, priorSeen) <- Seq((r1, Set.empty[Long]), (r2, seen1))) {
+      val viaExcept = CrawlJob.seenFrom(r.log).collect().toSet -- priorSeen
+      assert(CrawlJob.newSeenFrom(r.log).collect().toSet === viaExcept)
+    }
+    // committed deltas are pairwise disjoint (the readSeen no-dedup
+    // invariant): run-2 contributed nothing already in run-1's delta
+    assert((CrawlJob.newSeenFrom(r2.log).collect().toSet & seen1).isEmpty)
+    val seenTable = graft.table.TableIO.readSeen(spark, dir).collect()
+    assert(seenTable.length === seenTable.distinct.length,
+      "committed seen dirs must union to a duplicate-free set")
+
     // parity with the broadcast-set reference path
     val ref = CrawlJob.run(spark, cfg, seen1)
     def canon(l: Seq[CrawlLogEntry]) =

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RobotsExpressions
+import graft.politeness.RobotsTxt
+
+/** The distributed robots filter (broadcast rules join + native
+  * `robots_permits` expression) must agree with the scalar
+  * [[RobotsTxt.Rules.permits]] on arbitrary Allow/Disallow rule sets —
+  * the VERDICT r3 gap was a disallow-only anti-join that over-blocked
+  * `Allow` carve-outs. */
+class RobotsExpressionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("randomized agreement with RobotsTxt.permits over 400 (rules, path) samples") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val segs = Seq("a", "docs", "private", "liberado", "x", "img", "deep")
+    def prefix(): String =
+      "/" + Seq.fill(1 + rnd.nextInt(3))(segs(rnd.nextInt(segs.size)))
+        .mkString("/") + (if (rnd.nextBoolean()) "/" else "")
+    val cases = (0 until 400).map { i =>
+      val rules = Seq.fill(rnd.nextInt(6))((prefix(), rnd.nextBoolean()))
+      val path = prefix() + (if (rnd.nextBoolean()) "leaf.png" else "")
+      (i.toLong, path, rules)
+    }
+    val expected = cases.map { case (i, path, rules) =>
+      i -> RobotsTxt.Rules(
+        rules.filter(_._2).map(_._1),
+        rules.filterNot(_._2).map(_._1), None).permits(path)
+    }.toMap
+    val got = cases.toDF("i", "path", "rules")
+      .select($"i", RobotsExpressions.robots_permits($"path", $"rules")
+        .as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === expected)
+  }
+
+  test("null semantics + codegen: null rules -> null; expression stays in WholeStageCodegen") {
+    import spark.implicits._
+    val df = Seq((1L, "/private/x", null: Seq[(String, Boolean)]))
+      .toDF("i", "path", "rules")
+      .select(RobotsExpressions.robots_permits($"path", $"rules").as("ok"))
+    assert(df.collect()(0).isNullAt(0))
+
+    // non-foldable source (a local Seq constant-folds the whole
+    // projection into a LocalTableScan)
+    val wide = spark.range(100)
+      .select(RobotsExpressions.robots_permits(
+        concat(lit("/p/"), $"id"),
+        typedLit(Seq(("/p/", false)))).as("ok"))
+    assert(wide.collect().forall(!_.getBoolean(0)))
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("robots_permits") && l.trim.startsWith("*(")),
+      s"robots_permits fell out of codegen:\n$plan")
+  }
+
+  test("end-to-end: the crawl fetches /private/liberado/ and blocks the rest of /private/") {
+    val cfg = graft.queries.CrawlQueries.demoConfig
+    val urls = graft.jobs.CrawlJob
+      .buildFrontier(spark, graft.jobs.CrawlJob.harvest(spark, cfg,
+        graft.frontier.SeedExpansion.expand(cfg)))
+      .collect().map(_.url)
+    val priv = urls.filter(_.contains("/private/"))
+    assert(priv.nonEmpty,
+      "fixture must route some links into the Allow carve-out")
+    assert(priv.forall(_.contains("/private/liberado/")),
+      s"disallowed /private/ urls leaked: ${priv.filterNot(
+        _.contains("/private/liberado/")).take(3).mkString(", ")}")
+  }
+}

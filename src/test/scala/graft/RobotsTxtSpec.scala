@@ -85,12 +85,46 @@ class RobotsTxtSpec extends AnyFunSuite {
       "slow.gov.br" -> base.copy(crawlDelayMs = 5000, burst = 1)))
   }
 
-  test("round-trip: parsing the synthetic web's served robots.txt equals its rule map") {
+  test("round-trip: parsing the synthetic web's served robots.txt equals its rule maps") {
     graft.fetch.SyntheticWeb.robotsHosts.foreach { h =>
       val parsed = RobotsTxt.parse(graft.fetch.SyntheticWeb.robotsTxt(h))
       assert(parsed.disallows ===
         graft.fetch.SyntheticWeb.robotsDisallow(h), s"host $h")
-      assert(parsed.allows.isEmpty)
+      assert(parsed.allows ===
+        graft.fetch.SyntheticWeb.robotsAllow(h), s"host $h")
+      // the carve-out is live: liberado permitted under /private/
+      assert(!parsed.permits("/private/x.png"))
+      assert(parsed.permits("/private/liberado/x.png"))
     }
+  }
+
+  test("RFC 9309 product-token UA matching: versioned tokens select the group") {
+    val text =
+      """User-agent: graft/1.0
+        |Disallow: /a/
+        |
+        |User-agent: *
+        |Disallow: /star/
+        |""".stripMargin
+    // the served group's token is versioned; our bare token matches it
+    assert(RobotsTxt.parse(text, "graft").disallows === Seq("/a/"))
+    // and a versioned crawler token matches a bare served group
+    val bare = "User-agent: graft\nDisallow: /b/\n"
+    assert(RobotsTxt.parse(bare, "graft/2.1 (+https://x)").disallows ===
+      Seq("/b/"))
+  }
+
+  test("several matching groups with Crawl-delay: the max (most conservative) wins") {
+    val text =
+      """User-agent: graft
+        |Crawl-delay: 2
+        |
+        |User-agent: graft
+        |Crawl-delay: 7
+        |
+        |User-agent: graft
+        |Crawl-delay: 4
+        |""".stripMargin
+    assert(RobotsTxt.parse(text, "graft").crawlDelaySec === Some(7.0))
   }
 }

@@ -231,7 +231,8 @@ class StreamingCrawlSpec extends AnyFunSuite {
     val snap = graft.table.TableIO.currentSnapshot(tableDir).get
     assert(snap.dataDirs.size <= 2,
       s"chain not bounded: ${snap.dataDirs}")
-    assert(snap.runIds.exists(_.startsWith("compact-v")),
+    val allRunIds = graft.table.TableIO.committedRunIds(tableDir)
+    assert(allRunIds.exists(_.startsWith("compact-v")),
       "compaction should have fired at least once")
     // contents still equal the batch crawl
     val got = graft.table.TableIO.readImages(spark, tableDir)
@@ -243,7 +244,7 @@ class StreamingCrawlSpec extends AnyFunSuite {
       CrawlJob.seenFrom(batch.log).collect().toSet)
     // replay protection survives compaction: every streamed batchId is
     // still in the (compacted) runIds index, so a replay is a no-op
-    val streamed = snap.runIds.filter(_.startsWith("stream-batch-"))
+    val streamed = allRunIds.toSeq.filter(_.startsWith("stream-batch-"))
     assert(streamed.nonEmpty)
     val before = graft.table.TableIO.currentVersion(tableDir).get
     val replayed = spark.createDataset(Seq.empty[

@@ -44,10 +44,12 @@ class TableIOSpec extends AnyFunSuite {
     TableIO.commit(spark, dir, rA.images, CrawlJob.seenFrom(rA.log), "run-A",
       rA.prunedSeeds.map(_.toString))
     val seenA = TableIO.readSeen(spark, dir).collect().toSet
-    // resume with the committed seen set over the superset config
+    // resume with the committed seen set over the superset config;
+    // the delta is Success-only (disjoint from run-A's — the readSeen
+    // no-dedup invariant)
     val rB = CrawlJob.run(spark, cfgFull, seenA)
     val snap2 = TableIO.commit(spark, dir, rB.images,
-      CrawlJob.seenFrom(rB.log), "run-B", rB.prunedSeeds.map(_.toString))
+      CrawlJob.newSeenFrom(rB.log), "run-B", rB.prunedSeeds.map(_.toString))
     assert(snap2.version === 2)
     assert(snap2.lineage.parentVersion === 1)
     // final table equals one uninterrupted full crawl's images
@@ -130,8 +132,87 @@ class TableIOSpec extends AnyFunSuite {
     val snap2 = TableIO.commit(spark, dir, r.images,
       spark.emptyDataset[Long], "run-post", Nil)
     assert(snap2.version === 12)
-    assert(snap2.runIds.takeRight(1) === Seq("run-post"))
-    assert(runIds.toSet.subsetOf(snap2.runIds.toSet))
+    // the cumulative index lives in the runids.json sidecar now —
+    // snapshots stay delta-sized no matter how long the chain gets
+    assert(snap2.runIds.isEmpty)
+    assert(TableIO.committedRunIds(dir).contains("run-post"))
+    assert(runIds.toSet.subsetOf(TableIO.committedRunIds(dir)))
+  }
+
+  test("invalidatePeriods is metadata-only: untouched partitions' files are byte-identical, dropped refs pruned") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir()
+    // multi-commit table: months 1-3 in commit 1, months 4-6 in commit 2
+    val r1 = CrawlJob.run(spark, cfgA)
+    TableIO.commit(spark, dir, r1.images, CrawlJob.newSeenFrom(r1.log),
+      "run-1", Nil)
+    val seen1 = TableIO.readSeen(spark, dir).collect().toSet
+    val r2 = CrawlJob.run(spark,
+      cfgA.copy(months = MonthSelector.Multiple(Seq(4, 5, 6))), seen1)
+    TableIO.commit(spark, dir, r2.images, CrawlJob.newSeenFrom(r2.log),
+      "run-2", Nil)
+
+    // fingerprint every parquet file NOT in the to-be-dropped period
+    def files(): Map[String, Array[Byte]] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.readAllBytes(p))
+        .toMap
+      finally s.close()
+    }
+    val before = files()
+    val dropped = ("portal_saude_mg", 2024, 2)
+    val untouchedBefore = before.filterNot(_._1.contains("month=2"))
+    assert(untouchedBefore.nonEmpty)
+
+    val snap = TableIO.invalidatePeriods(spark, dir, Set(dropped)).get
+    assert(snap.cumulative)
+    // METADATA-ONLY: no new data dir was written, every untouched file
+    // is still the same bytes at the same path, and the dropped
+    // period's files are still on disk (reclaimed by expire, like any
+    // superseded dir) — just unreferenced
+    val after = files()
+    assert(!after.keys.exists(_.contains("data/v00004")),
+      "invalidation must not write a data dir")
+    untouchedBefore.foreach { case (p, bytes) =>
+      assert(after.contains(p), s"untouched file vanished: $p")
+      assert(java.util.Arrays.equals(after(p), bytes),
+        s"untouched file rewritten: $p")
+    }
+    // references: month=2 gone from the snapshot, reads prune it
+    assert(snap.dataDirs.forall(!_.contains("month=2")))
+    assert(snap.dataDirs.exists(_.contains("month=")),
+      "mixed commit dir must be referenced via kept partition subpaths")
+    import org.apache.spark.sql.functions.col
+    val img = TableIO.readImages(spark, dir)
+    assert(img.filter(col("month") === 2).count() === 0)
+    assert(img.count() ===
+      r1.images.count() + r2.images.count() -
+        r1.images.toDF().filter(col("month") === 2).count())
+    // partition meta reconstructed from snapshot metadata matches data
+    assert(snap.totalRows === img.count())
+    assert(snap.partitions.map(_.rows).sum === img.count())
+    // seen eviction: exactly the dropped period's hashes left the set
+    val droppedHashes = r1.log.collect()
+      .filter(e => e.month == 2 && e.status == CrawlStatus.Success)
+      .map(_.urlHash).toSet
+    val seenAfter = TableIO.readSeen(spark, dir).collect().toSet
+    assert((seenAfter & droppedHashes).isEmpty)
+    assert(seenAfter === (seen1 ++ CrawlJob.newSeenFrom(r2.log).collect())
+      -- droppedHashes)
+    // expire reclaims the dropped partition dir but keeps the kept
+    // subpaths of the mixed commit dir intact
+    TableIO.expire(dir)
+    val postExpire = files()
+    assert(!postExpire.keys.exists(_.contains("month=2")),
+      "expire must reclaim invalidated partition dirs")
+    untouchedBefore.foreach { case (p, bytes) =>
+      assert(postExpire.contains(p) &&
+        java.util.Arrays.equals(postExpire(p), bytes))
+    }
+    assert(TableIO.readImages(spark, dir)
+      .select("image_id").count() === img.count())
   }
 
   test("crashed (uncommitted) write is invisible; recommit lands cleanly") {
