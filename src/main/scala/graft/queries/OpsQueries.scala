@@ -18,6 +18,12 @@ import graft.ops.{AnnOps, DedupOps, MultimodalOps, TextOps}
   */
 object OpsQueries {
 
+  /** Stable fixture root for the driver value gates whose oracle SQL
+    * reads staged parquet back in DuckDB (absolute-path FROM). Written
+    * fresh by the Spark query each run; single-driver contract (the
+    * correctness harness runs Verify, then the oracle, sequentially). */
+  private val gateFxBase = "/tmp/graft_gate_fx"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -150,6 +156,96 @@ object OpsQueries {
         .orderBy("vec_id")
     }),
 
+    // SimHash planted recovery as a DRIVER VALUE gate (honest ratio,
+    // not all-true: one appended token legitimately moves short docs
+    // past hamming distance 3 — measured 15-17/20 across SFs, floor
+    // pinned in OpsSpec). The per-doc recovered flags are staged as a
+    // parquet fixture that DuckDB re-aggregates, so the ratio is
+    // hash-compared at the driver instead of living only in sbt test.
+    // The fixture is keyed by the documents row count so concurrent
+    // Verify/Bench runs at different SFs cannot clobber each other's
+    // gate (the oracle selects its SF's rows by n_docs).
+    "dedup_simhash_recovery" -> ((s: SparkSession, dir: String) => {
+      val planted = withPlantedDupes(s, dir)
+      val hits = DedupOps.simhashPairs(planted, "doc_id", "text",
+          maxDist = 3)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("doc_id"), lit(true).as("rec"))
+      val nDocs = docs(s, dir).count()
+      val fx = docs(s, dir).orderBy("doc_id").limit(20).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("rec"), lit(false)).as("recovered"),
+          lit(nDocs).as("n_docs"))
+      val path = s"$gateFxBase/simhash/sf_$nDocs"
+      fx.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .agg(count(lit(1)).cast("long").as("planted"),
+          sum(col("recovered").cast("int")).cast("long").as("recovered"),
+          floor(sum(col("recovered").cast("int")) * 1000.0 /
+            count(lit(1))).cast("long").as("recall_x1000"))
+    }),
+
+    // The north rule's per-row invariant as a DRIVER VALUE gate: every
+    // committed image decodes, carries the claimed magic, matches its
+    // metadata dims, reproduces the original synthetic pixels
+    // (PSNR>=40 dB for lossy jpeg, bit-exact — infinite PSNR — for
+    // png/bmp), and its phash equals the original pixels' hash.
+    // Structurally all-true (ImageCodec round-trip invariants), so
+    // DuckDB can assert the aggregate from the staged per-image
+    // fixture. The demo crawl is SF-independent — the fixture path is
+    // stable and its content identical across runs.
+    "multimodal_invariants" -> ((s: SparkSession, _: String) => {
+      val images = CrawlQueries.demoResult(s).images.toDF()
+      val inv = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+          urlHash: Long, phash: Long) => {
+        try {
+          val magicOk = graft.fetch.ImageCodec.validMagic(bytes, fmt)
+          val (dw, dh, px) = graft.fetch.ImageCodec.decode(bytes)
+          val orig = graft.fetch.ImageCodec.synthPixels(urlHash, w, h)
+          val psnrOk = dw == w && dh == h &&
+            graft.fetch.ImageCodec.psnr(orig, px) >= 40.0
+          (true, magicOk, dw == w && dh == h, psnrOk,
+            graft.fetch.ImageCodec.phash(orig) == phash)
+        } catch { case _: Exception => (false, false, false, false, false) }
+      })
+      val fx = images.withColumn("inv", inv(col("bytes"), col("w"),
+          col("h"), col("fmt"), col("urlHash"), col("phash")))
+        .select(col("image_id"), col("fmt"),
+          col("inv._1").as("decoded"), col("inv._2").as("magic_ok"),
+          col("inv._3").as("dims_ok"), col("inv._4").as("psnr_ok"),
+          col("inv._5").as("phash_ok"))
+      val path = s"$gateFxBase/mm"
+      fx.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          bool_and(col("decoded")).as("all_decoded"),
+          bool_and(col("magic_ok")).as("all_magic"),
+          bool_and(col("dims_ok")).as("all_dims"),
+          bool_and(col("psnr_ok")).as("all_psnr"),
+          bool_and(col("phash_ok")).as("all_phash"))
+        .orderBy(col("fmt"))
+    }),
+
+    // Winnowing-fingerprint stability gate: the fingerprint of every
+    // document is identical under two different partitionings/plans
+    // (catches nondeterministic UDF state); n_docs doubles as the
+    // DuckDB-checked oracle value.
+    "doc_fingerprint_stability" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val fp1 = d.repartition(8, col("doc_id"))
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp1"))
+      val fp2 = d.repartition(3, col("text"))
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp2"))
+      fp1.join(fp2, Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("fp1") === col("fp2"), 1).otherwise(0))
+            .cast("long").as("stable_docs"),
+          bool_and(col("fp1") === col("fp2")).as("all_stable"))
+    }),
+
     "text_analysis" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
         .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -186,6 +282,31 @@ object OpsQueries {
     "dedup_planted_embedding" ->
       """SELECT vec_id, true AS embedding_found
         |FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    // re-aggregates the staged per-doc recovery flags; the n_docs key
+    // selects this SF's fixture rows (concurrent SFs write disjoint
+    // subdirs). floor() before the BIGINT cast on BOTH sides — DuckDB
+    // rounds double->bigint casts while Spark truncates.
+    "dedup_simhash_recovery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS planted,
+        | CAST(count(*) FILTER (WHERE recovered) AS BIGINT) AS recovered,
+        | CAST(floor(count(*) FILTER (WHERE recovered) * 1000.0
+        |   / count(*)) AS BIGINT) AS recall_x1000
+        |FROM '/tmp/graft_gate_fx/simhash/*/*.parquet'
+        |WHERE n_docs = (SELECT count(*) FROM documents)""".stripMargin,
+    "multimodal_invariants" ->
+      """SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+        | bool_and(decoded) AS all_decoded,
+        | bool_and(magic_ok) AS all_magic,
+        | bool_and(dims_ok) AS all_dims,
+        | bool_and(psnr_ok) AS all_psnr,
+        | bool_and(phash_ok) AS all_phash
+        |FROM '/tmp/graft_gate_fx/mm/*.parquet'
+        |GROUP BY fmt ORDER BY fmt""".stripMargin,
+    "doc_fingerprint_stability" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS stable_docs,
+        | true AS all_stable
+        |FROM documents""".stripMargin
   )
 }
