@@ -178,6 +178,30 @@ object DedupOps {
     lshJaccardPairs(df, idCol, textCol, wordNgrams(_, n),
       numHashes, bands, threshold)
 
+  /** Materialize an intermediate the LSH dataflow references several
+    * times, per `spark.graft.dedup.materialize`:
+    *  - `local` (default): eager `localCheckpoint` — blocks live only
+    *    on executors with NO recompute path. Fastest, but an executor
+    *    loss (OOM-kill, decommission, dynamic allocation) mid-job
+    *    fails the run. Right for stable fixed-size clusters.
+    *  - `reliable`: eager `checkpoint` to the SparkContext checkpoint
+    *    dir (caller must `sc.setCheckpointDir` to HDFS/object storage)
+    *    — survives executor churn.
+    *  - `cache`: MEMORY_AND_DISK persist, lineage retained — lost
+    *    blocks recompute instead of failing; cheapest churn-tolerant
+    *    mode when the upstream pass is re-runnable. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf
+      .get("spark.graft.dedup.materialize", "local") match {
+      case "reliable" => df.checkpoint(eager = true)
+      case "cache" =>
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      case _ => df.localCheckpoint(eager = true)
+    }
+
   /** Shared MinHash-LSH dataflow, parameterized by the set builder. */
   private def lshJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, shingler: String => Array[Long],
@@ -195,20 +219,20 @@ object DedupOps {
     // pinned across calls).
     val bandsUdf = udf((t: String) =>
       bandKeys(t, shingler, numHashes, bands))
-    // the signature pass output, materialized once (eager
-    // localCheckpoint): Spark plans are trees, so the self-join below
+    // the signature pass output, materialized once (see
+    // `materialize` for the churn-tolerance modes): Spark plans are
+    // trees, so the self-join below
     // would otherwise run the WHOLE shingle→minhash pass twice (once
     // per side — exchange reuse does not fire across the self-join's
     // realiased subtrees, verified in the event log). (id, bandHash)
     // rows are 16 bytes × bands per doc — storing them beats 2x the
     // dominant CPU stage at any scale (MEMORY_AND_DISK; spills, never
     // OOMs).
-    val banded = df
+    val banded = materialize(df
       .select(col(idCol).as("id"),
-        explode(bandsUdf(col(textCol))).as("bandHash"))
-      .localCheckpoint(true)
-    // candidate pairs: ids sharing any band bucket. MATERIALIZED once
-    // (eager localCheckpoint): the pair table is referenced five times
+        explode(bandsUdf(col(textCol))).as("bandHash")))
+    // candidate pairs: ids sharing any band bucket. MATERIALIZED
+    // once: the pair table is referenced five times
     // downstream (the join chain plus two scans per candIds branch),
     // and Spark plans are trees — without truncating the lineage every
     // reference re-ran the whole signature pass over the corpus
@@ -222,7 +246,7 @@ object DedupOps {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(materialize)
     // Exact verify on candidates only. Two scale rules, both measured
     // on multi-executor runs:
     //  1. shrink FIRST: semi-join the corpus down to ids that appear
@@ -240,8 +264,8 @@ object DedupOps {
     //     building it). The merge hint forces the shuffle join.
     val candIds = cand.select($"id_a".as("id"))
       .union(cand.select($"id_b".as("id"))).distinct()
-    // candidate TEXTS materialized once (eager localCheckpoint, ~the
-    // candidate fraction of the corpus). Two measured lessons shape
+    // candidate TEXTS materialized once (~the candidate fraction of
+    // the corpus). Two measured lessons shape
     // the verify stage:
     //  - ship texts, not shingle arrays: the sorted hash array is
     //    ~8.5x the text, and moving arrays through the checkpoint +
@@ -255,7 +279,7 @@ object DedupOps {
     // by the candidate count, never by the corpus.
     val prepCand = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(candIds, Seq("id"), "left_semi")
-      .localCheckpoint(true)
+      .transform(materialize)
     val jacTextUdf = udf((ta: String, tb: String) =>
       jaccard(shingler(ta), shingler(tb)))
     // join shape picked by the MEASURED candidate count (cand is
