@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // error-only logging: the INFO firehose costs measurable CPU in the
+  // PARENT sbt JVM (it pumps forked stderr), which would otherwise
+  // pollute Bench's external-load noise bracket
+  s"-Dlog4j2.configurationFile=file:${baseDirectory.value / "conf" / "log4j2-quiet.properties"}",
 )
