@@ -43,7 +43,11 @@ object SyntheticWeb {
     * config/sites_config.json:213). */
   val robotsDisallow: Map[String, Seq[String]] = Map(
     "portal-antigo.saude.mg.gov.br" -> Seq("/private/", "/admin/"),
-    "aplicacoes.mds.gov.br" -> Seq("/private/", "/interno/"))
+    // the `/*.tmp$` wildcard rule (RFC 9309 §2.2.3) matches no
+    // synthetic link — it exercises the wildcard path through parse →
+    // broadcast → codegen kernel end-to-end without changing any
+    // fixture-pinned crawl content
+    "aplicacoes.mds.gov.br" -> Seq("/private/", "/interno/", "/*.tmp$"))
 
   /** `Allow` carve-outs UNDER disallowed prefixes (RFC 9309 §2.2.2
     * longest-match precedence): `/private/liberado/` is crawlable even

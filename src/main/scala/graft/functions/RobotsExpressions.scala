@@ -28,9 +28,44 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RobotsExpressions {
 
+  /** RFC 9309 §2.2.3 rule match, allocation-free over UTF8String
+    * bytes: `*` spans any byte run, a trailing `$` anchors the rule to
+    * the path END; otherwise a rule matches as a prefix-glob. The
+    * iterative single-star-backtrack loop is the classic glob matcher
+    * (Kernighan/Pike); byte-level matching is exact for UTF-8 because
+    * the metacharacters are ASCII and UTF-8 is self-synchronizing. */
+  def ruleMatches(path: UTF8String, pat: UTF8String): Boolean = {
+    val pn = pat.numBytes()
+    val sn = path.numBytes()
+    val anchored = pn > 0 && pat.getByte(pn - 1) == '$'
+    val pEnd = if (anchored) pn - 1 else pn
+    var s = 0; var p = 0; var starP = -1; var starS = 0
+    while (true) {
+      if (p == pEnd) {
+        // pattern consumed: a prefix-glob match unless `$` demands the
+        // path also be consumed — then push the last `*` one byte on
+        if (!anchored || s == sn) return true
+        if (starP < 0) return false
+        starS += 1; if (starS > sn) return false
+        p = starP + 1; s = starS
+      } else if (pat.getByte(p) == '*') {
+        starP = p; starS = s; p += 1
+      } else if (s < sn && pat.getByte(p) == path.getByte(s)) {
+        p += 1; s += 1
+      } else if (starP >= 0) {
+        starS += 1; if (starS > sn) return false
+        p = starP + 1; s = starS
+      } else return false
+    }
+    false // unreachable
+  }
+
   /** Codegen-reachable static kernel. `rules` rows are
-    * (prefix: string, allow: boolean); byte-length longest match,
-    * Allow wins ties, no matching rule → permitted. */
+    * (pattern: string, allow: boolean); most-specific (longest raw
+    * pattern, wildcards counted) match decides, Allow wins ties, no
+    * matching rule → permitted — the same specificity order Google's
+    * open-source matcher uses, agreed byte-for-byte with
+    * [[graft.politeness.RobotsTxt.Rules.permits]]. */
   def permits(path: UTF8String, rules: ArrayData): Boolean = {
     var bestAllow = -1
     var bestDis = -1
@@ -38,9 +73,9 @@ object RobotsExpressions {
     var i = 0
     while (i < n) {
       val r = rules.getStruct(i, 2)
-      val prefix = r.getUTF8String(0)
-      if (path.startsWith(prefix)) {
-        val len = prefix.numBytes()
+      val pattern = r.getUTF8String(0)
+      if (ruleMatches(path, pattern)) {
+        val len = pattern.numBytes()
         if (r.getBoolean(1)) { if (len > bestAllow) bestAllow = len }
         else if (len > bestDis) bestDis = len
       }

@@ -22,23 +22,56 @@ import graft.model.PolitenessBudget
   *    surfaced so callers can turn it into a [[PolitenessBudget]]
   *    override per host;
   *  - comments (`#`), blank-line group separation, case-insensitive
-  *    directive names, CR/LF endings.
-  * Not supported: `*`/`$` wildcards inside paths (the rule sets this
-  * engine consumes are plain prefixes, like the reference's).
+  *    directive names, CR/LF endings;
+  *  - `*`/`$` wildcards in rule paths (RFC 9309 §2.2.3): `*` spans
+  *    any character run, a trailing `$` anchors the rule to the path
+  *    end; specificity is the raw pattern length (wildcards counted),
+  *    like Google's open-source matcher.
   */
 object RobotsTxt {
+
+  /** Scalar §2.2.3 rule match on UTF-8 bytes — independent of (and
+    * parity-pinned against, RobotsExpressionSpec) the distributed
+    * codegen kernel [[graft.functions.RobotsExpressions.ruleMatches]]. */
+  private[graft] def ruleMatches(pathS: String, patS: String): Boolean = {
+    val path = pathS.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pat = patS.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sn = path.length
+    val anchored = pat.nonEmpty && pat(pat.length - 1) == '$'
+    val pEnd = if (anchored) pat.length - 1 else pat.length
+    var s = 0; var p = 0; var starP = -1; var starS = 0
+    while (true) {
+      if (p == pEnd) {
+        if (!anchored || s == sn) return true
+        if (starP < 0) return false
+        starS += 1; if (starS > sn) return false
+        p = starP + 1; s = starS
+      } else if (pat(p) == '*') {
+        starP = p; starS = s; p += 1
+      } else if (s < sn && pat(p) == path(s)) {
+        p += 1; s += 1
+      } else if (starP >= 0) {
+        starS += 1; if (starS > sn) return false
+        p = starP + 1; s = starS
+      } else return false
+    }
+    false // unreachable
+  }
 
   final case class Rules(
       allows: Seq[String],
       disallows: Seq[String],
       crawlDelaySec: Option[Double]) {
 
-    /** RFC 9309 §2.2.2 precedence: the longest matching prefix rule
-      * decides; `Allow` wins a length tie; no matching rule → allowed. */
+    /** RFC 9309 §2.2.2 precedence: the most specific (longest raw
+      * pattern, in bytes) matching rule decides; `Allow` wins a
+      * length tie; no matching rule → allowed. */
     def permits(path: String): Boolean = {
-      val d = disallows.filter(path.startsWith).map(_.length)
+      def len(r: String): Int =
+        r.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      val d = disallows.filter(ruleMatches(path, _)).map(len)
         .maxOption.getOrElse(-1)
-      val a = allows.filter(path.startsWith).map(_.length)
+      val a = allows.filter(ruleMatches(path, _)).map(len)
         .maxOption.getOrElse(-1)
       a >= d
     }

@@ -14,15 +14,28 @@ import graft.politeness.RobotsTxt
 class RobotsExpressionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  test("randomized agreement with RobotsTxt.permits over 400 (rules, path) samples") {
+  test("randomized agreement with RobotsTxt.permits over 800 (rules, path) samples incl. wildcards") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     val segs = Seq("a", "docs", "private", "liberado", "x", "img", "deep")
     def prefix(): String =
       "/" + Seq.fill(1 + rnd.nextInt(3))(segs(rnd.nextInt(segs.size)))
         .mkString("/") + (if (rnd.nextBoolean()) "/" else "")
-    val cases = (0 until 400).map { i =>
-      val rules = Seq.fill(rnd.nextInt(6))((prefix(), rnd.nextBoolean()))
+    // §2.2.3 metacharacters in ~half the rules: '*' spliced mid-path
+    // (possibly several), '$' appended — shapes real robots files use
+    // (/*.pdf$, /docs/*/private, /a*b*c)
+    def rulePat(): String = {
+      var p = prefix()
+      if (rnd.nextBoolean()) {
+        val at = 1 + rnd.nextInt(p.length - 1)
+        p = p.substring(0, at) + "*" + p.substring(at + (if (rnd.nextBoolean()) 1 else 0))
+        if (rnd.nextInt(3) == 0) p = p + "*" + segs(rnd.nextInt(segs.size))
+        if (rnd.nextBoolean()) p = p + "$"
+      }
+      p
+    }
+    val cases = (0 until 800).map { i =>
+      val rules = Seq.fill(rnd.nextInt(6))((rulePat(), rnd.nextBoolean()))
       val path = prefix() + (if (rnd.nextBoolean()) "leaf.png" else "")
       (i.toLong, path, rules)
     }

@@ -114,6 +114,41 @@ class RobotsTxtSpec extends AnyFunSuite {
       Seq("/b/"))
   }
 
+  test("RFC 9309 §2.2.3 wildcards: '*' spans runs, trailing '$' anchors, specificity is raw length") {
+    val r = RobotsTxt.parse(
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /docs/*/draft/
+        |Allow: /docs/*/draft/public*
+        |Disallow: /a*b$
+        |""".stripMargin)
+    // '$' anchors: only paths ENDING in .pdf are blocked
+    assert(!r.permits("/x/report.pdf"))
+    assert(r.permits("/x/report.pdf.html"))
+    assert(r.permits("/x/report.pdfx"))
+    // '*' spans any run including '/'
+    assert(!r.permits("/docs/2024/draft/secret"))
+    assert(!r.permits("/docs/a/b/draft/secret"))
+    assert(r.permits("/docs/2024/final/x"))
+    // longer raw pattern (Allow carve-out with wildcard) wins
+    assert(r.permits("/docs/2024/draft/public-report"))
+    // multiple stars with anchor, backtracking required
+    assert(!r.permits("/aXXbYYb"))
+    assert(r.permits("/aXXbYYbZ"))
+    // '*' alone matches everything
+    val all = RobotsTxt.parse("User-agent: *\nDisallow: *\n")
+    assert(!all.permits("/anything"))
+    // scalar and kernel agree on tricky anchored-backtrack shapes
+    Seq(("/p/x", "/p*$"), ("/p/", "/p/*x$"), ("/ab", "/a$"), ("", "$"),
+        ("/q", "*"), ("/q", "**$")).foreach { case (path, pat) =>
+      assert(RobotsTxt.ruleMatches(path, pat) ===
+        graft.functions.RobotsExpressions.ruleMatches(
+          org.apache.spark.unsafe.types.UTF8String.fromString(path),
+          org.apache.spark.unsafe.types.UTF8String.fromString(pat)),
+        s"path=$path pat=$pat")
+    }
+  }
+
   test("several matching groups with Crawl-delay: the max (most conservative) wins") {
     val text =
       """User-agent: graft
