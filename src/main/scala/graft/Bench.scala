@@ -41,9 +41,22 @@ object Bench {
     * SPARK_HOME (+SPARK_SCALA_VERSION) in the environment; build.sbt
     * provides both to forked runs. */
   private def clusterSession(execs: Int, coresEach: Int): SparkSession = {
-    val s = SparkSession.builder()
+    // profiling aid: SPARK_GRAFT_EVENTLOG=/dir enables the Spark event
+    // log for offline stage-time analysis of a scaling side
+    val evDir = sys.env.get("SPARK_GRAFT_EVENTLOG")
+    evDir.foreach(d => new java.io.File(d).mkdirs())
+    val b = SparkSession.builder()
       .master(s"local-cluster[$execs,$coresEach,4096]")
       .appName(s"graft-bench-${execs}x$coresEach")
+    evDir.foreach { d =>
+      b.config("spark.eventLog.enabled", "true")
+      b.config("spark.eventLog.dir", d)
+    }
+    // A/B aid for the dedup materialization strategy (see
+    // DedupOps.materialize): local | reliable | cache | none
+    sys.env.get("SPARK_GRAFT_DEDUP_MAT")
+      .foreach(m => b.config("spark.graft.dedup.materialize", m))
+    val s = b
       // the bracket figure is WORKER capacity; executors default to a
       // 1 GiB heap unless told otherwise — the dedup workload's
       // shingle arrays need more than that in the verify join sorts
@@ -352,7 +365,7 @@ object Bench {
     // scaling evidence, same quiet-host/alternation protocol as the
     // crawl. Not part of the driver's standard JSON contract.
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("dedup")) {
-      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
       val coresEa = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_CORES", "2").toInt
       def scaledD(execs: Int): (Long, Double) = {
         val s = clusterSession(execs, coresEa)
@@ -555,7 +568,7 @@ object Bench {
     // (skip with SPARK_GRAFT_BENCH_DEDUP=0)
     var dedupJson = ""
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP", "1") == "1") {
-      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
       def scaledD(execs: Int): Double = {
         val s = clusterSession(execs, coresEach)
         try {

@@ -255,6 +255,50 @@ object ImageCodec {
   def phash(pixels: Array[Byte]): Long =
     Hashing.xxh64(pixels, Hashing.SparkSeed)
 
+  /** 64-bit perceptual difference hash (dHash, the published
+    * average/difference-hash family): box-downscale the gray image to
+    * a 9×8 grid of cell means and emit one bit per horizontal
+    * neighbor comparison (8 rows × 8 comparisons). Near-duplicate
+    * images — re-encoded, lightly noised, brightness-shifted — land
+    * within a few bits of Hamming distance, while unrelated images
+    * differ in ~32; `phash` (exact pixel hash) catches none of those.
+    * Integer-exact: cell means are compared as cross-multiplied Long
+    * sums, so the hash is bit-stable across partitionings and JVMs
+    * (no floating-point rounding). */
+  def dhash(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val gw = 9; val gh = 8
+    val sums = new Array[Long](gh * gw)
+    val cnts = new Array[Long](gh * gw)
+    var y = 0
+    while (y < h) {
+      val gy = y * gh / h
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        val cell = gy * gw + x * gw / w
+        sums(cell) += (pixels(row + x) & 0xff)
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        val l = gy * gw + gx
+        // mean(l) > mean(l+1)  ⇔  sumL·cntR > sumR·cntL (exact)
+        if (sums(l) * cnts(l + 1) > sums(l + 1) * cnts(l)) bits |= 1L << i
+        i += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
   /** Magic-byte payload validation (P3): size ≥ 1024 B and a magic
     * matching the claimed format — the image-domain analogue of the
     * reference's `%PDF-` check (portal_saude_mg.py:539-561). */

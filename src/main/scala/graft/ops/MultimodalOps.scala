@@ -111,6 +111,33 @@ object MultimodalOps {
     c => u(c)
   }
 
+  /** 64-bit perceptual hash column ([[ImageCodec.dhash]]) — decode
+    * failures → null (filtered by callers), never a task failure. */
+  val dhashUdf: Column => Column = {
+    val u = udf((bytes: Array[Byte]) => {
+      try {
+        val (w, h, px) = ImageCodec.decode(bytes)
+        ImageCodec.dhash(px, w, h): java.lang.Long
+      } catch { case _: Exception => null }
+    })
+    c => u(c)
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash per image map-side
+    * (the heavy decode runs exactly once per row, and only the 8-byte
+    * sketch + id ever shuffle — payload bytes stay in their scan
+    * partitions, the PayloadStage rule), then banded Hamming pairing
+    * via [[DedupOps.hammingPairs64]] — no n² comparison at any scale.
+    * Catches re-encoded / lightly-noised / brightness-shifted copies
+    * that the exact pixel `phash` cannot. */
+  def imageNearDup(images: DataFrame, idCol: String, bytesCol: String,
+      maxDist: Int = 4): DataFrame =
+    DedupOps.hammingPairs64(
+      images.select(col(idCol).as("id"),
+          dhashUdf(col(bytesCol)).as("dh"))
+        .filter(col("dh").isNotNull),
+      "id", "dh", maxDist)
+
   /** Feature table for an image table (input_hint schema): dims from
     * the real decode, 16-bin histogram, pixel stats — the canonical
     * multimodal feature-extraction job. */

@@ -246,6 +246,58 @@ object OpsQueries {
           bool_and(col("fp1") === col("fp2")).as("all_stable"))
     }),
 
+    // Perceptual image near-dup (dHash + banded Hamming pairs) as a
+    // DRIVER VALUE gate: the 20 lowest-urlHash demo images get a
+    // planted near-duplicate — pixels perturbed by deterministic ±2
+    // noise, then RE-ENCODED as jpeg — and must be re-found as an
+    // (id, id+1e6) pair at Hamming ≤ 4. Honest ratio, not all-true: a
+    // cell-mean near-tie in a smooth field can legitimately flip more
+    // than 4 bits under noise; the measured floor is pinned in
+    // OpsSpec. Per-image flags are staged as a parquet fixture DuckDB
+    // re-aggregates (demo crawl is SF-independent → stable path).
+    "image_neardup_recovery" -> ((s: SparkSession, _: String) => {
+      val images = CrawlQueries.demoResult(s).images.toDF()
+      // deterministic dense ids from the unique urlHash ordering (the
+      // string image_id cannot take the +1e6 pair-offset trick)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("urlHash"))
+      val base = images
+        .select(col("urlHash"), col("bytes"))
+        .withColumn("rid", row_number().over(w).cast("long"))
+      val perturb = udf((bytes: Array[Byte], key: Long) => {
+        try {
+          val (iw, ih, px) = graft.fetch.ImageCodec.decode(bytes)
+          val out = new Array[Byte](px.length)
+          var i = 0
+          while (i < px.length) {
+            val n = java.lang.Math.floorMod(
+              graft.url.Hashing.mix(key + i * 0x9E3779B97F4A7C15L), 5L)
+              .toInt - 2
+            out(i) = math.max(0, math.min(255, (px(i) & 0xff) + n)).toByte
+            i += 1
+          }
+          graft.fetch.ImageCodec.encode(out, iw, ih, "jpeg")
+        } catch { case _: Exception => null }
+      })
+      val planted = base.filter(col("rid") <= 20)
+        .select((col("rid") + lit(1000000L)).as("rid"),
+          perturb(col("bytes"), col("urlHash")).as("bytes"))
+      val pairs = graft.ops.MultimodalOps.imageNearDup(
+        base.select(col("rid"), col("bytes")).unionByName(planted),
+        "rid", "bytes", maxDist = 4)
+      val hits = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("rid"), lit(true).as("rec"))
+      val fx = base.filter(col("rid") <= 20).select(col("rid"))
+        .join(hits, Seq("rid"), "left_outer")
+        .select(col("rid"), coalesce(col("rec"), lit(false)).as("recovered"))
+      val path = s"$gateFxBase/imgdup"
+      fx.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .agg(count(lit(1)).cast("long").as("planted"),
+          sum(col("recovered").cast("int")).cast("long").as("recovered"),
+          floor(sum(col("recovered").cast("int")) * 1000.0 /
+            count(lit(1))).cast("long").as("recall_x1000"))
+    }),
+
     "text_analysis" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
         .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -307,6 +359,14 @@ object OpsQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(count(*) AS BIGINT) AS stable_docs,
         | true AS all_stable
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // re-aggregates the staged per-image recovery flags (same floor()
+    // rule as dedup_simhash_recovery)
+    "image_neardup_recovery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS planted,
+        | CAST(count(*) FILTER (WHERE recovered) AS BIGINT) AS recovered,
+        | CAST(floor(count(*) FILTER (WHERE recovered) * 1000.0
+        |   / count(*)) AS BIGINT) AS recall_x1000
+        |FROM '/tmp/graft_gate_fx/imgdup/*.parquet'""".stripMargin
   )
 }

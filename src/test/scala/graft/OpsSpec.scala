@@ -62,6 +62,52 @@ class OpsSpec extends AnyFunSuite {
       s"missed planted simhash pairs: ${expected -- found}")
   }
 
+  test("dhash: brightness-shift invariant, noise-stable, discriminative across images") {
+    val w = 120; val h = 90
+    val px = ImageCodec.synthPixels(0x1234L, w, h)
+    val d0 = ImageCodec.dhash(px, w, h)
+    // global brightness shift (in-range for the synthetic field's
+    // 36..219 span) preserves every cell-mean ORDER comparison
+    val brighter = px.map(b => math.min(255, (b & 0xff) + 10).toByte)
+    assert(ImageCodec.dhash(brighter, w, h) === d0)
+    // jpeg re-encode round-trip stays within a few bits
+    val jpg = ImageCodec.encode(px, w, h, "jpeg")
+    val (dw, dh, dec) = ImageCodec.decode(jpg)
+    assert(DedupOps.hamming64(ImageCodec.dhash(dec, dw, dh), d0) <= 4)
+    // unrelated images are far apart (expected ~32 bits)
+    val other = ImageCodec.synthPixels(0x9999L, w, h)
+    assert(DedupOps.hamming64(ImageCodec.dhash(other, w, h), d0) > 10)
+  }
+
+  test("image near-dup recovers perturbed re-encoded copies, no false pairs") {
+    import spark.implicits._
+    val w = 120; val h = 90
+    val rows = (0 until 30).map { i =>
+      val px = ImageCodec.synthPixels(i * 7919L + 13, w, h)
+      val fmt = Seq("png", "jpeg", "bmp")(i % 3)
+      (i.toLong, ImageCodec.encode(px, w, h, fmt))
+    }
+    // planted copies: ±2 deterministic noise, re-encoded as jpeg
+    val planted = rows.take(20).map { case (id, bytes) =>
+      val (iw, ih, px) = ImageCodec.decode(bytes)
+      val noisy = px.zipWithIndex.map { case (b, i) =>
+        val n = java.lang.Math.floorMod(
+          graft.url.Hashing.mix(id * 31L + i), 5L).toInt - 2
+        math.max(0, math.min(255, (b & 0xff) + n)).toByte
+      }
+      (id + 1000000L, ImageCodec.encode(noisy, iw, ih, "jpeg"))
+    }
+    val df = (rows ++ planted).toDF("rid", "bytes")
+    val pairs = MultimodalOps.imageNearDup(df, "rid", "bytes", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = (0 until 20).count(i =>
+      pairs.contains((i.toLong, i + 1000000L)))
+    assert(recovered >= 16, s"recovered only $recovered/20 planted pairs")
+    // no pair between UNRELATED images (distinct synth keys)
+    val false_ = pairs.filterNot { case (a, b) => b == a + 1000000L }
+    assert(false_.isEmpty, s"false near-dup pairs: $false_")
+  }
+
   test("word n-gram Jaccard finds planted near-dups; sets are token-granular") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
