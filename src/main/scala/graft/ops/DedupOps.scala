@@ -180,22 +180,25 @@ object DedupOps {
 
   /** Materialize an intermediate the LSH dataflow references several
     * times, per `spark.graft.dedup.materialize`:
-    *  - `cache` (default): MEMORY_AND_DISK persist (columnar,
-    *    compressed), lineage retained — lost blocks recompute instead
-    *    of failing under executor churn. Also the MEASURED
-    *    multi-executor winner by a wide margin: at 480k docs on a
-    *    4×2-core local-cluster the minhash pass runs 25 s cached vs
-    *    183 s localCheckpointed — scanning MEMORY_AND_DISK
-    *    *deserialized* checkpoint blocks across executor JVMs burned
-    *    380-607 s of executor CPU in the band-shuffle stage (event-log
-    *    stage 42) vs 17 s for the identical work in one JVM, while the
-    *    columnar cache ships compact serialized batches and decodes
-    *    vectorized. N→4N efficiency: 0.94 cached vs 0.40 checkpointed.
+    *  - `auto` (default): `local` when the session is a single
+    *    in-process JVM (`sc.isLocal`), `cache` on any multi-executor
+    *    master — each is the MEASURED winner on its side (below).
+    *  - `cache`: MEMORY_AND_DISK persist (columnar, compressed),
+    *    lineage retained — lost blocks recompute instead of failing
+    *    under executor churn. The multi-executor winner by a wide
+    *    margin: at 480k docs on a 4×2-core local-cluster the minhash
+    *    pass runs 25 s cached vs 183 s localCheckpointed — scanning
+    *    MEMORY_AND_DISK *deserialized* checkpoint blocks across
+    *    executor JVMs burned 380-607 s of executor CPU in the
+    *    band-shuffle stage (event-log stage 42) vs 17 s for the
+    *    identical work in one JVM, while the columnar cache ships
+    *    compact serialized batches and decodes vectorized. N→4N
+    *    efficiency: 0.94 cached vs 0.40 checkpointed.
     *  - `local`: eager `localCheckpoint` — blocks live only on
-    *    executors with NO recompute path; ~15% faster than `cache` in
-    *    a SINGLE executor JVM (no columnar encode), but see above for
-    *    multi-executor and note an executor loss mid-job fails the
-    *    run.
+    *    executors with NO recompute path (an executor loss mid-job
+    *    fails the run). The single-JVM winner: no columnar encode and
+    *    one less action — e.g. the sf0.1 battery's minhash entry runs
+    *    2.6 s vs 6.0 s cached.
     *  - `reliable`: eager `checkpoint` to the SparkContext checkpoint
     *    dir (caller must `sc.setCheckpointDir` to HDFS/object
     *    storage) — survives driver-visible block loss too.
@@ -203,18 +206,24 @@ object DedupOps {
     *    plan tree re-runs the whole signature pass per reference —
     *    5+× the dominant CPU stage; a 480k-doc run that takes ~127 s
     *    cached did not finish in 10 min). */
-  private def materialize(df: DataFrame): DataFrame =
-    df.sparkSession.conf
-      .get("spark.graft.dedup.materialize", "cache") match {
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    def cachePersist(): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    spark.conf.get("spark.graft.dedup.materialize", "auto") match {
       case "reliable" => df.checkpoint(eager = true)
       case "local" => df.localCheckpoint(eager = true)
+      case "cache" => cachePersist()
       case "none" => df
-      case _ =>
-        val p = df.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count()
-        p
+      case _ => // auto
+        if (spark.sparkContext.isLocal) df.localCheckpoint(eager = true)
+        else cachePersist()
     }
+  }
 
   /** Shared MinHash-LSH dataflow, parameterized by the set builder. */
   private def lshJaccardPairs(df: DataFrame, idCol: String,
