@@ -138,20 +138,41 @@ object MultimodalOps {
         .filter(col("dh").isNotNull),
       "id", "dh", maxDist)
 
+  /** All per-image features from ONE decode. The composable single-
+    * feature columns above ([[decodeDims]], [[grayHistogram]],
+    * [[pixelStats]]) each decode the payload; at corpus scale the
+    * decode dominates, so the canonical feature job must not pay it
+    * per feature — three decodes per row tripled the dominant cost. */
+  private val allFeaturesUdf = udf((bytes: Array[Byte]) => {
+    try {
+      val (w, h, px) = ImageCodec.decode(bytes)
+      val hist = new Array[Long](16)
+      var s = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xff
+        hist((v * 16) / 256) += 1L
+        s += v; s2 += v.toDouble * v
+        i += 1
+      }
+      val n = px.length.toDouble
+      val mean = s / n
+      (w, h, hist, mean, math.sqrt(math.max(0, s2 / n - mean * mean)))
+    } catch { case _: Exception => null }
+  })
+
   /** Feature table for an image table (input_hint schema): dims from
     * the real decode, 16-bin histogram, pixel stats — the canonical
-    * multimodal feature-extraction job. */
+    * multimodal feature-extraction job. One decode per row. */
   def imageFeatures(images: DataFrame): DataFrame = {
     images
-      .withColumn("dims", decodeDims(col("bytes")))
-      .withColumn("hist16", grayHistogram(16)(col("bytes")))
-      .withColumn("px_stats", pixelStats(col("bytes")))
+      .withColumn("ft", allFeaturesUdf(col("bytes")))
       .select(col("image_id"), col("fmt"),
-        col("dims").getItem(0).as("dec_w"),
-        col("dims").getItem(1).as("dec_h"),
+        col("ft._1").as("dec_w"),
+        col("ft._2").as("dec_h"),
         col("w"), col("h"),
-        col("hist16"),
-        round(col("px_stats").getItem(0), 4).as("px_mean"),
-        round(col("px_stats").getItem(1), 4).as("px_std"))
+        col("ft._3").as("hist16"),
+        round(col("ft._4"), 4).as("px_mean"),
+        round(col("ft._5"), 4).as("px_std"))
   }
 }

@@ -50,6 +50,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-n not pushed:\n$p")
   }
 
+  test("image near-dup: payload bytes never enter an exchange (only 8-byte sketches shuffle)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // a binary-typed payload column wide enough that shuffling it
+    // would be the dominant cost — the plan must project it away
+    // before every Exchange (PayloadStage rule applied to dedup)
+    val imgs = spark.range(50)
+      .select($"id", lit(Array.fill[Byte](4096)(7)).as("bytes"))
+    val p = formatted(
+      graft.ops.MultimodalOps.imageNearDup(imgs, "id", "bytes"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected a shuffle in the pair join:\n$p")
+    // the formatted plan prints each operator's output schema;
+    // no Exchange's input/arguments may mention the binary column
+    val badSection = "(?s)\\(\\d+\\) Exchange.*?(?=\\(\\d+\\)|$)".r
+      .findAllIn(p).filter(_.contains("bytes"))
+    assert(badSection.isEmpty,
+      s"payload bytes cross a shuffle boundary:\n$p")
+  }
+
   test("robots filter stays broadcast + native codegen (frontier never shuffles for robots)") {
     import spark.implicits._
     val raw = graft.jobs.CrawlJob.harvest(spark,
