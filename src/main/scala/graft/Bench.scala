@@ -518,14 +518,16 @@ object Bench {
       def effPaired: Double = s1.sec / (4.0 * s4.sec)
     }
     val minRounds = 2
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "6").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "8").toInt
     val quietWaitSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "300").toInt
     // wall-clock budget for the scaling section: re-draws stop once
     // it is spent (the minimum draws are always taken), so a noisy
-    // afternoon cannot stretch the driver's bench run unboundedly
+    // afternoon cannot stretch the driver's bench run unboundedly —
+    // sized so a run inside a sustained noise window still gets
+    // several post-window chances (noise windows run 10-20 min here)
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1800").toInt
     val budget0 = System.nanoTime()
     def budgetLeft: Boolean =
       (System.nanoTime() - budget0) / 1e9 < budgetSec
@@ -576,10 +578,15 @@ object Bench {
           dedupOnce(s, nDocs)._2
         } finally s.stop()
       }
+      // own wall budget: a draw pair inside a noise window can run
+      // 10+ min; never let the optional evidence stretch the bench
+      val dBudget0 = System.nanoTime()
+      def dBudgetLeft: Boolean =
+        (System.nanoTime() - dBudget0) / 1e9 < 600
       val draws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       while (draws.size < 2 &&
-          (draws.isEmpty ||
-            draws.map(_._1).min / (4.0 * draws.map(_._2).min) < 0.8)) {
+          (draws.isEmpty || (dBudgetLeft &&
+            draws.map(_._1).min / (4.0 * draws.map(_._2).min) < 0.8))) {
         waitForQuiet(quietWaitSec)
         draws += ((scaledD(1), scaledD(4)))
       }
