@@ -369,18 +369,25 @@ object DedupOps {
     import spark.implicits._
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val chunkUdf = udf((h: Long) =>
-      (0 until chunks).map(c =>
-        s"$c:${(h >>> (c * width)) & ((1L << width) - 1)}").toArray)
+    // banding and verification are built-in codegen expressions, not
+    // UDFs: the chunk keys come from shift/mask/concat and the exact
+    // Hamming verify is bit_count(a^b) — the whole pass stays inside
+    // WholeStageCodegen (the only UDFs in the dedup family are the
+    // sketchers themselves, which are irreducibly JVM code)
+    val chunkCols = (0 until chunks).map { c =>
+      concat_ws(":", lit(c),
+        shiftrightunsigned($"sim", c * width)
+          .bitwiseAND(lit((1L << width) - 1)))
+    }
     val sigs = df.select(col(idCol).as("id"), col(hashCol).as("sim"))
-      .select($"id", $"sim", explode(chunkUdf($"sim")).as("chunk"))
+      .select($"id", $"sim", explode(array(chunkCols: _*)).as("chunk"))
     val cand = sigs.as("l").join(sigs.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
       .distinct()
-    val hamUdf = udf((a: Long, b: Long) => hamming64(a, b))
-    cand.withColumn("hamming", hamUdf($"sim_a", $"sim_b"))
+    cand.withColumn("hamming",
+        bit_count($"sim_a".bitwiseXOR($"sim_b")).cast("int"))
       .filter($"hamming" <= maxDist)
       .select($"id_a", $"id_b", $"hamming")
       .orderBy($"id_a", $"id_b")
