@@ -134,8 +134,17 @@ object Bench {
   private val ProbeTolerance = 1.35
   private val ExtBusyCoreLimit =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_EXT_LIMIT", "4.0").toDouble
-  private var bestProbe = Double.MaxValue
-  private var bestBw = Double.MaxValue
+  // best-seen ratchets SEEDED with quiet-host calibration values
+  // (measured repeatedly on this sandbox: ALU probe 1.87-1.94 s, bw
+  // probe 0.10-0.14 s) — an unseeded ratchet is blind when the whole
+  // bench starts inside a noise window (the first measurement defines
+  // "quiet" and every later check passes trivially). On different
+  // hardware the ratchet still adapts DOWNWARD from the seed;
+  // override via env if the calibration is ever wrong upward.
+  private var bestProbe =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_CAL", "1.95").toDouble
+  private var bestBw =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BW_CAL", "0.14").toDouble
 
   final case class HostCheck(quiet: Boolean, probeSec: Double,
       bwSec: Double, extCores: Double, load: Double)
@@ -349,6 +358,9 @@ object Bench {
     val pairs = graft.ops.DedupOps
       .minhashPairs(docs, "id", "text", threshold = 0.5).count()
     val t2 = System.nanoTime()
+    // cache-mode intermediates register with the CacheManager and
+    // would stay pinned into the NEXT measured run otherwise
+    spark.catalog.clearCache()
     System.err.println(f"[bench] dedupOnce n=$n pairs=$pairs " +
       f"exact=${(t1 - t0) / 1e9}%.2f minhash=${(t2 - t1) / 1e9}%.2f")
     (n, (t2 - t0) / 1e9)
@@ -506,6 +518,11 @@ object Bench {
       val (b0, o0) = cpuSnapshot()
       val w0 = System.nanoTime()
       val (n, t) = scaled(execs)
+      // let the process reaper collect the just-stopped executor JVMs
+      // before snapshotting: un-reaped children are missing from
+      // cutime/cstime and their CPU would be misread as EXTERNAL load
+      // (falsely stamping a clean side noisy)
+      Thread.sleep(750)
       val wallSec = (System.nanoTime() - w0) / 1e9
       val (b1, o1) = cpuSnapshot()
       // USER_HZ=100: jiffies/100 = cpu-seconds; /wall = avg cores
@@ -563,7 +580,16 @@ object Bench {
     val thr1 = n1 / t1
     val thr4 = n4 / t4
     val eff = thr4 / (4.0 * thr1)
-    val effPaired = rounds.map(_.effPaired).max
+    // paired-best is restricted to rounds whose BOTH sides are quiet:
+    // a round where only t1 was noise-inflated pairs it against a
+    // clean t4 and produces an efficiency the quiet data doesn't
+    // support (r3's 1.06 paired readings). Falls back to all rounds
+    // only when no round is clean — quiet_draws:0 flags that state.
+    val pairedSet = {
+      val both = rounds.filter(r => r.s1.quiet && r.s4.quiet)
+      if (both.nonEmpty) both else rounds
+    }
+    val effPaired = pairedSet.map(_.effPaired).max
 
     // ---- optional: dedup-pipeline N→4N evidence ----------------------
     // the LLM-ops scaling story, recorded per round instead of argued
@@ -583,17 +609,25 @@ object Bench {
       val dBudget0 = System.nanoTime()
       def dBudgetLeft: Boolean =
         (System.nanoTime() - dBudget0) / 1e9 < 600
-      val draws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      // each draw carries its pre-draw quiet stamp + a post-draw
+      // recheck, same honesty rule as the crawl rounds
+      val draws = scala.collection.mutable
+        .ArrayBuffer.empty[(Double, Double, Boolean)]
       while (draws.size < 2 &&
           (draws.isEmpty || (dBudgetLeft &&
             draws.map(_._1).min / (4.0 * draws.map(_._2).min) < 0.8))) {
-        waitForQuiet(quietWaitSec)
-        draws += ((scaledD(1), scaledD(4)))
+        val pre = waitForQuiet(quietWaitSec)
+        val pair = (scaledD(1), scaledD(4))
+        val post = measureHost()
+        draws += ((pair._1, pair._2, pre.quiet && post.quiet))
       }
       val (d1, d4) = (draws.map(_._1).min, draws.map(_._2).min)
+      val dDraws = draws.map { case (a, b, q) =>
+        f"""[$a%.1f,$b%.1f,${if (q) 1 else 0}]""" }.mkString("[", ",", "]")
       dedupJson = f""","dedup":{"docs":$nDocs,"sec_1_executor":$d1%.1f,""" +
         f""""sec_4_executors":$d4%.1f,""" +
-        f""""scaling_efficiency":${d1 / (4.0 * d4)}%.3f}"""
+        f""""scaling_efficiency":${d1 / (4.0 * d4)}%.3f,""" +
+        f""""draw_cols":"t1,t4,quiet","draws":$dDraws}"""
     }
 
     val total = results.map(_._2).sum + demoSec +

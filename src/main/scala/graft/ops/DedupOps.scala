@@ -205,7 +205,14 @@ object DedupOps {
     *  - `none`: recompute per reference (measurement aid only: the
     *    plan tree re-runs the whole signature pass per reference —
     *    5+× the dominant CPU stage; a 480k-doc run that takes ~127 s
-    *    cached did not finish in 10 min). */
+    *    cached did not finish in 10 min).
+    * Note on `cache` residency: persisted DataFrames register with the
+    * session's CacheManager and stay pinned until `clearCache()` or
+    * session stop (localCheckpoint RDDs, by contrast, are freed by the
+    * ContextCleaner on GC). One-shot batch jobs — the dedup family's
+    * shape — are unaffected; a long-lived session calling these
+    * repeatedly should `spark.catalog.clearCache()` between corpora,
+    * as Bench does between measured runs. */
   private def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     def cachePersist(): DataFrame = {
@@ -379,7 +386,14 @@ object DedupOps {
         shiftrightunsigned($"sim", c * width)
           .bitwiseAND(lit((1L << width) - 1)))
     }
-    val sigs = df.select(col(idCol).as("id"), col(hashCol).as("sim"))
+    // materialize the 16-byte (id, sketch) rows BEFORE the self-join:
+    // Spark plans are trees, so both join sides would otherwise
+    // re-run the sketch pass — for the image path that is the decode,
+    // the dominant cost (exchange reuse does not fire across the
+    // realiased subtrees; same finding as lshJaccardPairs)
+    val sketches = materialize(
+      df.select(col(idCol).as("id"), col(hashCol).as("sim")))
+    val sigs = sketches
       .select($"id", $"sim", explode(array(chunkCols: _*)).as("chunk"))
     val cand = sigs.as("l").join(sigs.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))

@@ -33,9 +33,12 @@ object RobotsTxt {
   /** Scalar §2.2.3 rule match on UTF-8 bytes — independent of (and
     * parity-pinned against, RobotsExpressionSpec) the distributed
     * codegen kernel [[graft.functions.RobotsExpressions.ruleMatches]]. */
-  private[graft] def ruleMatches(pathS: String, patS: String): Boolean = {
-    val path = pathS.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val pat = patS.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private[graft] def ruleMatches(pathS: String, patS: String): Boolean =
+    matchBytes(
+      pathS.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      patS.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def matchBytes(path: Array[Byte], pat: Array[Byte]): Boolean = {
     val sn = path.length
     val anchored = pat.nonEmpty && pat(pat.length - 1) == '$'
     val pEnd = if (anchored) pat.length - 1 else pat.length
@@ -63,16 +66,25 @@ object RobotsTxt {
       disallows: Seq[String],
       crawlDelaySec: Option[Double]) {
 
+    // patterns pre-encoded once per Rules instance: the simulator
+    // calls permits per URL, and re-encoding every pattern (plus the
+    // path, per rule) on each call was O(rules) allocations per URL
+    private lazy val allowPats: Seq[Array[Byte]] =
+      allows.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    private lazy val disPats: Seq[Array[Byte]] =
+      disallows.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
     /** RFC 9309 §2.2.2 precedence: the most specific (longest raw
       * pattern, in bytes) matching rule decides; `Allow` wins a
       * length tie; no matching rule → allowed. */
     def permits(path: String): Boolean = {
-      def len(r: String): Int =
-        r.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-      val d = disallows.filter(ruleMatches(path, _)).map(len)
-        .maxOption.getOrElse(-1)
-      val a = allows.filter(ruleMatches(path, _)).map(len)
-        .maxOption.getOrElse(-1)
+      val pb = path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var d = -1
+      disPats.foreach(p =>
+        if (p.length > d && matchBytes(pb, p)) d = p.length)
+      var a = -1
+      allowPats.foreach(p =>
+        if (p.length > a && matchBytes(pb, p)) a = p.length)
       a >= d
     }
   }

@@ -258,11 +258,15 @@ object OpsQueries {
     "image_neardup_recovery" -> ((s: SparkSession, _: String) => {
       val images = CrawlQueries.demoResult(s).images.toDF()
       // deterministic dense ids from the unique urlHash ordering (the
-      // string image_id cannot take the +1e6 pair-offset trick)
+      // string image_id cannot take the +1e6 pair-offset trick). The
+      // single-partition rank window sees ONLY the 8-byte hashes —
+      // payload bytes must never cross a shuffle (PayloadStage rule;
+      // the rid map is broadcast back onto the in-place payload rows).
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("urlHash"))
-      val base = images
-        .select(col("urlHash"), col("bytes"))
+      val ridMap = images.select(col("urlHash"))
         .withColumn("rid", row_number().over(w).cast("long"))
+      val base = images.select(col("urlHash"), col("bytes"))
+        .join(broadcast(ridMap), Seq("urlHash"))
       val perturb = udf((bytes: Array[Byte], key: Long) => {
         try {
           val (iw, ih, px) = graft.fetch.ImageCodec.decode(bytes)
@@ -289,6 +293,11 @@ object OpsQueries {
       val fx = base.filter(col("rid") <= 20).select(col("rid"))
         .join(hits, Seq("rid"), "left_outer")
         .select(col("rid"), coalesce(col("rec"), lit(false)).as("recovered"))
+      // unkeyed fixture path (unlike the simhash gate): the demo crawl
+      // is SF-independent, so every run at every SF writes IDENTICAL
+      // content here — concurrent overwrites converge; the sequential
+      // Verify→oracle driver contract covers the transient window
+      // (same contract the mm fixture relies on)
       val path = s"$gateFxBase/imgdup"
       fx.write.mode("overwrite").parquet(path)
       s.read.parquet(path)
