@@ -271,6 +271,120 @@ object Bench {
     c
   }
 
+  // ---- shared N→4N scaling protocol --------------------------------
+  // Used by BOTH scaling evidences (crawl frontier, dedup pipeline):
+  // each cluster-size run is bracketed individually by host checks
+  // (pre and post) and by a /proc/stat delta across the run itself —
+  // external busy cores DURING the side, computed after s.stop() reaps
+  // the executor JVMs (their cumulative usage then lands in
+  // cutime/cstime and cancels out of the own-tree delta). A side is
+  // quiet only when both bracketing checks pass and the during-run
+  // external load is low — mid-draw noise, which the r4 shakeout
+  // proved invisible to pre-draw checks alone (a t4 of 87 s stamped
+  // quiet), is caught by the post-check because this host's noise
+  // windows run multi-minute, longer than one side.
+
+  /** One cluster-size run with its own noise evidence: wall seconds,
+    * external busy cores during the run bracket, and an honest
+    * per-side quiet stamp. */
+  final case class SideRun(n: Long, sec: Double, ext: Double,
+      quiet: Boolean)
+  final case class Round(s1: SideRun, s4: SideRun) {
+    def effPaired: Double = s1.sec / (4.0 * s4.sec)
+  }
+
+  private def runSide(run: () => (Long, Double),
+      pre: HostCheck): (SideRun, HostCheck) = {
+    val (b0, o0) = cpuSnapshot()
+    val w0 = System.nanoTime()
+    val (n, t) = run()
+    // let the process reaper collect the just-stopped executor JVMs
+    // before snapshotting: un-reaped children are missing from
+    // cutime/cstime and their CPU would be misread as EXTERNAL load
+    // (falsely stamping a clean side noisy)
+    Thread.sleep(750)
+    val wallSec = (System.nanoTime() - w0) / 1e9
+    val (b1, o1) = cpuSnapshot()
+    // USER_HZ=100: jiffies/100 = cpu-seconds; /wall = avg cores
+    val ext = math.max(0.0, ((b1 - b0) - (o1 - o0)) / 100.0 / wallSec)
+    val post = measureHost()
+    val quiet = pre.quiet && post.quiet && ext <= ExtBusyCoreLimit
+    (SideRun(n, t, ext, quiet), post)
+  }
+
+  /** Headline estimator, asymmetric because interference can only
+    * SLOW a run:
+    *  - the numerator t1 needs a QUIET stamp — an inflated t1 raises
+    *    the ratio, so only certified-uninflated draws may set it
+    *    (falls back to all draws when none is quiet, honestly stamped
+    *    in the artifact);
+    *  - the denominator t4 takes the min over ALL draws — a fast t4
+    *    is self-certifying (noise cannot make the fixed workload
+    *    finish early), while preferring a slow quiet-stamped t4 over
+    *    a fast measured one would let a false-quiet degraded draw
+    *    (the probe-invisible noise mode) MASK real capability.
+    * Returns (t1 side, t4 side, paired-best efficiency over
+    * both-quiet rounds, count of both-quiet rounds). Paired-best is
+    * restricted to rounds whose BOTH sides are quiet: a round where
+    * only t1 was noise-inflated pairs it against a clean t4 and
+    * produces an efficiency the quiet data doesn't support (r3's 1.06
+    * paired readings). Falls back to all rounds only when no round is
+    * clean — the quiet count flags that state. */
+  private def headlineOf(rounds: Seq[Round])
+      : (SideRun, SideRun, Double, Int) = {
+    val quiet1 = rounds.map(_.s1).filter(_.quiet)
+    val h1 = (if (quiet1.nonEmpty) quiet1 else rounds.map(_.s1))
+      .minBy(_.sec)
+    val h4 = rounds.map(_.s4).minBy(_.sec)
+    val both = rounds.filter(r => r.s1.quiet && r.s4.quiet)
+    val pairedSet = if (both.nonEmpty) both else rounds
+    (h1, h4, pairedSet.map(_.effPaired).max, both.size)
+  }
+
+  /** The ≥0.8 gate holds only on quiet-t1 evidence (see headlineOf). */
+  private def gateCleared(rounds: Seq[Round]): Boolean =
+    rounds.nonEmpty && {
+      val (h1, h4, _, _) = headlineOf(rounds)
+      h1.quiet && h1.sec / (4.0 * h4.sec) >= 0.8
+    }
+
+  /** Alternated 1-exec/4-exec draws under the quiet-wait protocol,
+    * re-drawn until the asymmetric estimator clears ≥0.8 or the round
+    * cap / wall budget runs out (the budget bounds a noisy afternoon;
+    * `minRounds` draws are always taken). */
+  private def scalingRounds(run: Int => (Long, Double), minRounds: Int,
+      maxRounds: Int, quietWaitSec: Int, budgetSec: Int,
+      label: String): Vector[Round] = {
+    val budget0 = System.nanoTime()
+    def budgetLeft: Boolean =
+      (System.nanoTime() - budget0) / 1e9 < budgetSec
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
+    while (rounds.size < minRounds ||
+        (rounds.size < maxRounds && !gateCleared(rounds.toSeq) &&
+          budgetLeft)) {
+      val pre = waitForQuiet(quietWaitSec)
+      val (s1, mid) = runSide(() => run(1), pre)
+      val (s4, post) = runSide(() => run(4), mid)
+      val r = Round(s1, s4)
+      System.err.println(f"[bench] $label round ${rounds.size + 1}: " +
+        f"t1=${s1.sec}%.1fs(ext=${s1.ext}%.1f,quiet=${s1.quiet}) " +
+        f"t4=${s4.sec}%.1fs(ext=${s4.ext}%.1f,quiet=${s4.quiet}) " +
+        f"eff=${r.effPaired}%.3f post(probe=${post.probeSec}%.2f " +
+        f"bw=${post.bwSec}%.2f ext=${post.extCores}%.1f)")
+      rounds += r
+    }
+    rounds.toVector
+  }
+
+  /** Per-draw evidence row: [t1, t4, ext_cores_during_t1,
+    * ext_during_t4, t1_quiet, t4_quiet]. */
+  private def drawsJson(rounds: Seq[Round]): String =
+    rounds.map { r =>
+      f"""[${r.s1.sec}%.1f,${r.s4.sec}%.1f,${r.s1.ext}%.1f,""" +
+        f"""${r.s4.ext}%.1f,${if (r.s1.quiet) 1 else 0},""" +
+        s"${if (r.s4.quiet) 1 else 0}]"
+    }.mkString("[", ",", "]")
+
   /** Wall-time each oracle SQL in DuckDB over the same parquet tables;
     * returns a JSON object `{"name": sec, ...}` ("{}" on any failure —
     * duckdb is a driver-side tool, not a library dependency). */
@@ -387,30 +501,20 @@ object Bench {
         } finally s.stop()
       }
       val maxR = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "4").toInt
-      var best = 0.0
-      val draws = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-      while (draws.size < maxR && best < 0.8) {
-        waitForQuiet(120)
-        val (_, t1) = scaledD(1)
-        val (_, t4) = scaledD(4)
-        draws += ((t1, t4))
-        best = math.max(best,
-          math.max(t1 / (4.0 * t4),
-            draws.map(_._1).min / (4.0 * draws.map(_._2).min)))
-        System.err.println(f"[bench] dedup round ${draws.size}: " +
-          f"t1=$t1%.1f t4=$t4%.1f best=$best%.3f")
-      }
-      val t1 = draws.map(_._1).min
-      val t4 = draws.map(_._2).min
-      val drawsJson = draws.map { case (a, b) =>
-        f"""{"t1":$a%.2f,"t4":$b%.2f}""" }.mkString("[", ",", "]")
+      val rounds = scalingRounds(scaledD, minRounds = 1, maxRounds = maxR,
+        quietWaitSec = 120, budgetSec = 1500, label = "dedup")
+      val (h1, h4, effPaired, nQuiet) = headlineOf(rounds)
+      val (t1, t4) = (h1.sec, h4.sec)
       println(f"""{"metric":"dedup_scaling","value":${t1 + t4}%.2f,""" +
         f""""unit":"sec","docs":$nDocs,"sec_1_executor":$t1%.2f,""" +
         f""""sec_4_executors":$t4%.2f,""" +
         f""""docs_per_sec_1_executor":${nDocs / t1}%.1f,""" +
         f""""docs_per_sec_4_executors":${nDocs / t4}%.1f,""" +
         f""""scaling_efficiency":${t1 / (4.0 * t4)}%.3f,""" +
-        f""""draws":$drawsJson}""")
+        f""""scaling_efficiency_paired_best":$effPaired%.3f,""" +
+        f""""quiet_draws":$nQuiet,""" +
+        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4",""" +
+        f""""draws":${drawsJson(rounds)}}""")
       return
     }
     // profiling aid: run ONLY battery queries matching this regex and
@@ -482,18 +586,8 @@ object Bench {
     //    capped — the 4-executor side has a ~10 s floor (executor
     //    spin-up + fixed stage costs), structurally capping measured
     //    efficiency at ~0.73 even on a silent host. Draws stay
-    //    FULL-SIZE; robustness comes from per-side bracketing +
-    //    min-of-each-side over quiet sides.
-    // Each side (the 1-exec run, the 4-exec run) is bracketed by host
-    // checks (pre and post) and by a /proc/stat delta across the run
-    // itself: external busy cores DURING the side, computed after
-    // s.stop() reaps the executor JVMs (their cumulative usage then
-    // lands in cutime/cstime and cancels out of the own-tree delta).
-    // A side is quiet only when both bracketing checks pass and the
-    // during-run external load is low — mid-draw noise, which the r4
-    // shakeout proved invisible to pre-draw checks alone (a t4 of
-    // 87 s stamped quiet), is caught by the post-check because this
-    // host's noise windows run multi-minute, longer than one side.
+    //    FULL-SIZE; robustness comes from the shared per-side
+    //    bracketing protocol + the asymmetric estimator (headlineOf).
     val maxPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "20").toInt
     // one measured run per FRESH executor set (a session's later runs
     // degrade as executor heaps age). 2-core executors by default:
@@ -509,31 +603,6 @@ object Bench {
         crawlOnce(s, scaleSites, maxPages)
       } finally s.stop()
     }
-    /** One cluster-size run with its own noise evidence: wall seconds,
-      * external busy cores during the run bracket, and an honest
-      * per-side quiet stamp. */
-    final case class SideRun(n: Long, sec: Double, ext: Double,
-        quiet: Boolean)
-    def runSide(execs: Int, pre: HostCheck): (SideRun, HostCheck) = {
-      val (b0, o0) = cpuSnapshot()
-      val w0 = System.nanoTime()
-      val (n, t) = scaled(execs)
-      // let the process reaper collect the just-stopped executor JVMs
-      // before snapshotting: un-reaped children are missing from
-      // cutime/cstime and their CPU would be misread as EXTERNAL load
-      // (falsely stamping a clean side noisy)
-      Thread.sleep(750)
-      val wallSec = (System.nanoTime() - w0) / 1e9
-      val (b1, o1) = cpuSnapshot()
-      // USER_HZ=100: jiffies/100 = cpu-seconds; /wall = avg cores
-      val ext = math.max(0.0, ((b1 - b0) - (o1 - o0)) / 100.0 / wallSec)
-      val post = measureHost()
-      val quiet = pre.quiet && post.quiet && ext <= ExtBusyCoreLimit
-      (SideRun(n, t, ext, quiet), post)
-    }
-    final case class Round(s1: SideRun, s4: SideRun) {
-      def effPaired: Double = s1.sec / (4.0 * s4.sec)
-    }
     val minRounds = 2
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "8").toInt
     val quietWaitSec =
@@ -545,51 +614,14 @@ object Bench {
     // several post-window chances (noise windows run 10-20 min here)
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1800").toInt
-    val budget0 = System.nanoTime()
-    def budgetLeft: Boolean =
-      (System.nanoTime() - budget0) / 1e9 < budgetSec
-    val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
-    def quiet1 = rounds.map(_.s1).filter(_.quiet).toSeq
-    def quiet4 = rounds.map(_.s4).filter(_.quiet).toSeq
-    // the gate holds only when QUIET sides prove it — a noisy side can
-    // never certify (nor falsely deny) the ratio. Min of each side
-    // because interference only ever slows a run.
-    def gateCleared: Boolean = quiet1.nonEmpty && quiet4.nonEmpty &&
-      quiet1.map(_.sec).min / (4.0 * quiet4.map(_.sec).min) >= 0.8
-    while (rounds.size < minRounds ||
-        (rounds.size < maxRounds && !gateCleared && budgetLeft)) {
-      val pre = waitForQuiet(quietWaitSec)
-      val (s1, mid) = runSide(1, pre)
-      val (s4, post) = runSide(4, mid)
-      val r = Round(s1, s4)
-      System.err.println(f"[bench] round ${rounds.size + 1}: " +
-        f"t1=${s1.sec}%.1fs(ext=${s1.ext}%.1f,quiet=${s1.quiet}) " +
-        f"t4=${s4.sec}%.1fs(ext=${s4.ext}%.1f,quiet=${s4.quiet}) " +
-        f"eff=${r.effPaired}%.3f post(probe=${post.probeSec}%.2f " +
-        f"bw=${post.bwSec}%.2f ext=${post.extCores}%.1f)")
-      rounds += r
-    }
-    // headline: min of each side over its QUIET runs when any exist
-    // (falling back to all runs, honestly stamped in the artifact)
-    def headline(q: Seq[SideRun], all: Seq[SideRun]): SideRun =
-      (if (q.nonEmpty) q else all).minBy(_.sec)
-    val h1 = headline(quiet1, rounds.map(_.s1).toSeq)
-    val h4 = headline(quiet4, rounds.map(_.s4).toSeq)
+    val rounds = scalingRounds(scaled, minRounds, maxRounds,
+      quietWaitSec, budgetSec, label = "crawl")
+    val (h1, h4, effPaired, nQuietBoth) = headlineOf(rounds)
     val (n1, t1) = (h1.n, h1.sec)
     val (n4, t4) = (h4.n, h4.sec)
     val thr1 = n1 / t1
     val thr4 = n4 / t4
     val eff = thr4 / (4.0 * thr1)
-    // paired-best is restricted to rounds whose BOTH sides are quiet:
-    // a round where only t1 was noise-inflated pairs it against a
-    // clean t4 and produces an efficiency the quiet data doesn't
-    // support (r3's 1.06 paired readings). Falls back to all rounds
-    // only when no round is clean — quiet_draws:0 flags that state.
-    val pairedSet = {
-      val both = rounds.filter(r => r.s1.quiet && r.s4.quiet)
-      if (both.nonEmpty) both else rounds
-    }
-    val effPaired = pairedSet.map(_.effPaired).max
 
     // ---- optional: dedup-pipeline N→4N evidence ----------------------
     // the LLM-ops scaling story, recorded per round instead of argued
@@ -597,51 +629,33 @@ object Bench {
     var dedupJson = ""
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP", "1") == "1") {
       val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
-      def scaledD(execs: Int): Double = {
+      def scaledD(execs: Int): (Long, Double) = {
         val s = clusterSession(execs, coresEach)
         try {
           dedupOnce(s, nDocs / 8) // warmup
-          dedupOnce(s, nDocs)._2
+          dedupOnce(s, nDocs)
         } finally s.stop()
       }
-      // own wall budget: a draw pair inside a noise window can run
+      // same bracketed protocol as the crawl rounds, with its own
+      // wall budget: a draw pair inside a noise window can run
       // 10+ min; never let the optional evidence stretch the bench
-      val dBudget0 = System.nanoTime()
-      def dBudgetLeft: Boolean =
-        (System.nanoTime() - dBudget0) / 1e9 < 600
-      // each draw carries its pre-draw quiet stamp + a post-draw
-      // recheck, same honesty rule as the crawl rounds
-      val draws = scala.collection.mutable
-        .ArrayBuffer.empty[(Double, Double, Boolean)]
-      while (draws.size < 2 &&
-          (draws.isEmpty || (dBudgetLeft &&
-            draws.map(_._1).min / (4.0 * draws.map(_._2).min) < 0.8))) {
-        val pre = waitForQuiet(quietWaitSec)
-        val pair = (scaledD(1), scaledD(4))
-        val post = measureHost()
-        draws += ((pair._1, pair._2, pre.quiet && post.quiet))
-      }
-      val (d1, d4) = (draws.map(_._1).min, draws.map(_._2).min)
-      val dDraws = draws.map { case (a, b, q) =>
-        f"""[$a%.1f,$b%.1f,${if (q) 1 else 0}]""" }.mkString("[", ",", "]")
+      val dRounds = scalingRounds(scaledD, minRounds = 1, maxRounds = 3,
+        quietWaitSec = quietWaitSec, budgetSec = 600, label = "dedup")
+      val (d1s, d4s, dPaired, dQuiet) = headlineOf(dRounds)
+      val (d1, d4) = (d1s.sec, d4s.sec)
       dedupJson = f""","dedup":{"docs":$nDocs,"sec_1_executor":$d1%.1f,""" +
         f""""sec_4_executors":$d4%.1f,""" +
         f""""scaling_efficiency":${d1 / (4.0 * d4)}%.3f,""" +
-        f""""draw_cols":"t1,t4,quiet","draws":$dDraws}"""
+        f""""scaling_efficiency_paired_best":$dPaired%.3f,""" +
+        f""""quiet_draws":$dQuiet,""" +
+        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4",""" +
+        f""""draws":${drawsJson(dRounds)}}"""
     }
 
     val total = results.map(_._2).sum + demoSec +
       rounds.map(r => r.s1.sec + r.s4.sec).sum
     val qs = (results :+ ("crawl_demo" -> demoSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    // compact per-draw evidence:
-    // [t1, t4, ext_cores_during_t1, ext_during_t4, t1_quiet, t4_quiet]
-    val roundsJson = rounds.map { r =>
-      f"""[${r.s1.sec}%.1f,${r.s4.sec}%.1f,${r.s1.ext}%.1f,""" +
-        f"""${r.s4.ext}%.1f,${if (r.s1.quiet) 1 else 0},""" +
-        s"${if (r.s4.quiet) 1 else 0}]"
-    }.mkString("[", ",", "]")
-    val nQuietBoth = rounds.count(r => r.s1.quiet && r.s4.quiet)
     // key order inside `crawl` is deliberate: context first, the
     // gate-critical numbers LAST. The driver keeps only the final
     // ~2000 chars of stdout (every BENCH_r{1..3} artifact was a
@@ -653,7 +667,7 @@ object Bench {
         f""""executor_cores":$coresEach,"urls":$n4,""" +
         f""""demo_urls":$demoUrls,"demo_sec":$demoSec%.2f,""" +
         f""""round_cols":"t1,t4,ext1,ext4,quiet1,quiet4",""" +
-        f""""rounds":$roundsJson,""" +
+        f""""rounds":${drawsJson(rounds)},""" +
         f""""sec_1_executor":$t1%.2f,"sec_4_executors":$t4%.2f,""" +
         f""""urls_per_sec_1_executor":$thr1%.1f,""" +
         f""""urls_per_sec_4_executors":$thr4%.1f,""" +

@@ -307,6 +307,54 @@ object OpsQueries {
             count(lit(1))).cast("long").as("recall_x1000"))
     }),
 
+    // ANN recall as a CROSS-ENGINE oracle gate: the approximate pairs
+    // (LSH and IVF, same operating points as the *_recall entries) are
+    // staged as a parquet fixture; DuckDB independently recomputes the
+    // EXACT integer-quantized brute-force top-5 (bit-for-bit the
+    // oracle-green q36 ranking) from the embeddings table and
+    // re-derives recall@5 from the staged pairs. The hash compare
+    // therefore certifies the recall VALUES cross-engine — the
+    // *_recall entries only prove Spark agrees with its own brute
+    // baseline. Works even if an approx path were nondeterministic:
+    // both engines score the SAME staged fixture. Keyed by vector
+    // count (SF-dependent input, like the simhash gate).
+    "ann_recall_vs_oracle" -> ((s: SparkSession, dir: String) => {
+      val (q, c) = annSides(s, dir)
+      val lsh = AnnOps.lshTopK(q, c, 5, planes = 6, tables = 8)
+        .select(lit("lsh").as("algo"), col("qid"), col("cid"))
+      val ivf = AnnOps.ivfTopK(q, c, 5, nlist = 16, nProbe = 8)
+        .select(lit("ivf").as("algo"), col("qid"), col("cid"))
+      val nVecs = emb(s, dir).count()
+      val path = s"$gateFxBase/ann/sf_$nVecs"
+      lsh.unionByName(ivf).withColumn("n_vecs", lit(nVecs))
+        .write.mode("overwrite").parquet(path)
+      val approx = s.read.parquet(path).select(
+        col("algo"), col("qid"), col("cid")).distinct()
+      // brute top-5 on integer-quantized dots, ties by cid — must
+      // mirror the q36 oracle ranking exactly so both engines agree
+      // on the baseline set
+      def qz(v: org.apache.spark.sql.Column) =
+        transform(v, x => round(x.cast("double") * 1000).cast("long"))
+      val qq = q.select(col("qid"), qz(col("qv")).as("qv"))
+      val cc = c.select(col("cid"), qz(col("cv")).as("cv"))
+      val dot = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
+      val brute = cc.crossJoin(broadcast(qq))
+        .withColumn("dot", dot)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("cid"))
+      brute.crossJoin(approx.select(col("algo")).distinct())
+        .join(approx.withColumn("hit", lit(1)),
+          Seq("algo", "qid", "cid"), "left_outer")
+        .groupBy(col("algo"), col("qid"))
+        .agg(floor(sum(coalesce(col("hit"), lit(0))) * 1000.0 /
+          count(lit(1))).cast("long").as("recall_x1000"))
+        .orderBy(col("algo"), col("qid"))
+    }),
+
     "text_analysis" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
         .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -369,6 +417,32 @@ object OpsQueries {
         | CAST(count(*) AS BIGINT) AS stable_docs,
         | true AS all_stable
         |FROM documents""".stripMargin,
+    // recomputes the exact quantized brute-force top-5 independently
+    // (the q36 ranking) and re-derives recall@5 from the staged
+    // approximate pairs — a genuine cross-engine value check
+    "ann_recall_vs_oracle" ->
+      """WITH qz AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS qid, v AS qv FROM qz WHERE vec_id < 3),
+        | c AS (SELECT vec_id AS cid, v AS cv FROM qz WHERE vec_id >= 3),
+        | ranked AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |   ORDER BY CAST(list_dot_product(qv, cv) AS BIGINT) DESC,
+        |     cid ASC) AS rk
+        |  FROM q CROSS JOIN c),
+        | brute AS (SELECT qid, cid FROM ranked WHERE rk <= 5),
+        | approx AS (SELECT DISTINCT algo, qid, cid
+        |  FROM '/tmp/graft_gate_fx/ann/*/*.parquet'
+        |  WHERE n_vecs = (SELECT count(*) FROM embeddings)),
+        | algos AS (SELECT DISTINCT algo FROM approx)
+        |SELECT al.algo AS algo, b.qid AS qid,
+        | CAST(floor(count(a.cid) * 1000.0 / count(*)) AS BIGINT)
+        |   AS recall_x1000
+        |FROM brute b CROSS JOIN algos al
+        |LEFT JOIN approx a
+        |  ON a.algo = al.algo AND a.qid = b.qid AND a.cid = b.cid
+        |GROUP BY al.algo, b.qid
+        |ORDER BY algo, qid""".stripMargin,
     // re-aggregates the staged per-image recovery flags (same floor()
     // rule as dedup_simhash_recovery)
     "image_neardup_recovery" ->
