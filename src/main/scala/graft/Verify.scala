@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid (driver runs without it): dump only queries
+    // matching this regex
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+    SparkEntry.queries
+      .filter(q => filter.forall(re => q._1.matches(re)))
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

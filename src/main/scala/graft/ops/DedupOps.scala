@@ -471,4 +471,89 @@ object DedupOps {
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  // ---- duplicate-cluster resolution ---------------------------------
+  // Near-duplicate similarity is not transitive, but duplicate REMOVAL
+  // must be: if A~B and B~C the corpus should keep one of {A,B,C}, not
+  // two. Every pair family above emits edges; this resolves them into
+  // clusters and survivors.
+
+  /** Connected components over a pair list, as `(id, component)` with
+    * `component` = the minimum node id of the cluster. Covers every
+    * node that appears in at least one pair (singletons never enter
+    * the edge list — [[dedupSurvivors]] keeps them by anti-join).
+    *
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): O(log n) rounds
+    * regardless of component diameter, each round two keyed shuffles
+    * of the CURRENT edge set (which only shrinks toward one edge per
+    * non-root node) — the standard corpus-scale formulation. A
+    * label-propagation loop would need diameter rounds (a 10^6-doc
+    * chain = 10^6 shuffles); GraphX would leave the DataFrame world
+    * and its columnar shuffle. Convergence is detected by a
+    * (count, hash-sum) signature of the edge set, and each round is
+    * materialized through [[materialize]] so the plan does not grow
+    * exponentially across iterations. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+    var prevSig = (-1L, -1L)
+    var prevMat: DataFrame = null
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor LARGER than u re-points to the
+      // minimum of u's closed neighborhood
+      val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      val large = sym.join(mins, "u").where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+      // small-star: orient toward the smaller endpoint, then re-point
+      // u and all its smaller neighbors to the neighborhood minimum
+      val dir = large.select(greatest($"u", $"v").as("u"),
+        least($"u", $"v").as("v"))
+      val mins2 = dir.groupBy($"u").agg(min($"v").as("m"))
+      val small = dir.join(mins2, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins2.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+      val mat = materialize(small)
+      // bit_xor, not sum: order-independent like sum but cannot hit
+      // the ANSI-mode long-overflow error at any edge count
+      val sigRow = mat.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      // the previous round's blocks fed this round's materialization
+      // and are dead now; lineage (cache mode) still reaches the
+      // source, so this only frees memory, never correctness
+      if (prevMat != null) prevMat.unpersist(blocking = false)
+      prevMat = mat
+      converged = sig == prevSig
+      prevSig = sig
+      edges = mat
+      iter += 1
+    }
+    // converged: every non-root points directly at its component root
+    edges.select($"u".as("id"), $"v".as("component"))
+      .union(edges.select($"v".as("id"), $"v".as("component")).distinct())
+  }
+
+  /** Keep one document per duplicate cluster (the minimum id) plus
+    * every unpaired document: `docs` anti-joined against the non-root
+    * members of [[connectedComponents]] of `pairs`. Works unchanged
+    * over any pair family above — text MinHash, word n-gram, SimHash,
+    * embedding, or perceptual image pairs. */
+  def dedupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
 }

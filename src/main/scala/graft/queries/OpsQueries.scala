@@ -39,6 +39,19 @@ object OpsQueries {
     d.unionByName(mutated)
   }
 
+  /** Deterministic MULTI-HOP pair fixture for the cluster-resolution
+    * oracle: an edge between consecutive doc ids sharing a language,
+    * so same-lang runs chain (A-B, B-C, no A-C edge) and the generic
+    * connected-components path must propagate transitively. DuckDB
+    * expresses the ground truth with one window pass over doc_id. */
+  private def chainPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"))
+    d.join(b, col("id_b") === col("doc_id") + 1 &&
+        col("lang_b") === col("lang"))
+      .select(col("doc_id").as("id_a"), col("id_b"))
+  }
+
   private def annSides(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val e = emb(s, dir)
@@ -355,6 +368,17 @@ object OpsQueries {
         .orderBy(col("algo"), col("qid"))
     }),
 
+    "dedup_clusters" -> ((s: SparkSession, dir: String) =>
+      DedupOps.connectedComponents(chainPairs(s, dir), "id_a", "id_b")
+        .orderBy(col("id"))),
+
+    "dedup_survivors" -> ((s: SparkSession, dir: String) =>
+      DedupOps.dedupSurvivors(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars")),
+        "doc_id", chainPairs(s, dir))
+        .orderBy(col("doc_id"))),
+
     "text_analysis" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
         .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -382,6 +406,55 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // ground truth for the chain fixture: maximal runs of consecutive
+    // same-lang doc_ids ARE the connected components; run head = the
+    // component id. WHERE linked (evaluated before the SELECT window)
+    // restricts both the rows and the min() to nodes with >=1 edge,
+    // matching connectedComponents' domain exactly.
+    "dedup_clusters" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         lag(doc_id) OVER w AS pid, lag(lang) OVER w AS plang,
+        |         lead(doc_id) OVER w AS nid, lead(lang) OVER w AS nlang
+        |  FROM documents WINDOW w AS (ORDER BY doc_id)),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN plang = lang AND pid = doc_id - 1
+        |              THEN 0 ELSE 1 END AS brk,
+        |         ((plang = lang AND pid = doc_id - 1) OR
+        |          (nlang = lang AND nid = doc_id + 1)) AS linked
+        |  FROM d),
+        |r AS (SELECT doc_id, linked,
+        |             sum(brk) OVER (ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM g)
+        |SELECT doc_id AS id,
+        |       min(doc_id) OVER (PARTITION BY grp) AS component
+        |FROM r WHERE linked ORDER BY id""".stripMargin,
+    "dedup_survivors" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         lag(doc_id) OVER w AS pid, lag(lang) OVER w AS plang,
+        |         lead(doc_id) OVER w AS nid, lead(lang) OVER w AS nlang
+        |  FROM documents WINDOW w AS (ORDER BY doc_id)),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN plang = lang AND pid = doc_id - 1
+        |              THEN 0 ELSE 1 END AS brk,
+        |         ((plang = lang AND pid = doc_id - 1) OR
+        |          (nlang = lang AND nid = doc_id + 1)) AS linked
+        |  FROM d),
+        |r AS (SELECT doc_id, linked,
+        |             sum(brk) OVER (ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM g),
+        |cc AS (SELECT doc_id,
+        |              min(doc_id) OVER (PARTITION BY grp) AS component
+        |       FROM r WHERE linked)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT doc_id FROM cc WHERE doc_id <> component)
+        |ORDER BY doc_id""".stripMargin,
     // word-bigram mutation adds ~2 of ~T ngrams -> jaccard near 1:
     // all-true is structural for BOTH jaccard families
     "dedup_planted_text" ->
