@@ -138,6 +138,21 @@ object MultimodalOps {
         .filter(col("dh").isNotNull),
       "id", "dh", maxDist)
 
+  /** One-call image curation: perceptual near-dup pairs resolved
+    * transitively ([[DedupOps.connectedComponents]]), keeping the
+    * minimum-id image of every duplicate cluster plus all unpaired
+    * images. The pair/cluster dataflow shuffles only (id, 8-byte
+    * dHash) tuples; the final anti-join keys on ids alone, so AQE
+    * broadcasts the loser set whenever it fits and payload bytes never
+    * shuffle. For a corpus whose loser set outgrows broadcast, run
+    * this over the (id, bytes) scan and let the shuffled anti-join
+    * move payloads ONCE — or anti-join a metadata projection and
+    * recover payloads by partition-pruned scan. */
+  def imageDedupSurvivors(images: DataFrame, idCol: String,
+      bytesCol: String, maxDist: Int = 4): DataFrame =
+    DedupOps.dedupSurvivors(images, idCol,
+      imageNearDup(images, idCol, bytesCol, maxDist))
+
   /** All per-image features from ONE decode. The composable single-
     * feature columns above ([[decodeDims]], [[grayHistogram]],
     * [[pixelStats]]) each decode the payload; at corpus scale the

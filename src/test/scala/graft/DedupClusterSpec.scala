@@ -77,6 +77,40 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(0L, 3L, 4L, 5L, 6L, 8L, 9L))
   }
 
+  test("imageDedupSurvivors drops perceptual copies, keeps originals") {
+    import graft.fetch.ImageCodec
+    import graft.ops.MultimodalOps
+    val w = 120; val h = 90
+    val rows = (0 until 12).map { i =>
+      val px = ImageCodec.synthPixels(i * 7919L + 13, w, h)
+      (i.toLong, ImageCodec.encode(px, w, h, Seq("png", "jpeg")(i % 2)))
+    }
+    // two perceptual variants per original: ±2 noise re-encoded jpeg,
+    // and a brightness shift — a CHAIN when the variants pair with the
+    // original but not each other
+    val variants = rows.take(6).flatMap { case (id, bytes) =>
+      val (iw, ih, px) = ImageCodec.decode(bytes)
+      val noisy = px.zipWithIndex.map { case (b, i) =>
+        val n = java.lang.Math.floorMod(
+          graft.url.Hashing.mix(id * 31L + i), 5L).toInt - 2
+        math.max(0, math.min(255, (b & 0xff) + n)).toByte
+      }
+      val brighter = px.map(b => math.min(255, (b & 0xff) + 10).toByte)
+      Seq((id + 1000000L, ImageCodec.encode(noisy, iw, ih, "jpeg")),
+        (id + 2000000L, ImageCodec.encode(brighter, iw, ih, "png")))
+    }
+    val df = (rows ++ variants).toDF("rid", "bytes")
+    val kept = MultimodalOps.imageDedupSurvivors(df, "rid", "bytes")
+      .select("rid").as[Long].collect().toSet
+    (0 until 6).foreach { i =>
+      assert(kept.contains(i.toLong), s"original $i dropped")
+      assert(!kept.contains(i + 1000000L) && !kept.contains(i + 2000000L),
+        s"variant of $i survived")
+    }
+    (6 until 12).foreach(i =>
+      assert(kept.contains(i.toLong), s"unpaired $i dropped"))
+  }
+
   test("survivor selection is transitive over minhash near-dup pairs") {
     val sf = "/root/testdata/sf0.001"
     val base = spark.read.parquet(s"$sf/documents.parquet")
