@@ -462,22 +462,51 @@ object Bench {
       .select($"id", textUdf($"id").as("text"))
   }
 
-  /** One dedup pass: exact 128-bit dedup + MinHash-LSH near-dup pairs
-    * over the synthetic corpus; returns (docs, wall seconds). */
+  /** One END-TO-END curation pass over the synthetic corpus: exact
+    * 128-bit dedup + MinHash-LSH near-dup pairs + cluster resolution
+    * (connected components) + survivor selection — the full
+    * pairs→clusters→survivors pipeline a training-data run executes,
+    * so the N→4N evidence covers the iterative CC path too. Returns
+    * (docs, wall seconds). */
   private def dedupOnce(spark: SparkSession, n: Long): (Long, Double) = {
     val t0 = System.nanoTime()
     val docs = dedupDocs(spark, n)
     graft.ops.DedupOps.exactDedup(docs, "id", "text").count()
     val t1 = System.nanoTime()
     val pairs = graft.ops.DedupOps
-      .minhashPairs(docs, "id", "text", threshold = 0.5).count()
+      .minhashPairs(docs, "id", "text", threshold = 0.5)
+    val survivors = graft.ops.DedupOps
+      .dedupSurvivors(docs, "id", pairs).count()
     val t2 = System.nanoTime()
     // cache-mode intermediates register with the CacheManager and
     // would stay pinned into the NEXT measured run otherwise
     spark.catalog.clearCache()
-    System.err.println(f"[bench] dedupOnce n=$n pairs=$pairs " +
-      f"exact=${(t1 - t0) / 1e9}%.2f minhash=${(t2 - t1) / 1e9}%.2f")
+    System.err.println(f"[bench] dedupOnce n=$n survivors=$survivors " +
+      f"exact=${(t1 - t0) / 1e9}%.2f minhash+cc=${(t2 - t1) / 1e9}%.2f")
     (n, (t2 - t0) / 1e9)
+  }
+
+  /** One distributed connected-components pass over a deterministic
+    * random graph (~avg degree 3 → a giant component + fringe): the
+    * at-scale evidence for the iterative star loop, which the dedup
+    * draw no longer exercises (real pair graphs sit under the
+    * driver-local threshold). Forces the distributed path. */
+  private def ccOnce(spark: SparkSession, nEdges: Long): (Long, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.graft.dedup.cc.localThreshold", "0")
+    val nNodes = math.max(nEdges / 3, 2L)
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions * 2, 4)
+    val t0 = System.nanoTime()
+    val edges = spark.range(0L, nEdges, 1L, parts).select(
+      pmod(xxhash64($"id", lit(1)), lit(nNodes)).as("id_a"),
+      pmod(xxhash64($"id", lit(2)), lit(nNodes)).as("id_b"))
+    val n = graft.ops.DedupOps
+      .connectedComponents(edges, "id_a", "id_b").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    System.err.println(f"[bench] ccOnce edges=$nEdges nodes=$n sec=$sec%.2f")
+    (n, sec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -510,6 +539,38 @@ object Bench {
         f""""sec_4_executors":$t4%.2f,""" +
         f""""docs_per_sec_1_executor":${nDocs / t1}%.1f,""" +
         f""""docs_per_sec_4_executors":${nDocs / t4}%.1f,""" +
+        f""""scaling_efficiency":${t1 / (4.0 * t4)}%.3f,""" +
+        f""""scaling_efficiency_paired_best":$effPaired%.3f,""" +
+        f""""quiet_draws":$nQuiet,""" +
+        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4",""" +
+        f""""draws":${drawsJson(rounds)}}""")
+      return
+    }
+    // ---- optional mode: N→4N scaling of DISTRIBUTED connected
+    // components (SPARK_GRAFT_BENCH_ONLY=cc) — the iterative star
+    // loop's own scaling evidence over a graph big enough to clear
+    // the driver-local threshold. Same quiet-bracket protocol.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("cc")) {
+      val nEdges = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES",
+        "6000000").toLong
+      val coresEa = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_CORES", "2").toInt
+      def scaledC(execs: Int): (Long, Double) = {
+        val s = clusterSession(execs, coresEa)
+        try {
+          ccOnce(s, nEdges / 8) // warmup: JIT + codegen
+          ccOnce(s, nEdges)
+        } finally s.stop()
+      }
+      val maxR = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ROUNDS", "4").toInt
+      val rounds = scalingRounds(scaledC, minRounds = 1, maxRounds = maxR,
+        quietWaitSec = 120, budgetSec = 1500, label = "cc")
+      val (h1, h4, effPaired, nQuiet) = headlineOf(rounds)
+      val (t1, t4) = (h1.sec, h4.sec)
+      println(f"""{"metric":"cc_scaling","value":${t1 + t4}%.2f,""" +
+        f""""unit":"sec","edges":$nEdges,"sec_1_executor":$t1%.2f,""" +
+        f""""sec_4_executors":$t4%.2f,""" +
+        f""""edges_per_sec_1_executor":${nEdges / t1}%.1f,""" +
+        f""""edges_per_sec_4_executors":${nEdges / t4}%.1f,""" +
         f""""scaling_efficiency":${t1 / (4.0 * t4)}%.3f,""" +
         f""""scaling_efficiency_paired_best":$effPaired%.3f,""" +
         f""""quiet_draws":$nQuiet,""" +

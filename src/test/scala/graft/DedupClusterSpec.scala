@@ -31,34 +31,54 @@ class DedupClusterSpec extends AnyFunSuite {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  test("connectedComponents matches union-find on a random graph") {
-    val n = 400
-    // deterministic sparse random graph: ~n*0.7 edges -> a mix of
-    // singletons, small trees, and one giant component
-    val edges = (0 until (n * 7 / 10)).map { i =>
+  /** Run `body` with the distributed star loop forced (local-path
+    * threshold 0), restoring the default after. */
+  private def forceDistributed[T](body: => T): T = {
+    spark.conf.set("spark.graft.dedup.cc.localThreshold", "0")
+    try body
+    finally spark.conf.unset("spark.graft.dedup.cc.localThreshold")
+  }
+
+  /** Deterministic sparse random graph over `n` nodes: a mix of
+    * singletons, small trees, and one giant component. */
+  private def randomEdges(n: Int): Seq[(Long, Long)] =
+    (0 until (n * 7 / 10)).map { i =>
       val h = graft.url.Hashing.mix(i.toLong, 0xC1C1E5L)
       val a = java.lang.Long.remainderUnsigned(h, n.toLong)
       val b = java.lang.Long.remainderUnsigned(
         graft.url.Hashing.mix(h, 0xBEEFL), n.toLong)
       (a, b)
     }.filter(e => e._1 != e._2)
+
+  test("connectedComponents (both paths) matches union-find on a random graph") {
+    val n = 400
+    val edges = randomEdges(n)
     val expected = unionFind(n, edges)
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-    val got = DedupOps
+    val localGot = DedupOps
       .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
-    assert(got.keySet === touched, "domain = nodes with >=1 edge")
-    touched.foreach { v =>
-      assert(got(v) === expected(v), s"node $v component mismatch")
+    val distGot = forceDistributed {
+      DedupOps
+        .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    }
+    for ((name, got) <- Seq("local" -> localGot, "distributed" -> distGot)) {
+      assert(got.keySet === touched, s"$name domain = nodes with >=1 edge")
+      touched.foreach { v =>
+        assert(got(v) === expected(v), s"$name: node $v component mismatch")
+      }
     }
   }
 
   test("a 512-node chain converges to one component in O(log n) rounds") {
     val edges = (0L until 511L).map(i => (i, i + 1))
-    val got = DedupOps
-      .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b",
-        maxIter = 12) // 2 alternating rounds per iter: log-round bound
-      .as[(Long, Long)].collect()
+    val got = forceDistributed {
+      DedupOps
+        .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+          maxIter = 12) // 2 alternating rounds per iter: log-round bound
+        .as[(Long, Long)].collect()
+    }
     assert(got.length === 512)
     assert(got.forall(_._2 == 0L), "all chain nodes label to the head")
   }
