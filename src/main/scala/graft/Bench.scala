@@ -520,7 +520,7 @@ object Bench {
     // scaling evidence, same quiet-host/alternation protocol as the
     // crawl. Not part of the driver's standard JSON contract.
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("dedup")) {
-      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "960000").toLong
       val coresEa = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_CORES", "2").toInt
       def scaledD(execs: Int): (Long, Double) = {
         val s = clusterSession(execs, coresEa)
@@ -690,7 +690,7 @@ object Bench {
     var dedupJson = ""
     var dedupTail = ""
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDUP", "1") == "1") {
-      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "960000").toLong
       def scaledD(execs: Int): (Long, Double) = {
         val s = clusterSession(execs, coresEach)
         try {
