@@ -62,6 +62,13 @@ object CrawlMain {
           case None => println("[crawl] empty table, nothing to invalidate")
         }
         spark.stop(); return
+      // a mistyped or under-aritied flag must NOT fall through into a
+      // crawl that commits runId "--invalidate" to the table
+      case flag if flag.startsWith("--") =>
+        System.err.println(s"[crawl] unknown or incomplete command " +
+          s"'$flag' - expected --compact | --expire | " +
+          "--invalidate <site> <year> <month>")
+        spark.stop(); sys.exit(2)
       case _ => ()
     }
 

@@ -498,8 +498,13 @@ object DedupOps {
       maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // ids keep their NATIVE type end-to-end: the star loop only needs
+    // an ordering (least/min/compare work on strings and numerics
+    // alike), and a cast("long") here would null out string ids —
+    // image_id keys — and silently drop every edge
+    val idType = pairs.schema(aCol).dataType
     val edges0 = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .select(col(aCol).as("u"), col(bCol).cast(idType).as("v"))
       .filter($"u" =!= $"v")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -516,10 +521,17 @@ object DedupOps {
       .get("spark.graft.dedup.cc.localThreshold", (1 << 20).toString).toLong
     val nEdges = edges0.count()
     if (nEdges <= localMax) {
-      val es = edges0.as[(Long, Long)].collect()
+      val es = edges0.collect().map(r => (r.get(0), r.get(1)))
       edges0.unpersist(blocking = false)
-      return spark.createDataset(localComponents(es))
-        .toDF("id", "component")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      import scala.jdk.CollectionConverters._
+      // LocalRelation result: downstream survivor anti-joins broadcast
+      // it instead of shuffling the corpus
+      return spark.createDataFrame(
+        localComponents(es).map { case (a, b) =>
+          org.apache.spark.sql.Row(a, b) }.asJava, schema)
     }
     var edges: DataFrame = edges0
     var prevSig = (-1L, -1L)
@@ -566,26 +578,64 @@ object DedupOps {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
       // the previous round's blocks fed this round's materialization
-      // and are dead now; lineage (cache mode) still reaches the
-      // source, so this only frees memory, never correctness
-      if (prevMat != null) prevMat.unpersist(blocking = false)
+      // and are dead now — release them eagerly instead of waiting on
+      // the ContextCleaner (Dataset.unpersist alone is a no-op for
+      // checkpoint-backed frames: their blocks belong to the
+      // checkpointed RDD, not a CacheManager entry)
+      if (prevMat != null) releaseBlocks(prevMat)
       prevMat = mat
       converged = sig == prevSig
       prevSig = sig
       edges = mat
       iter += 1
     }
+    // the projection below is only valid on a CONVERGED star edge set;
+    // emitting it after a truncated loop would return mislabeled
+    // components with no error signal
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"($nEdges input edges); raise maxIter")
     // converged: every non-root points directly at its component root
     edges.select($"u".as("id"), $"v".as("component"))
       .union(edges.select($"v".as("id"), $"v".as("component")).distinct())
   }
 
+  /** Free a dead intermediate's storage whatever produced it: cached
+    * frames unpersist through the CacheManager; (local)checkpoint-
+    * backed frames hold their blocks on the materialized RDD inside
+    * the plan's LogicalRDD leaf, which `Dataset.unpersist` never
+    * touches. */
+  private def releaseBlocks(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    df.unpersist(blocking = false)
+  }
+
+  /** Ordering consistent with Spark's `min`/`least` for the id types
+    * the pair families emit: UTF8 BYTE order for strings (UTF8String
+    * compares bytewise, which differs from String.compareTo past the
+    * BMP), natural order for numerics and other Comparables. */
+  private def idLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    case (x: Comparable[_], _) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    case _ => false
+  }
+
   /** Driver-side union-find with min-id canonical labels — the
-    * bounded small-graph path of [[connectedComponents]]. */
-  private def localComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val index = new java.util.HashMap[java.lang.Long, Integer]()
-    val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def id(x: Long): Int = {
+    * bounded small-graph path of [[connectedComponents]]. Generic over
+    * the id type so string keys (image_id) resolve exactly. */
+  private def localComponents(edges: Array[(Any, Any)]): Seq[(Any, Any)] = {
+    val index = new java.util.HashMap[Any, Integer]()
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def id(x: Any): Int = {
       val got = index.get(x)
       if (got != null) got.intValue
       else { val i = nodes.length; index.put(x, i); nodes += x; i }
@@ -604,15 +654,15 @@ object DedupOps {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     // canonical label = min node ID (not index) per component
-    val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+    val minOf = new java.util.HashMap[Integer, Any]()
     var i = 0
     while (i < nodes.length) {
       val r: Integer = find(i)
       val cur = minOf.get(r)
-      if (cur == null || nodes(i) < cur) minOf.put(r, nodes(i))
+      if (cur == null || idLt(nodes(i), cur)) minOf.put(r, nodes(i))
       i += 1
     }
-    nodes.indices.map(i => (nodes(i), minOf.get(find(i): Integer).longValue))
+    nodes.indices.map(i => (nodes(i), minOf.get(find(i): Integer)))
   }
 
   /** Keep one document per duplicate cluster (the minimum id) plus

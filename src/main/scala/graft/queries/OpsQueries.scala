@@ -18,6 +18,35 @@ import graft.ops.{AnnOps, DedupOps, MultimodalOps, TextOps}
   */
 object OpsQueries {
 
+  /** Planted language-ID snippets (expected code, text). Each is
+    * dominated by its profile's function words or diagnostic chars so
+    * classification is deterministic; the `und` row pins the
+    * no-signal fallback. Unit-pinned in OpsSpec BEFORE the driver
+    * compares the aggregate against literal expectations. */
+  private[graft] val langIdPlanted: Seq[(String, String)] = Seq(
+    ("en", "the report of the ministry and the data that it published " +
+      "for the year is available in full"),
+    ("en", "it is the case that the numbers for the region and the " +
+      "city are in the annex of the report"),
+    ("de", "der bericht und die daten sind nicht mit ein kommentar " +
+      "das ministerium ist zuständig für die zahlen"),
+    ("de", "das portal ist nicht der richtige ort und die zahlen " +
+      "sind mit ein vermerk versehen"),
+    ("es", "el informe de la salud que los datos y el portal es por " +
+      "la región en el año"),
+    ("es", "la ciudad y el estado que es de los registros en el " +
+      "portal por el mes y el año"),
+    ("fr", "le rapport et les données est que des chiffres une dans " +
+      "le portail de la santé à côté"),
+    ("fr", "la ville et le mois est que les données des années une " +
+      "dans le rapport du même côté"),
+    ("pt", "o relatório que os dados de saúde e não para uma análise " +
+      "em o portal da região"),
+    ("pt", "a cidade e o estado que não é de os registros em uma " +
+      "para o mês das ações"),
+    ("zh", "的一是不了人我在有他的一是不了"),
+    ("und", "xq zr 1234 5678 blorp klatu 9900"))
+
   /** Stable fixture root for the driver value gates whose oracle SQL
     * reads staged parquet back in DuckDB (absolute-path FROM). Written
     * fresh by the Spark query each run; single-driver contract (the
@@ -392,6 +421,23 @@ object OpsQueries {
           sum(col("subwords")).cast("long").as("subwords"))
         .orderBy(col("lang"), col("lang_pred"))),
 
+    // language-ID as a DRIVER VALUE gate: planted snippets with
+    // unambiguous function-word/diagnostic-character profiles must
+    // each classify to their language (recovery is deterministic by
+    // construction — langIdScala is pure — so the oracle states the
+    // expected per-language counts as literals, like
+    // dedup_planted_text)
+    "langid_planted_recovery" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      langIdPlanted.toDF("lang", "text")
+        .withColumn("pred", TextOps.langId(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("pred") === col("lang")).cast("int")).cast("long")
+            .as("n_correct"))
+        .orderBy(col("lang"))
+    }),
+
     "doc_fingerprints" -> ((s: SparkSession, dir: String) =>
       docs(s, dir)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -490,6 +536,13 @@ object OpsQueries {
         | CAST(count(*) AS BIGINT) AS stable_docs,
         | true AS all_stable
         |FROM documents""".stripMargin,
+    // literal expectations, like dedup_planted_text: every planted
+    // snippet must classify to its language (n_correct = n)
+    "langid_planted_recovery" ->
+      """SELECT lang, CAST(n AS BIGINT) AS n, CAST(n AS BIGINT) AS n_correct
+        |FROM (VALUES ('de', 2), ('en', 2), ('es', 2), ('fr', 2),
+        |  ('pt', 2), ('und', 1), ('zh', 1)) AS t(lang, n)
+        |ORDER BY lang""".stripMargin,
     // recomputes the exact quantized brute-force top-5 independently
     // (the q36 ranking) and re-derives recall@5 from the staged
     // approximate pairs — a genuine cross-engine value check

@@ -102,16 +102,31 @@ object TableIO {
       classOf[Array[String]]).toSeq)
 
   /** Append `runId` to the cumulative sidecar (called AFTER the hint
-    * swap, so the sidecar never lists an uncommitted run). A crash in
-    * the window between hint swap and sidecar write loses at most the
-    * newest id — healed here by re-adding the parent snapshot's own
-    * runId, and masked on the read side by [[committedRunIds]] always
-    * unioning the current snapshot's lineage id. */
+    * swap, so the sidecar never lists an uncommitted run). Crashes in
+    * the window between hint swap and sidecar write lose ids — healed
+    * here by rebuilding from the snapshot chain whenever the sidecar
+    * is shorter than the parent version, and masked on the read side
+    * by [[committedRunIds]] always unioning the current snapshot's
+    * lineage id. */
   private def recordRunId(dir: String, parent: Option[Snapshot],
       runId: String): Unit = {
     val prior = readRunIdsSidecar(dir)
       .getOrElse(parent.map(chainRunIds(dir, _)).getOrElse(Nil))
     val healed = parent match {
+      // every committed version appended exactly one id, so a sidecar
+      // SHORTER than the parent version lost ids to crashes in the
+      // hint-swap→sidecar window — possibly more than one (two
+      // consecutive crashed commits lose the middle id forever if only
+      // the immediate parent is re-added). Rebuild from the snapshot
+      // chain while it still exists; after an expire() pruned the
+      // chain, fall back to re-adding the parent id (best effort).
+      case Some(p) if prior.size < p.version =>
+        try (1 to p.version).map(readSnapshot(dir, _).lineage.runId)
+        catch {
+          case _: java.io.IOException =>
+            if (prior.contains(p.lineage.runId)) prior
+            else prior :+ p.lineage.runId
+        }
       case Some(p) if !prior.contains(p.lineage.runId) =>
         prior :+ p.lineage.runId
       case _ => prior
@@ -234,6 +249,15 @@ object TableIO {
   def commit(spark: SparkSession, dir: String, images: Dataset[ImageRecord],
       seenDelta: Dataset[Long], runId: String,
       periods: Seq[String], note: String = ""): Snapshot = {
+    // reserved namespace: cumulativePartitionMeta's legacy fallback
+    // treats these prefixes as compaction/invalidation markers, so a
+    // DELTA commit named e.g. "invalidate-retry-1" would corrupt
+    // reconstructed partition metadata on tables written before the
+    // explicit `cumulative` flag existed
+    require(!runId.startsWith("compact-") &&
+      !runId.startsWith("invalidate-"),
+      s"runId '$runId' uses a reserved maintenance prefix " +
+        "(compact-/invalidate-)")
     val parent = currentSnapshot(dir)
     val version = parent.map(_.version).getOrElse(0) + 1
     val dataDirName = f"data/v$version%05d"
@@ -292,7 +316,13 @@ object TableIO {
           .partitionBy("site", "year", "month")
           .parquet(s"$dir/$dataDirName")
       if (hasSeen)
-        readSeen(spark, dir).toDF("urlHash").write.mode(SaveMode.Overwrite)
+        // distinct here (NOT in readSeen): new-format deltas are
+        // disjoint by construction, but tables whose streaming commits
+        // predate the Success-only delta may hold overlapping deltas —
+        // one compaction migrates them; the hot read path stays
+        // shuffle-free
+        readSeen(spark, dir).distinct().toDF("urlHash")
+          .write.mode(SaveMode.Overwrite)
           .parquet(s"$dir/$seenDirName")
       // cumulative per-partition meta recomputed from the compacted
       // data (a regular commit's `partitions` covers its delta only)
@@ -353,20 +383,20 @@ object TableIO {
       // seen eviction: anti-join against the urlHashes of ONLY the
       // dropped partitions (their files are read directly — pruning by
       // construction, no UDF, no full-image scan)
-      val (seenDirs, hasSeenWrite) =
+      val seenDirs =
         if (droppedLeaves.isEmpty || parent.seenDirs.isEmpty)
-          (parent.seenDirs, false)
+          parent.seenDirs
         else {
           val droppedHashes = spark.read
             .parquet(droppedLeaves.map(l => s"$dir/${l._1}"): _*)
             .select($"urlHash").toDF("dh")
           val newSeen = readSeen(spark, dir).toDF("urlHash")
             .join(droppedHashes, col("urlHash") === col("dh"), "left_anti")
-          if (newSeen.isEmpty) (Nil, false)
+          if (newSeen.isEmpty) Nil
           else {
             newSeen.write.mode(SaveMode.Overwrite)
               .parquet(s"$dir/$seenDirName")
-            (Seq(seenDirName), true)
+            Seq(seenDirName)
           }
         }
 

@@ -88,6 +88,42 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(DedupOps.connectedComponents(empty, "id_a", "id_b").count() === 0L)
   }
 
+  test("string ids resolve exactly in both paths (no silent long cast)") {
+    // regression: cast("long") nulled string ids and dropped every
+    // edge, turning survivor selection into a no-op for image_id keys
+    val edges = Seq(("img-b", "img-a"), ("img-b", "img-c"),
+      ("img-x", "img-y")).toDF("id_a", "id_b")
+    val expected = Map("img-a" -> "img-a", "img-b" -> "img-a",
+      "img-c" -> "img-a", "img-x" -> "img-x", "img-y" -> "img-x")
+    val localGot = DedupOps.connectedComponents(edges, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    val distGot = forceDistributed {
+      DedupOps.connectedComponents(edges, "id_a", "id_b")
+        .as[(String, String)].collect().toMap
+    }
+    assert(localGot === expected)
+    assert(distGot === expected)
+    val docs = expected.keySet.toSeq.sorted.map(id => (id, s"payload-$id"))
+      .toDF("image_id", "caption")
+    val kept = DedupOps
+      .dedupSurvivors(docs, "image_id", edges)
+      .select("image_id").as[String].collect().toSet
+    assert(kept === Set("img-a", "img-x"))
+  }
+
+  test("an exhausted star loop throws instead of mislabeling") {
+    // a 64-node chain cannot converge in one round; truncating there
+    // must be an error, not a silently wrong component map
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      forceDistributed {
+        DedupOps.connectedComponents(edges, "id_a", "id_b", maxIter = 1)
+          .count()
+      }
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupSurvivors keeps cluster minima plus unpaired docs") {
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("id", "text")
     // clusters {0,1,2} (via chain 0-1, 1-2) and {5,7}; 3,4,6,8,9 unpaired

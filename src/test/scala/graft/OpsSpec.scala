@@ -269,6 +269,14 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.langIdScala("xyzzy qwerty 12345") === "und")
   }
 
+  test("every langid_planted_recovery snippet classifies as expected") {
+    // the driver gate's oracle states these as literals — pin each
+    // snippet here so a profile tweak cannot silently break the gate
+    graft.queries.OpsQueries.langIdPlanted.foreach { case (want, text) =>
+      assert(TextOps.langIdScala(text) === want, s"snippet: $text")
+    }
+  }
+
   test("winnowing fingerprint is whitespace-normalization invariant") {
     val a = TextOps.winnowFingerprint("the quick  brown   fox jumps")
     val b = TextOps.winnowFingerprint("the quick brown fox jumps")

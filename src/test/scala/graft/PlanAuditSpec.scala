@@ -70,6 +70,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"payload bytes cross a shuffle boundary:\n$p")
   }
 
+  test("survivor anti-join broadcasts the driver-resolved loser set") {
+    import spark.implicits._
+    // the bounded-CC path returns a LocalRelation, so the corpus-side
+    // anti-join must plan as a broadcast, never a corpus shuffle
+    val docs = spark.range(2000).select($"id", ($"id" % 7).as("w"))
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 7L)).toDF("id_a", "id_b")
+    val p = formatted(graft.ops.DedupOps.dedupSurvivors(docs, "id", pairs))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"survivor anti-join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"survivor selection shuffles the corpus:\n$p")
+  }
+
   test("robots filter stays broadcast + native codegen (frontier never shuffles for robots)") {
     import spark.implicits._
     val raw = graft.jobs.CrawlJob.harvest(spark,

@@ -233,4 +233,38 @@ class TableIOSpec extends AnyFunSuite {
       spark.emptyDataset[ImageRecord], spark.emptyDataset[Long], "run-C", Nil)
     assert(snap.version === 2)
   }
+
+  test("maintenance runId prefixes are reserved: delta commits reject them") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val r = CrawlJob.run(spark, cfgA)
+    val e = intercept[IllegalArgumentException] {
+      TableIO.commit(spark, dir, r.images, CrawlJob.seenFrom(r.log),
+        "invalidate-retry-1", Nil)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("sidecar heals a multi-commit gap from the snapshot chain") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val r = CrawlJob.run(spark, cfgA)
+    TableIO.commit(spark, dir, r.images, CrawlJob.seenFrom(r.log), "run-1", Nil)
+    TableIO.commit(spark, dir, spark.emptyDataset[ImageRecord],
+      spark.emptyDataset[Long], "run-2", Nil)
+    TableIO.commit(spark, dir, spark.emptyDataset[ImageRecord],
+      spark.emptyDataset[Long], "run-3", Nil)
+    // simulate TWO consecutive crashes in the hint-swap→sidecar window:
+    // the sidecar retains only the first commit's id
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "snapshots", "runids.json"),
+      """["run-1"]""")
+    // the next commit must rebuild the FULL chain, not just re-add the
+    // immediate parent (which would lose run-2 forever and let a
+    // replayed micro-batch double-commit)
+    TableIO.commit(spark, dir, spark.emptyDataset[ImageRecord],
+      spark.emptyDataset[Long], "run-4", Nil)
+    assert(TableIO.committedRunIds(dir) ===
+      Set("run-1", "run-2", "run-3", "run-4"))
+  }
 }
