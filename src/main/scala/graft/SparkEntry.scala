@@ -37,5 +37,6 @@ object SparkEntry {
       graft.queries.FrontierQueries.oracleSql ++
       graft.queries.JsonQueries.oracleSql ++
       graft.queries.CsvQueries.oracleSql ++
-      graft.queries.OpsQueries.oracleSql
+      graft.queries.OpsQueries.oracleSql ++
+      graft.queries.CrawlQueries.oracleSql
 }

@@ -68,6 +68,36 @@ object CrawlQueries {
       CrawlJob.metrics(r.log, r.images)
     }),
 
+    // A1/A2 as a DRIVER VALUE gate: the engine's metrics aggregation
+    // (groupBy/agg/join over the crawl log + image table) is re-derived
+    // by DuckDB from the staged raw log/image rows — a counting,
+    // status-mix, duration or bytes regression in CrawlJob.metrics
+    // fails the hash compare. The two display-rounded rate columns are
+    // re-expressed floor-based (identical double op order on both
+    // engines) so the gate is bit-deterministic.
+    "crawl_metrics_vs_log" -> ((s: SparkSession, _: String) => {
+      val r = demoResult(s)
+      val base = "/tmp/graft_gate_fx/crawl_metrics"
+      r.log.toDF().select(col("site"), col("year"), col("month"),
+          col("status"), col("attempts"), col("vtimeMs"))
+        .write.mode("overwrite").parquet(s"$base/log")
+      r.images.toDF().select(col("site"), col("year"), col("month"),
+          length(col("bytes")).cast("long").as("n_bytes"))
+        .write.mode("overwrite").parquet(s"$base/images")
+      CrawlJob.metrics(r.log, r.images)
+        .select(col("site"), col("year"), col("month"),
+          col("files").cast("long").as("files"),
+          col("no_data").cast("long").as("no_data"),
+          col("errors").cast("long").as("errors"),
+          col("corrupt").cast("long").as("corrupt"),
+          col("skipped").cast("long").as("skipped"),
+          col("requests"), col("duration_ms"), col("bytes_total"),
+          floor(col("files") * 60000.0 /
+            greatest(col("duration_ms"), lit(1L)) * 100)
+            .cast("long").as("dpm_x100"))
+        .orderBy(col("site"), col("year"), col("month"))
+    }),
+
     // K5 error-detail table + O4 first-3 display truncation
     // (portal_saude_mg.py:563-573 error collection, :663-665 shows the
     // first 3 errors per run)
@@ -124,6 +154,45 @@ object CrawlQueries {
         _ => CrawlJob.run(s, healthConfig))
       CrawlJob.hostHealth(r.log)
     })
+  )
+
+  /** DuckDB oracles for the crawl entries that stage their raw inputs
+    * to parquet — the rest of the crawl battery is oracle-free (the
+    * semantics are the crawl engine itself; parity vs the reference
+    * simulator lives in CrawlParitySpec). */
+  val oracleSql: Map[String, String] = Map(
+    // re-derives the engine's A1/A2 metrics from the staged raw crawl
+    // log + image rows: counts by status, attempts, virtual duration,
+    // bytes, and the floor-based downloads/min rate
+    "crawl_metrics_vs_log" ->
+      """WITH log AS (SELECT *
+        |  FROM '/tmp/graft_gate_fx/crawl_metrics/log/*.parquet'),
+        | agg AS (SELECT site, year, month,
+        |   count(*) FILTER (WHERE status = 'success') AS files,
+        |   count(*) FILTER (WHERE status = 'no_data') AS no_data,
+        |   count(*) FILTER (WHERE status = 'error') AS errors,
+        |   count(*) FILTER (WHERE status = 'corrupt') AS corrupt,
+        |   count(*) FILTER (WHERE status = 'skipped') AS skipped,
+        |   sum(attempts) AS requests,
+        |   max("vtimeMs") AS duration_ms
+        |  FROM log GROUP BY site, year, month),
+        | img AS (SELECT site, year, month, sum(n_bytes) AS bytes_total
+        |  FROM '/tmp/graft_gate_fx/crawl_metrics/images/*.parquet'
+        |  GROUP BY site, year, month)
+        |SELECT a.site AS site, a.year AS year, a.month AS month,
+        | CAST(a.files AS BIGINT) AS files,
+        | CAST(a.no_data AS BIGINT) AS no_data,
+        | CAST(a.errors AS BIGINT) AS errors,
+        | CAST(a.corrupt AS BIGINT) AS corrupt,
+        | CAST(a.skipped AS BIGINT) AS skipped,
+        | CAST(a.requests AS BIGINT) AS requests,
+        | CAST(a.duration_ms AS BIGINT) AS duration_ms,
+        | CAST(coalesce(i.bytes_total, 0) AS BIGINT) AS bytes_total,
+        | CAST(floor(a.files * 60000.0
+        |   / greatest(a.duration_ms, 1) * 100) AS BIGINT) AS dpm_x100
+        |FROM agg a LEFT JOIN img i
+        |  ON i.site = a.site AND i.year = a.year AND i.month = a.month
+        |ORDER BY site, year, month""".stripMargin
   )
 
   /** Health/quarantine demo: one healthy reference site + one planted

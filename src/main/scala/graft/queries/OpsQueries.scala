@@ -131,6 +131,42 @@ object OpsQueries {
       DedupOps.simhashPairs(withPlantedDupes(s, dir), "doc_id", "text",
         maxDist = 3)),
 
+    // PRECISION gate for the LSH pair family (the planted gates cover
+    // recall): every emitted pair's exact Jaccard is recomputed by
+    // DuckDB from RAW 5-char substring sets of the staged corpus,
+    // independently of the engine's xxhash64 shingle path, and the
+    // oracle states ge_threshold=true as a literal — a false-positive
+    // pair (true similarity below threshold) flips the row false and
+    // fails the hash compare. jaccard_x1000 uses the same double
+    // division+floor on both engines, so values are bit-deterministic
+    // (hashed-set vs raw-set Jaccard agree absent 64-bit collisions).
+    "dedup_minhash_precision" -> ((s: SparkSession, dir: String) => {
+      val corpus = withPlantedDupes(s, dir)
+      val pairs = DedupOps.minhashPairs(corpus, "doc_id", "text",
+        threshold = 0.5)
+      val base = s"$gateFxBase/minhash_prec"
+      corpus.write.mode("overwrite").parquet(s"$base/corpus")
+      pairs.write.mode("overwrite").parquet(s"$base/pairs")
+      val p = s.read.parquet(s"$base/pairs")
+      val c = s.read.parquet(s"$base/corpus")
+      val jacUdf = udf((a: String, b: String) =>
+        DedupOps.jaccard(DedupOps.shingles(a, 5), DedupOps.shingles(b, 5)))
+      p.join(c.select(col("doc_id").as("id_a"), col("text").as("text_a")),
+          "id_a")
+        .join(c.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+          "id_b")
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          floor(jacUdf(col("text_a"), col("text_b")) * 1000)
+            .cast("long").as("jaccard_x1000"))
+        // 5-permille slack under the 0.5 pipeline threshold: a pair
+        // the verify stage legitimately admitted via its 6-decimal
+        // rounding must not flake the gate; real LSH false positives
+        // sit far below
+        .withColumn("ge_threshold", col("jaccard_x1000") >= 495)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_ngram_pairs" -> ((s: SparkSession, dir: String) =>
       DedupOps.ngramJaccardPairs(withPlantedDupes(s, dir), "doc_id",
         "text", n = 2, threshold = 0.5)),
@@ -569,6 +605,32 @@ object OpsQueries {
         |  ON a.algo = al.algo AND a.qid = b.qid AND a.cid = b.cid
         |GROUP BY al.algo, b.qid
         |ORDER BY algo, qid""".stripMargin,
+    // recomputes each emitted pair's exact Jaccard from RAW 5-char
+    // substring sets (list comprehension over the normalized text) —
+    // no hashing involved — and asserts ge_threshold as a literal
+    "dedup_minhash_precision" ->
+      """WITH pairs AS (SELECT id_a, id_b
+        |  FROM '/tmp/graft_gate_fx/minhash_prec/pairs/*.parquet'),
+        | corpus AS (SELECT doc_id,
+        |   lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM '/tmp/graft_gate_fx/minhash_prec/corpus/*.parquet'),
+        | sh AS (SELECT doc_id,
+        |   CASE WHEN length(t) < 5 THEN [t]
+        |        ELSE list_distinct([substring(t, i, 5)
+        |          for i in range(1, length(t) - 3)])
+        |   END AS s
+        |  FROM corpus),
+        | j AS (SELECT p.id_a, p.id_b,
+        |   len(list_intersect(a.s, b.s)) AS inter,
+        |   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+        |  FROM pairs p
+        |  JOIN sh a ON a.doc_id = p.id_a
+        |  JOIN sh b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b,
+        | CAST(floor((CAST(inter AS DOUBLE) / uni) * 1000) AS BIGINT)
+        |   AS jaccard_x1000,
+        | true AS ge_threshold
+        |FROM j ORDER BY id_a, id_b""".stripMargin,
     // re-aggregates the staged per-image recovery flags (same floor()
     // rule as dedup_simhash_recovery)
     "image_neardup_recovery" ->
