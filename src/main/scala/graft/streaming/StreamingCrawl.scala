@@ -185,4 +185,56 @@ object StreamingCrawl {
       .option("checkpointLocation", checkpointDir)
       .start()
   }
+
+  /** Watermarked EVENT-TIME windowed crawl metrics (SURVEY §2.10
+    * "windowed aggs"): per-(site, tumbling window) fetch mix over the
+    * outcome stream. Event time is the scheduler's deterministic
+    * virtual fetch time, so the aggregate is reproducible and the
+    * watermark semantics are exact: a window emits (append mode) only
+    * once the max observed event time passes `window.end + delay`,
+    * and rows arriving later than the watermark are DROPPED — which
+    * is what bounds the state store to open windows instead of the
+    * whole corpus at the 10^10-URL design point. Aggregation is all
+    * built-in codegen (count/when/sum over a keyed shuffle). */
+  def windowedMetrics(outcomes: Dataset[StreamedOutcome],
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    outcomes.toDF()
+      .withColumn("vtime", timestamp_millis(col("vtimeMs")))
+      .withWatermark("vtime", watermarkDelay)
+      .groupBy(window(col("vtime"), windowDur), col("site"))
+      .agg(
+        count(lit(1)).as("urls"),
+        count(when(col("status") === CrawlStatus.Success, 1))
+          .as("successes"),
+        count(when(col("status") === CrawlStatus.Error, 1)).as("errors"),
+        sum(when(col("bytes").isNotNull, length(col("bytes")))
+          .otherwise(lit(0))).cast("long").as("bytes_total"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("site"),
+        col("urls"), col("successes"), col("errors"), col("bytes_total"))
+  }
+
+  /** Streaming keep-first URL dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` on the canonical urlHash keeps
+    * the first outcome per hash among events within the watermark
+    * horizon and EVICTS per-key state once the watermark passes — the
+    * streaming-native complement of the durable cross-run Bloom
+    * seen-set (BloomSeen handles re-crawls arbitrarily far apart;
+    * this handles intra-stream duplicates without unbounded state,
+    * where a plain `dropDuplicates` would accumulate one state row
+    * per URL forever). */
+  def dedupWithinWatermark(outcomes: Dataset[StreamedOutcome],
+      watermarkDelay: String = "10 minutes"): Dataset[StreamedOutcome] = {
+    import org.apache.spark.sql.functions._
+    val spark = outcomes.sparkSession
+    import spark.implicits._
+    outcomes.toDF()
+      .withColumn("vtime", timestamp_millis(col("vtimeMs")))
+      .withWatermark("vtime", watermarkDelay)
+      .dropDuplicatesWithinWatermark("urlHash")
+      .drop("vtime")
+      .as[StreamedOutcome]
+  }
 }

@@ -281,4 +281,78 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq,
       "strict-mode streaming timeline differs from batch")
   }
+
+  // ---- watermarked event-time operators -----------------------------
+
+  private def outcome(hash: Long, vtimeMs: Long, site: String = "s",
+      status: String = CrawlStatus.Success): StreamingCrawl.StreamedOutcome =
+    StreamingCrawl.StreamedOutcome(site, 2024, 1, 0, s"img-$hash",
+      s"http://h/$hash", hash, "h", vtimeMs, 1, status,
+      Array[Byte](1, 2, 3), 1, 1, "png", "cap", 0L)
+
+  private def memStream() = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    MemoryStream[StreamingCrawl.StreamedOutcome](
+      org.apache.spark.sql.Encoders.product[StreamingCrawl.StreamedOutcome],
+      spark)
+  }
+
+  test("windowed metrics finalize on watermark passage and drop late rows") {
+    val in = memStream()
+    val q = StreamingCrawl.windowedMetrics(in.toDS(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("wm_metrics")
+      .outputMode("append").start()
+    try {
+      // three events inside window [0, 60 s): 2 successes + 1 error
+      in.addData(outcome(1, 1000), outcome(2, 30000),
+        outcome(3, 59000, status = CrawlStatus.Error))
+      q.processAllAvailable()
+      // watermark is still 59 s - 2 min < 0: nothing finalized
+      assert(spark.table("wm_metrics").count() === 0)
+      // an event at 10 min advances the watermark to 8 min > window end
+      in.addData(outcome(4, 600000))
+      q.processAllAvailable()
+      val rows = spark.table("wm_metrics")
+        .select("site", "urls", "successes", "errors", "bytes_total")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(rows === Seq(("s", 3L, 2L, 1L, 9L)),
+        s"window [0,60s) should finalize with the batch-1 mix, got $rows")
+      // a LATE row back inside the closed window must be dropped —
+      // append mode plus the watermark filter, not re-aggregated
+      in.addData(outcome(5, 30000))
+      q.processAllAvailable()
+      assert(spark.table("wm_metrics").count() === rows.length.toLong,
+        "late row leaked past the watermark")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps first per urlHash, then evicts") {
+    val in = memStream()
+    val q = StreamingCrawl.dedupWithinWatermark(in.toDS(), "2 minutes")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(outcome(1, 0), outcome(1, 1000), outcome(2, 2000))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").count() === 2,
+        "same-batch duplicate not collapsed")
+      // duplicate in a later batch, still within the watermark horizon
+      in.addData(outcome(1, 5000))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").count() === 2,
+        "cross-batch duplicate within watermark not collapsed")
+      // advance the watermark far past hash 1's expiry (0 + 2 min):
+      // its state row is EVICTED (bounded state), so a much-later
+      // re-crawl of the same URL re-emits — the durable cross-run
+      // guard is BloomSeen, not this operator
+      in.addData(outcome(9, 600000))
+      q.processAllAvailable()
+      in.addData(outcome(1, 601000))
+      q.processAllAvailable()
+      val hash1 = spark.table("wm_dedup").where("urlHash = 1").count()
+      assert(hash1 === 2L,
+        "post-eviction re-appearance should re-emit (state must be bounded)")
+    } finally q.stop()
+  }
 }
