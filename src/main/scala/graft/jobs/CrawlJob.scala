@@ -262,8 +262,30 @@ object CrawlJob {
       : Dataset[(ScheduledEntry, Boolean)] = {
     val spark = frontier.sparkSession
     import spark.implicits._
-    val probed = graft.seen.BloomSeen.probe(frontier, bloomDir, meta)(
-      _.urlHash)
+    flagFromProbed(graft.seen.BloomSeen.probe(frontier, bloomDir, meta)(
+      _.urlHash), seenTable)
+  }
+
+  /** [[flagSeenPersisted]] over the persisted cuckoo sketch — same
+    * routing/confirm contract, ~80× fewer false candidates reach the
+    * exact join (FPP ~1.2e-4 vs the Bloom's 1%). */
+  def flagSeenPersistedCuckoo(frontier: Dataset[ScheduledEntry],
+      seenTable: Dataset[Long], cuckooDir: String,
+      meta: graft.seen.CuckooSeen.CuckooMeta)
+      : Dataset[(ScheduledEntry, Boolean)] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    flagFromProbed(graft.seen.CuckooSeen.probe(frontier, cuckooDir, meta)(
+      _.urlHash), seenTable)
+  }
+
+  /** Sketch "no" rows are exact and skip the join; "maybe" rows are
+    * confirmed against the committed seen table (a false positive must
+    * not suppress a fetch). */
+  private def flagFromProbed(probed: Dataset[(ScheduledEntry, Boolean)],
+      seenTable: Dataset[Long]): Dataset[(ScheduledEntry, Boolean)] = {
+    val spark = probed.sparkSession
+    import spark.implicits._
     val definiteNew = probed.filter(!_._2)
     val candidates = probed.filter(_._2).map(_._1)
     val confirmed = candidates.joinWith(seenTable.toDF("sh"),
@@ -309,21 +331,18 @@ object CrawlJob {
       }
   }
 
-  /** Production resume loop: read the committed seen set from the
-    * table, Bloom-prefilter + exact-join the skip flags, crawl, commit
-    * a new snapshot with lineage. */
-  def runResumable(spark: SparkSession, cfg: CrawlConfig, tableDir: String,
-      runId: String): (CrawlResult, graft.table.TableIO.Snapshot) = {
-    import spark.implicits._
-    val seenTable = graft.table.TableIO.readSeen(spark, tableDir).cache()
-    val seenCount = seenTable.count()
-    // partition-aligned persisted Bloom prefilter (rebuilt per run
-    // from the committed seen set; filters live in table storage and
-    // are probed shuffle-aligned — never collected or broadcast).
-    // Filters of PRIOR runs are never read again — garbage-collect
-    // them before writing this run's set, or daily resumable crawls
-    // would accumulate an unbounded _bloom/ graveyard of full-size
-    // filter sets. (Single-writer table contract, like the commit.)
+  /** Skip flags via the per-run Bloom prefilter: partition-aligned
+    * persisted filters REBUILT each run from the committed seen set
+    * (filters live in table storage and are probed shuffle-aligned —
+    * never collected or broadcast). Filters of PRIOR runs are never
+    * read again — garbage-collect them before writing this run's set,
+    * or daily resumable crawls would accumulate an unbounded _bloom/
+    * graveyard of full-size filter sets. (Single-writer table
+    * contract, like the commit.) */
+  private def flagViaBloom(spark: SparkSession, tableDir: String,
+      runId: String, seenTable: Dataset[Long], seenCount: Long,
+      surviving: Dataset[ScheduledEntry])
+      : Dataset[(ScheduledEntry, Boolean)] = {
     val bloomRoot = java.nio.file.Paths.get(tableDir, "_bloom")
     if (java.nio.file.Files.exists(bloomRoot)) {
       // depth-first delete, tolerant of stray plain files and
@@ -347,21 +366,90 @@ object CrawlJob {
     val bloomParts = math.max(
       math.max(1, spark.sessionState.conf.numShufflePartitions / 2),
       math.ceil(seenCount / 100e6).toInt)
-    val bloom =
-      if (seenCount == 0) None
-      else Some(graft.seen.BloomSeen.write(seenTable, bloomDir,
+    if (seenCount == 0) flagSeen(surviving, seenTable, None)
+    else {
+      val meta = graft.seen.BloomSeen.write(seenTable, bloomDir,
         parts = bloomParts,
-        expectedKeys = math.max(seenCount, 1024L), fpp = 0.01))
+        expectedKeys = math.max(seenCount, 1024L), fpp = 0.01)
+      flagSeenPersisted(surviving, seenTable, bloomDir, meta)
+    }
+  }
 
+  /** Skip flags via the PERSISTED cuckoo sketch (cfg.seenSketch =
+    * "cuckoo"): instead of rebuilding a filter set from all committed
+    * keys every run (O(total), ~10^10 keys at the design point), the
+    * sketch lives in table storage across runs and each run inserts
+    * only the seen-delta dirs it has not yet covered — O(delta) per
+    * run. A full rebuild happens only when (a) no sketch exists, (b)
+    * maintenance rewrote seen dirs the sketch thinks it covers
+    * (compaction updates coverage in place; a failed eviction drops
+    * the sketch), or (c) growth crossed 95% occupancy — rebuilds size
+    * at 2× the current key count, so they are amortized-logarithmic
+    * over the table's life. */
+  private def flagViaCuckoo(spark: SparkSession, tableDir: String,
+      seenTable: Dataset[Long], seenCount: Long,
+      surviving: Dataset[ScheduledEntry])
+      : Dataset[(ScheduledEntry, Boolean)] = {
+    import spark.implicits._
+    val C = graft.seen.CuckooSeen
+    val dir = s"$tableDir/_cuckoo"
+    if (seenCount == 0) {
+      C.dropDir(dir)
+      flagSeen(surviving, seenTable, None)
+    } else {
+      val currentDirs = graft.table.TableIO.currentSnapshot(tableDir)
+        .map(_.seenDirs).getOrElse(Nil)
+      def rebuild(): C.CuckooMeta = {
+        // ≤ ~200M keys ≈ 540 MiB filter per partition (16-bit
+        // fingerprints, 4-slot buckets, 84% sizing load + pow2 round)
+        val parts = math.max(
+          math.max(1, spark.sessionState.conf.numShufflePartitions / 2),
+          math.ceil(seenCount / 2e8).toInt)
+        C.write(seenTable, dir, parts,
+          expectedKeys = math.max(seenCount * 2, 1024L),
+          covered = currentDirs)
+      }
+      val meta = C.readMeta(dir) match {
+        case Some(m)
+            if m.covered.toSet.subsetOf(currentDirs.toSet) &&
+              seenCount <= (m.parts.toLong *
+                (m.bucketBytes / C.BytesPerBucket) * C.SlotsPerBucket
+                * 0.95).toLong =>
+          val newDirs = currentDirs.filterNot(m.covered.toSet)
+          if (newDirs.isEmpty) m
+          else {
+            val delta = spark.read
+              .parquet(newDirs.map(d => s"$tableDir/$d"): _*)
+              .select($"urlHash").as[Long]
+            // unlucky kick chains can overfill a filter below the 95%
+            // gate; a rebuild is semantically identical, just unamortized
+            try C.insertIntoDir(delta, dir, m, currentDirs)
+            catch { case _: Exception => rebuild() }
+          }
+        case _ => rebuild()
+      }
+      flagSeenPersistedCuckoo(surviving, seenTable, dir, meta)
+    }
+  }
+
+  /** Production resume loop: read the committed seen set from the
+    * table, Bloom-prefilter + exact-join the skip flags, crawl, commit
+    * a new snapshot with lineage. */
+  def runResumable(spark: SparkSession, cfg: CrawlConfig, tableDir: String,
+      runId: String): (CrawlResult, graft.table.TableIO.Snapshot) = {
+    import spark.implicits._
+    val seenTable = graft.table.TableIO.readSeen(spark, tableDir).cache()
+    val seenCount = seenTable.count()
     val seeds = SeedExpansion.expand(cfg)
     val raw = harvest(spark, cfg, seeds)
     val frontier = buildFrontier(spark, raw).cache()
     val (pruned, surviving) = pruneIfActive(spark, cfg, seeds, frontier)
-    val flagged = bloom match {
-      case None => flagSeen(surviving, seenTable, None)
-      case Some(meta) =>
-        flagSeenPersisted(surviving, seenTable, bloomDir, meta)
-    }
+    val flagged =
+      if (cfg.seenSketch == "cuckoo")
+        flagViaCuckoo(spark, tableDir, seenTable, seenCount, surviving)
+      else
+        flagViaBloom(spark, tableDir, runId, seenTable, seenCount,
+          surviving)
     val log = scheduleAndFetchFlagged(flagged, cfg.budget,
       cfg.strictPerHost, cfg.hostBudgets).cache()
     val result = CrawlResult(seeds, pruned, surviving, log,

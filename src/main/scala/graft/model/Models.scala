@@ -164,7 +164,12 @@ final case class CrawlConfig(
     /** Per-host budget overrides — how a robots.txt `Crawl-delay`
       * (or a per-site rate config) lands on the scheduler. Hosts not
       * listed use `budget`. */
-    hostBudgets: Map[String, PolitenessBudget] = Map.empty) {
+    hostBudgets: Map[String, PolitenessBudget] = Map.empty,
+    /** URL-seen sketch backend for resumable runs: `"bloom"` (per-run
+      * rebuild from the committed seen set) or `"cuckoo"` (persisted
+      * across runs — per-run DELTA inserts, deletable on period
+      * invalidation; see graft.seen.CuckooSeen). */
+    seenSketch: String = "bloom") {
   def budgetFor(host: String): PolitenessBudget =
     hostBudgets.getOrElse(host, budget)
 }

@@ -345,6 +345,16 @@ object TableIO {
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
       atomicWrite(hintPath(dir), version.toString)
       recordRunId(dir, Some(parent), runId)
+      // the compacted seen dir holds the same key SET (distinct of the
+      // union), so a cuckoo sketch covering the parent's dirs stays
+      // valid — only its coverage list must follow the rewrite; a
+      // partially-covering sketch would mis-skip the delta, drop it
+      graft.seen.CuckooSeen.readMeta(s"$dir/_cuckoo").foreach { m =>
+        if (m.covered.toSet == parent.seenDirs.toSet)
+          graft.seen.CuckooSeen.writeMeta(s"$dir/_cuckoo",
+            m.copy(covered = if (hasSeen) Seq(seenDirName) else Nil))
+        else graft.seen.CuckooSeen.dropDir(s"$dir/_cuckoo")
+      }
       snap
     }
 
@@ -392,12 +402,16 @@ object TableIO {
             .select($"urlHash").toDF("dh")
           val newSeen = readSeen(spark, dir).toDF("urlHash")
             .join(droppedHashes, col("urlHash") === col("dh"), "left_anti")
-          if (newSeen.isEmpty) Nil
-          else {
-            newSeen.write.mode(SaveMode.Overwrite)
-              .parquet(s"$dir/$seenDirName")
-            Seq(seenDirName)
-          }
+          val dirs =
+            if (newSeen.isEmpty) Nil
+            else {
+              newSeen.write.mode(SaveMode.Overwrite)
+                .parquet(s"$dir/$seenDirName")
+              Seq(seenDirName)
+            }
+          evictFromCuckoo(spark, dir, parent.seenDirs,
+            droppedHashes.select(col("dh")).as[Long], dirs)
+          dirs
         }
 
       // kept partition meta from snapshot metadata (no data scan);
@@ -432,6 +446,29 @@ object TableIO {
       recordRunId(dir, Some(parent), runId)
       snap
     }
+
+  /** Keep the persisted cuckoo URL-seen sketch (CrawlJob
+    * `cfg.seenSketch = "cuckoo"`) consistent across a seen-set
+    * eviction: when the sketch provably covers the full committed set
+    * (coverage == the parent snapshot's seen dirs), delete exactly the
+    * dropped hashes — the O(dropped) maintenance a Bloom filter cannot
+    * do — and hand coverage to the rewritten dir; any doubt (stale
+    * coverage, a delete miss) drops the sketch so the next resumable
+    * run rebuilds instead of trusting a possibly-corrupt filter. */
+  private def evictFromCuckoo(spark: SparkSession, dir: String,
+      parentSeenDirs: Seq[String], dropped: Dataset[Long],
+      newCovered: Seq[String]): Unit = {
+    val C = graft.seen.CuckooSeen
+    val sketchDir = s"$dir/_cuckoo"
+    C.readMeta(sketchDir).foreach { m =>
+      if (m.covered.toSet == parentSeenDirs.toSet) {
+        // distinct: a URL may appear in several dropped image rows,
+        // but its hash was inserted into the sketch exactly once
+        try C.deleteFromDir(dropped.distinct(), sketchDir, m, newCovered)
+        catch { case _: Exception => C.dropDir(sketchDir) }
+      } else C.dropDir(sketchDir)
+    }
+  }
 
   private def deleteRec(p: Path): Unit = {
     if (Files.isDirectory(p)) {

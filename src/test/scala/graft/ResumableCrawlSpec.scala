@@ -108,6 +108,90 @@ class ResumableCrawlSpec extends AnyFunSuite {
       .contains("run-1"))
   }
 
+  test("cuckoo seen sketch: delta-inserted across runs, bloom parity, evicted in place on invalidate") {
+    import graft.seen.CuckooSeen
+    val cfg12 = cfg.copy(months = MonthSelector.Multiple(Seq(1, 2)),
+      seenSketch = "cuckoo")
+    val cfg123 = cfg.copy(seenSketch = "cuckoo")
+    val dir = Files.createTempDirectory("graft-resume-ck").toString
+
+    // run 1: empty seen set — exact path, no sketch yet
+    val (r1, snap1) = CrawlJob.runResumable(spark, cfg12, dir, "ck-1")
+    assert(CuckooSeen.readMeta(s"$dir/_cuckoo").isEmpty)
+
+    // run 2 (adds month 3): sketch built covering run 1's delta;
+    // committed URLs skip, month 3 fetches
+    val (r2, snap2) = CrawlJob.runResumable(spark, cfg123, dir, "ck-2")
+    val meta2 = CuckooSeen.readMeta(s"$dir/_cuckoo")
+    assert(meta2.isDefined, "sketch must persist in table storage")
+    assert(meta2.get.covered === snap1.seenDirs)
+    val seen1 = CrawlJob.seenFrom(r1.log).collect().toSet
+    val log2 = r2.log.collect()
+    assert(log2.filter(e => seen1.contains(e.urlHash))
+      .forall(_.status == CrawlStatus.Skipped))
+    assert(log2.filter(_.month == 3).nonEmpty)
+    assert(log2.filter(_.month == 3).forall(_.status != CrawlStatus.Skipped))
+
+    // marker file: any REBUILD goes through dropDir and would delete
+    // it — its survival proves the following runs maintained the
+    // sketch incrementally (delta inserts / in-place eviction)
+    val marker = java.nio.file.Paths.get(s"$dir/_cuckoo", "marker.keep")
+    java.nio.file.Files.writeString(marker, "incremental-witness")
+
+    // run 3: skips exactly the committed URLs (error URLs re-attempt,
+    // as in the bloom-path test); its start INSERTS run 2's delta
+    val (r3, snap3) = CrawlJob.runResumable(spark, cfg123, dir, "ck-3")
+    val seen12 = seen1 ++ CrawlJob.seenFrom(r2.log).collect().toSet
+    val log3 = r3.log.collect()
+    assert(log3.filter(e => seen12.contains(e.urlHash))
+      .forall(_.status == CrawlStatus.Skipped))
+    assert(log3.filterNot(e => seen12.contains(e.urlHash))
+      .forall(_.status != CrawlStatus.Skipped))
+    assert(snap3.totalRows === snap2.totalRows)
+    assert(java.nio.file.Files.exists(marker), "run 3 rebuilt the sketch")
+    assert(CuckooSeen.readMeta(s"$dir/_cuckoo").get.covered
+      === snap2.seenDirs)
+
+    // parity: the bloom-backed path over the same run sequence lands
+    // the identical final log (sketch choice must not change semantics)
+    val dirB = Files.createTempDirectory("graft-resume-bl").toString
+    CrawlJob.runResumable(spark, cfg12.copy(seenSketch = "bloom"),
+      dirB, "bl-1")
+    CrawlJob.runResumable(spark, cfg123.copy(seenSketch = "bloom"),
+      dirB, "bl-2")
+    val (rb3, _) = CrawlJob.runResumable(spark,
+      cfg123.copy(seenSketch = "bloom"), dirB, "bl-3")
+    def canon(l: Seq[CrawlLogEntry]) =
+      l.sortBy(e => (e.site, e.host, e.year, e.month, e.seq))
+        .map(e => (e.site, e.year, e.month, e.seq, e.url, e.urlHash,
+          e.status))
+    assert(canon(r3.log.collect().toSeq) === canon(rb3.log.collect().toSeq))
+
+    // invalidate month 2: the sketch is evicted IN PLACE (no rebuild —
+    // the O(dropped) delete a bloom filter cannot do), coverage hands
+    // to the rewritten seen dir, and the next run refetches month 2
+    val monthTwo = r1.log.collect()
+      .filter(e => e.month == 2 && e.status == CrawlStatus.Success)
+      .map(_.urlHash).toSet
+    assert(monthTwo.nonEmpty)
+    val snapI = graft.table.TableIO.invalidatePeriods(spark, dir,
+      cfg.sites.map(s => (s, 2024, 2)).toSet).get
+    assert(java.nio.file.Files.exists(marker),
+      "invalidate rebuilt the sketch instead of evicting in place")
+    assert(CuckooSeen.readMeta(s"$dir/_cuckoo").get.covered
+      === snapI.seenDirs)
+
+    val (r4, snap4) = CrawlJob.runResumable(spark, cfg123, dir, "ck-4")
+    val log4 = r4.log.collect()
+    assert(log4.filter(_.month == 2)
+      .forall(_.status != CrawlStatus.Skipped), "month 2 must refetch")
+    assert(log4.filter(e => e.month != 2 && seen1.contains(e.urlHash))
+      .forall(_.status == CrawlStatus.Skipped))
+    assert(java.nio.file.Files.exists(marker), "run 4 rebuilt the sketch")
+    // table converges back to the full three-month crawl
+    assert(snap4.totalRows === snap3.totalRows)
+  }
+
   test("strict per-host mode flows through the resumable (flagged) path") {
     val dir = Files.createTempDirectory("graft-resume-strict").toString
     val strictCfg = cfg.copy(strictPerHost = true)
