@@ -72,10 +72,12 @@ object CrawlMain {
       case _ => ()
     }
 
-    // optional trailing arg "strict": per-host (not per-site-process)
-    // politeness domains
+    // optional trailing args: "strict" = per-host (not per-site-
+    // process) politeness domains; "cuckoo" = persisted deletable
+    // seen sketch instead of the per-run bloom rebuild
     val cfg = graft.queries.CrawlQueries.demoConfig.copy(
-      strictPerHost = args.contains("strict"))
+      strictPerHost = args.contains("strict"),
+      seenSketch = if (args.contains("cuckoo")) "cuckoo" else "bloom")
     val (result, snap) = CrawlJob.runResumable(spark, cfg, tableDir, runId)
     import spark.implicits._
     val byStatus = result.log.groupByKey(_.status).count().collect()
