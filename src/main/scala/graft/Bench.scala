@@ -546,6 +546,62 @@ object Bench {
         f""""draws":${drawsJson(rounds)}}""")
       return
     }
+    // ---- optional mode: seen-sketch maintenance cost
+    // (SPARK_GRAFT_BENCH_ONLY=sketch) — measures the claim behind the
+    // cuckoo backend: per-run maintenance is O(delta) where the bloom
+    // path rebuilds O(total). One 4×2-core cluster, fixed sizes; this
+    // is a cost-ratio evidence line, not a scaling gate.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("sketch")) {
+      val total = sys.env.getOrElse("SPARK_GRAFT_BENCH_KEYS",
+        "20000000").toLong
+      val deltaN = math.max(1L, total / 100) // a daily run's new URLs
+      val evictN = math.max(1L, total / 200) // one re-opened period
+      val s = clusterSession(4, 2)
+      try {
+        import s.implicits._
+        def keys(n: Long, salt: Long) =
+          s.range(n).as[Long].map(graft.url.Hashing.mix(_, salt))
+        val base = keys(total, 1L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base.count()
+        val delta = keys(deltaN, 2L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        delta.count()
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tmp = java.nio.file.Files
+          .createTempDirectory("sketch-bench").toString
+        // what the bloom path pays EVERY resumable run at total+delta
+        val bloomRebuild = timed {
+          graft.seen.BloomSeen.write(base.union(delta), s"$tmp/bloom",
+            parts = 16, expectedKeys = total + deltaN, fpp = 0.01)
+        }
+        // cuckoo: build once (amortized away), then per-run delta
+        // insert + one period eviction
+        var meta = null.asInstanceOf[graft.seen.CuckooSeen.CuckooMeta]
+        val cuckooBuild = timed {
+          meta = graft.seen.CuckooSeen.write(base, s"$tmp/cuckoo",
+            parts = 16, expectedKeys = total * 2)
+        }
+        val cuckooDelta = timed {
+          meta = graft.seen.CuckooSeen.insertIntoDir(delta, s"$tmp/cuckoo",
+            meta, Seq("delta"))
+        }
+        val cuckooEvict = timed {
+          meta = graft.seen.CuckooSeen.deleteFromDir(keys(evictN, 1L),
+            s"$tmp/cuckoo", meta, Seq("evicted"))
+        }
+        println(f"""{"metric":"sketch_maintenance","value":$bloomRebuild%.2f,""" +
+          f""""unit":"sec","keys":$total,"delta":$deltaN,"evict":$evictN,""" +
+          f""""bloom_rebuild_sec":$bloomRebuild%.2f,""" +
+          f""""cuckoo_build_once_sec":$cuckooBuild%.2f,""" +
+          f""""cuckoo_delta_insert_sec":$cuckooDelta%.2f,""" +
+          f""""cuckoo_evict_sec":$cuckooEvict%.2f,""" +
+          f""""per_run_speedup":${bloomRebuild / cuckooDelta}%.1f}""")
+      } finally s.stop()
+      return
+    }
     // ---- optional mode: N→4N scaling of DISTRIBUTED connected
     // components (SPARK_GRAFT_BENCH_ONLY=cc) — the iterative star
     // loop's own scaling evidence over a graph big enough to clear

@@ -74,10 +74,12 @@ object TableIO {
     if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
   }
 
-  def readSnapshot(dir: String, version: Int): Snapshot =
-    mapper.readValue(
-      Files.readString(Paths.get(dir, "snapshots", f"v$version%05d.json")),
-      classOf[Snapshot])
+  def readSnapshot(dir: String, version: Int): Snapshot = {
+    val p = Paths.get(dir, "snapshots", f"v$version%05d.json")
+    require(Files.exists(p), s"snapshot v$version does not exist " +
+      s"(never committed, or expired by TableIO.expire) under $dir")
+    mapper.readValue(Files.readString(p), classOf[Snapshot])
+  }
 
   def currentSnapshot(dir: String): Option[Snapshot] =
     currentVersion(dir).map(readSnapshot(dir, _))
@@ -539,6 +541,32 @@ object TableIO {
       case Some(s) if s.dataDirs.nonEmpty => readFrom(spark, dir, s.dataDirs)
       case _ => spark.emptyDataFrame
     }
+
+  /** Time-travel read (Iceberg's `VERSION AS OF`): the image table
+    * exactly as snapshot `version` referenced it. Works for any
+    * not-yet-expired version — commits, compactions and invalidations
+    * all leave superseded data dirs on disk until [[expire]] reclaims
+    * them, and invalidation drops partitions by reference, so the
+    * dropped rows remain readable through older snapshots. Throws
+    * (with the expire hint) when the snapshot json is gone. */
+  def readImagesAt(spark: SparkSession, dir: String,
+      version: Int): DataFrame = {
+    val s = readSnapshot(dir, version)
+    if (s.dataDirs.nonEmpty) readFrom(spark, dir, s.dataDirs)
+    else spark.emptyDataFrame
+  }
+
+  /** Time-travel read of the URL-seen set as of snapshot `version` —
+    * what a resume launched at that version would have skipped. */
+  def readSeenAt(spark: SparkSession, dir: String,
+      version: Int): Dataset[Long] = {
+    import spark.implicits._
+    val s = readSnapshot(dir, version)
+    if (s.seenDirs.nonEmpty)
+      spark.read.parquet(s.seenDirs.map(d => s"$dir/$d"): _*)
+        .select($"urlHash").as[Long]
+    else spark.emptyDataset[Long]
+  }
 
   /** Read the committed URL-seen set. No dedup shuffle: committed
     * deltas are pairwise disjoint by construction — each delta holds

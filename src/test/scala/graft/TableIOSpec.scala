@@ -61,6 +61,52 @@ class TableIOSpec extends AnyFunSuite {
     assert(gotIds === wantIds)
   }
 
+  test("time travel: readImagesAt/readSeenAt reproduce each version, survive compaction and invalidation, fail after expire") {
+    val dir = tmpDir()
+    val rA = CrawlJob.run(spark, cfgA)
+    TableIO.commit(spark, dir, rA.images, CrawlJob.seenFrom(rA.log),
+      "tt-1", Nil)
+    val v1Images = TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val v1Seen = TableIO.readSeen(spark, dir).collect().toSet
+
+    val seenA = TableIO.readSeen(spark, dir).collect().toSet
+    val rB = CrawlJob.run(spark, cfgFull, seenA)
+    TableIO.commit(spark, dir, rB.images, CrawlJob.newSeenFrom(rB.log),
+      "tt-2", Nil)
+    val v2Images = TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    def imagesAt(v: Int) = TableIO.readImagesAt(spark, dir, v)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(imagesAt(1) === v1Images)
+    assert(imagesAt(2) === v2Images)
+    assert(TableIO.readSeenAt(spark, dir, 1).collect().toSet === v1Seen)
+
+    // compaction (v3) and invalidation (v4) rewrite REFERENCES — the
+    // superseded dirs stay on disk, so older versions remain readable
+    TableIO.compact(spark, dir)
+    TableIO.invalidatePeriods(spark, dir,
+      Set(("portal_saude_mg", 2024, 2)))
+    assert(imagesAt(1) === v1Images, "v1 unreadable after maintenance")
+    assert(imagesAt(2) === v2Images, "v2 unreadable after maintenance")
+    // the invalidation snapshot itself excludes the dropped month
+    val v4 = TableIO.currentVersion(dir).get
+    assert(TableIO.readImagesAt(spark, dir, v4)
+      .filter(org.apache.spark.sql.functions.col("month") === 2)
+      .count() === 0)
+
+    // expire reclaims superseded dirs and snapshot jsons: time travel
+    // to reclaimed versions now fails with the expire hint
+    TableIO.expire(dir)
+    val e = intercept[IllegalArgumentException] { imagesAt(1) }
+    assert(e.getMessage.contains("expire"))
+    assert(imagesAt(v4).nonEmpty, "current version must survive expire")
+  }
+
   test("compaction: N commits -> 1 data dir, identical contents, runIds index intact") {
     import spark.implicits._
     val dir = tmpDir()
