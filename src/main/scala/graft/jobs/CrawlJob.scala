@@ -259,12 +259,9 @@ object CrawlJob {
   def flagSeenPersisted(frontier: Dataset[ScheduledEntry],
       seenTable: Dataset[Long], bloomDir: String,
       meta: graft.seen.BloomSeen.BloomMeta)
-      : Dataset[(ScheduledEntry, Boolean)] = {
-    val spark = frontier.sparkSession
-    import spark.implicits._
-    flagFromProbed(graft.seen.BloomSeen.probe(frontier, bloomDir, meta)(
-      _.urlHash), seenTable)
-  }
+      : Dataset[(ScheduledEntry, Boolean)] =
+    flagFromProbed(graft.seen.BloomSeen.probeAligned(frontier.toDF(),
+      "urlHash", bloomDir, meta), seenTable)
 
   /** [[flagSeenPersisted]] over the persisted cuckoo sketch — same
     * routing/confirm contract, ~80× fewer false candidates reach the
@@ -272,22 +269,22 @@ object CrawlJob {
   def flagSeenPersistedCuckoo(frontier: Dataset[ScheduledEntry],
       seenTable: Dataset[Long], cuckooDir: String,
       meta: graft.seen.CuckooSeen.CuckooMeta)
-      : Dataset[(ScheduledEntry, Boolean)] = {
-    val spark = frontier.sparkSession
-    import spark.implicits._
-    flagFromProbed(graft.seen.CuckooSeen.probe(frontier, cuckooDir, meta)(
-      _.urlHash), seenTable)
-  }
+      : Dataset[(ScheduledEntry, Boolean)] =
+    flagFromProbed(graft.seen.CuckooSeen.probeAligned(frontier.toDF(),
+      "urlHash", cuckooDir, meta), seenTable)
 
   /** Sketch "no" rows are exact and skip the join; "maybe" rows are
     * confirmed against the committed seen table (a false positive must
-    * not suppress a fetch). */
-  private def flagFromProbed(probed: Dataset[(ScheduledEntry, Boolean)],
+    * not suppress a fetch). `probed` carries the aligned probes'
+    * `maybeSeen` column over the ScheduledEntry schema. */
+  private def flagFromProbed(probed: org.apache.spark.sql.DataFrame,
       seenTable: Dataset[Long]): Dataset[(ScheduledEntry, Boolean)] = {
     val spark = probed.sparkSession
     import spark.implicits._
-    val definiteNew = probed.filter(!_._2)
-    val candidates = probed.filter(_._2).map(_._1)
+    val definiteNew = probed.filter(!col("maybeSeen")).drop("maybeSeen")
+      .as[ScheduledEntry].map(e => (e, false))
+    val candidates = probed.filter(col("maybeSeen")).drop("maybeSeen")
+      .as[ScheduledEntry]
     val confirmed = candidates.joinWith(seenTable.toDF("sh"),
         candidates("urlHash") === col("sh"), "left_outer")
       .map { case (e, r) => (e, r != null) }

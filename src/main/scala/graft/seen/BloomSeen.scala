@@ -195,6 +195,16 @@ object BloomSeen {
     * partition is empty → definite miss). Returns (row, mightBeSeen);
     * "false" is exact (Bloom has no false negatives), "true" must be
     * confirmed by the exact join. */
+  /** Column-keyed aligned probe (the production shape): appends
+    * `maybeSeen` to `df` via [[SketchProbe.probeAligned]] — a codegen
+    * `pmod` repartition instead of [[probe]]'s typed groupByKey,
+    * which sorts every partition by its lambda key for nothing. */
+  def probeAligned(df: org.apache.spark.sql.DataFrame, hashCol: String,
+      dir: String, meta: BloomMeta): org.apache.spark.sql.DataFrame =
+    SketchProbe.probeAligned(df, hashCol, meta.parts,
+      part => filterFile(dir, part),
+      (f, h) => mightContain(f, h, meta.numHashes))
+
   def probe[T](ds: Dataset[T], dir: String, meta: BloomMeta)(
       hashOf: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[(T, Boolean)])

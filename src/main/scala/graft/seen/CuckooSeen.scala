@@ -333,7 +333,8 @@ object CuckooSeen {
 
   /** Partition-aligned probe — identical routing contract to
     * [[BloomSeen.probe]]: "false" is exact for inserted keys, "true"
-    * must be confirmed by the exact join (FPP ~1.2e-4). */
+    * must be confirmed by the exact join (FPP ~1.2e-4). Test/compat
+    * surface; the production flag path uses [[probeAligned]]. */
   def probe[T](ds: Dataset[T], dir: String, meta: CuckooMeta)(
       hashOf: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[(T, Boolean)])
@@ -350,4 +351,14 @@ object CuckooSeen {
         }
       }
   }
+
+  /** Column-keyed aligned probe (the production shape): appends
+    * `maybeSeen` to `df`, routing by a `pmod` column repartition so
+    * the exchange stays whole-stage-codegen'd — the typed [[probe]]
+    * sorts every partition by its lambda key, a cost the semantics
+    * never needed (any row order within the owning task is fine). */
+  def probeAligned(df: org.apache.spark.sql.DataFrame, hashCol: String,
+      dir: String, meta: CuckooMeta): org.apache.spark.sql.DataFrame =
+    SketchProbe.probeAligned(df, hashCol, meta.parts,
+      part => filterFile(dir, part), mightContain)
 }

@@ -76,6 +76,11 @@ class BloomSeenSpec extends AnyFunSuite {
     // the flags equal the capped in-memory path bit-for-bit
     val mem = BloomSeen.build(spark.createDataset(seen), 8, n.toLong, 0.01)
     assert((seen ++ unseen).forall(h => flags(h) == mem.mightContain(h)))
+    // and the column-routed aligned probe (production path) agrees
+    val aligned = BloomSeen.probeAligned(ds.toDF("urlHash"), "urlHash",
+        dir, meta)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((seen ++ unseen).forall(h => aligned(h) == flags(h)))
   }
 
   test("collect+broadcast path is hard-capped (scale path is write/probe)") {

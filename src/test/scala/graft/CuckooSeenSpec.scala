@@ -128,6 +128,21 @@ class CuckooSeenSpec extends AnyFunSuite {
     }
   }
 
+  test("probeAligned (column route, production path) matches the typed probe") {
+    import spark.implicits._
+    val seen = keys(20000, 41L)
+    val dir = java.nio.file.Files.createTempDirectory("cuckoo-al").toString
+    val meta = CuckooSeen.write(spark.createDataset(seen), dir,
+      parts = 8, expectedKeys = seen.size.toLong)
+    val probes = seen.take(1000) ++ keys(1000, 4321L)
+    val aligned = CuckooSeen.probeAligned(
+        spark.createDataset(probes).toDF("urlHash"), "urlHash", dir, meta)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val typed = CuckooSeen.probe(
+      spark.createDataset(probes), dir, meta)(identity).collect().toMap
+    assert(aligned === typed)
+  }
+
   test("overfull build fails instead of dropping inserts") {
     import spark.implicits._
     val many = keys(100000, 31L)

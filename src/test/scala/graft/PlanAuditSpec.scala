@@ -98,4 +98,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("robots_permits"),
       s"RFC 9309 precedence filter (native expression) missing:\n$p")
   }
+
+  test("aligned sketch probe: one pmod exchange, no sort (the typed groupByKey shape is banned)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-cuckoo").toString
+    val keys = spark.range(1000).as[Long]
+      .map(graft.url.Hashing.mix(_, 7L))
+    val meta = graft.seen.CuckooSeen.write(keys, dir, parts = 4,
+      expectedKeys = 1000L)
+    val p = formatted(graft.seen.CuckooSeen.probeAligned(
+      keys.toDF("urlHash"), "urlHash", dir, meta))
+    assert(!p.toLowerCase.contains("sort"),
+      s"aligned probe plans a sort the semantics never needed:\n$p")
+    assert(p.contains("pmod"), s"probe exchange is not pmod-keyed:\n$p")
+  }
 }
