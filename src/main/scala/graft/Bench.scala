@@ -285,19 +285,70 @@ object Bench {
   // windows run multi-minute, longer than one side.
 
   /** One cluster-size run with its own noise evidence: wall seconds,
-    * external busy cores during the run bracket, and an honest
-    * per-side quiet stamp. */
+    * external busy cores during the run bracket, the mid-draw
+    * bandwidth-watchdog max, and an honest per-side quiet stamp. */
   final case class SideRun(n: Long, sec: Double, ext: Double,
-      quiet: Boolean)
+      quiet: Boolean, midBw: Double = 0.0)
   final case class Round(s1: SideRun, s4: SideRun) {
     def effPaired: Double = s1.sec / (4.0 * s4.sec)
+  }
+
+  // ---- mid-draw bandwidth watchdog ---------------------------------
+  // The one noise mode the brackets missed (r4d round 2: t4 3× slow,
+  // pre/post probes and during-run ext ALL clean): external bandwidth
+  // contention that starts and ends INSIDE one side. A single-thread
+  // ~128 MiB streaming probe every 10 s while the side runs records
+  // the worst mid-draw dilation. Its CPU is own-tree (never pollutes
+  // the external bracket) and ≲1% of one core. The probe reads slower
+  // under OUR OWN executors' legitimate bandwidth use too, so the
+  // quiet gate uses a limit calibrated against self-loaded quiet draws
+  // (measured on the dedup pipeline, the heaviest self-load: quiet
+  // sides read 0.02-0.10 s, a known-interfered side 0.42 s — the
+  // watchdog SEES the probe-invisible mode; override via
+  // SPARK_GRAFT_BENCH_MIDBW_LIMIT); the raw max always lands in the
+  // artifact either way.
+  private val midBwLimit =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_MIDBW_LIMIT", "0.20").toDouble
+  private lazy val midBwArray = Array.tabulate(4 << 20)(_.toLong)
+  private def midBwOnce(): Double = {
+    val a = midBwArray
+    val t0 = System.nanoTime()
+    var s = 0L
+    var pass = 0
+    while (pass < 4) {
+      var i = 0
+      while (i < a.length) { s += a(i); i += 1 }
+      pass += 1
+    }
+    if (s == 42L) System.err.print("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def runSide(run: () => (Long, Double),
       pre: HostCheck): (SideRun, HostCheck) = {
     val (b0, o0) = cpuSnapshot()
     val w0 = System.nanoTime()
-    val (n, t) = run()
+    val midMax = new java.util.concurrent.atomic.AtomicLong(0L) // bits
+    @volatile var midStop = false
+    val watchdog = new Thread(() => {
+      while (!midStop) {
+        var slept = 0
+        while (!midStop && slept < 10000) { Thread.sleep(250); slept += 250 }
+        if (!midStop) {
+          val d = midBwOnce()
+          var cur = midMax.get()
+          while (d > java.lang.Double.longBitsToDouble(cur) &&
+              !midMax.compareAndSet(cur,
+                java.lang.Double.doubleToLongBits(d))) {
+            cur = midMax.get()
+          }
+        }
+      }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    val (n, t) = try run() finally { midStop = true }
+    watchdog.join(2000)
     // let the process reaper collect the just-stopped executor JVMs
     // before snapshotting: un-reaped children are missing from
     // cutime/cstime and their CPU would be misread as EXTERNAL load
@@ -308,8 +359,10 @@ object Bench {
     // USER_HZ=100: jiffies/100 = cpu-seconds; /wall = avg cores
     val ext = math.max(0.0, ((b1 - b0) - (o1 - o0)) / 100.0 / wallSec)
     val post = measureHost()
-    val quiet = pre.quiet && post.quiet && ext <= ExtBusyCoreLimit
-    (SideRun(n, t, ext, quiet), post)
+    val midBw = java.lang.Double.longBitsToDouble(midMax.get())
+    val quiet = pre.quiet && post.quiet && ext <= ExtBusyCoreLimit &&
+      midBw <= midBwLimit
+    (SideRun(n, t, ext, quiet, midBw), post)
   }
 
   /** Headline estimator, asymmetric because interference can only
@@ -367,8 +420,10 @@ object Bench {
       val (s4, post) = runSide(() => run(4), mid)
       val r = Round(s1, s4)
       System.err.println(f"[bench] $label round ${rounds.size + 1}: " +
-        f"t1=${s1.sec}%.1fs(ext=${s1.ext}%.1f,quiet=${s1.quiet}) " +
-        f"t4=${s4.sec}%.1fs(ext=${s4.ext}%.1f,quiet=${s4.quiet}) " +
+        f"t1=${s1.sec}%.1fs(ext=${s1.ext}%.1f,mbw=${s1.midBw}%.2f," +
+        f"quiet=${s1.quiet}) " +
+        f"t4=${s4.sec}%.1fs(ext=${s4.ext}%.1f,mbw=${s4.midBw}%.2f," +
+        f"quiet=${s4.quiet}) " +
         f"eff=${r.effPaired}%.3f post(probe=${post.probeSec}%.2f " +
         f"bw=${post.bwSec}%.2f ext=${post.extCores}%.1f)")
       rounds += r
@@ -377,12 +432,13 @@ object Bench {
   }
 
   /** Per-draw evidence row: [t1, t4, ext_cores_during_t1,
-    * ext_during_t4, t1_quiet, t4_quiet]. */
+    * ext_during_t4, t1_quiet, t4_quiet, midbw_max_t1, midbw_max_t4]. */
   private def drawsJson(rounds: Seq[Round]): String =
     rounds.map { r =>
       f"""[${r.s1.sec}%.1f,${r.s4.sec}%.1f,${r.s1.ext}%.1f,""" +
         f"""${r.s4.ext}%.1f,${if (r.s1.quiet) 1 else 0},""" +
-        s"${if (r.s4.quiet) 1 else 0}]"
+        s"${if (r.s4.quiet) 1 else 0}," +
+        f"""${r.s1.midBw}%.2f,${r.s4.midBw}%.2f]"""
     }.mkString("[", ",", "]")
 
   /** Wall-time each oracle SQL in DuckDB over the same parquet tables;
@@ -542,7 +598,7 @@ object Bench {
         f""""scaling_efficiency":${t1 / (4.0 * t4)}%.3f,""" +
         f""""scaling_efficiency_paired_best":$effPaired%.3f,""" +
         f""""quiet_draws":$nQuiet,""" +
-        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4",""" +
+        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4,mbw1,mbw4",""" +
         f""""draws":${drawsJson(rounds)}}""")
       return
     }
@@ -630,7 +686,7 @@ object Bench {
         f""""scaling_efficiency":${t1 / (4.0 * t4)}%.3f,""" +
         f""""scaling_efficiency_paired_best":$effPaired%.3f,""" +
         f""""quiet_draws":$nQuiet,""" +
-        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4",""" +
+        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4,mbw1,mbw4",""" +
         f""""draws":${drawsJson(rounds)}}""")
       return
     }
@@ -766,7 +822,7 @@ object Bench {
         f""""scaling_efficiency":${d1 / (4.0 * d4)}%.3f,""" +
         f""""scaling_efficiency_paired_best":$dPaired%.3f,""" +
         f""""quiet_draws":$dQuiet,""" +
-        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4",""" +
+        f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4,mbw1,mbw4",""" +
         f""""draws":${drawsJson(dRounds)}}"""
       // the driver artifact is a ~2000-char stdout TAIL; the dedup
       // block above sits before the crawl block and gets truncated

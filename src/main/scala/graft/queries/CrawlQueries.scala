@@ -146,6 +146,52 @@ object CrawlQueries {
         s.sparkContext.parallelize(rows, 1), out.schema)
     }),
 
+    // D1/D2 sketch-backend parity as a DRIVER VALUE gate: one two-run
+    // resumable crawl per seen backend (bloom rebuild vs persisted
+    // cuckoo with delta insert) — run-2 logs must agree URL-by-URL on
+    // status and attempts. The per-URL comparison rows are staged to
+    // parquet and DuckDB re-derives the aggregate.
+    "seen_sketch_parity" -> ((s: SparkSession, _: String) => {
+      val base = "/tmp/graft_gate_fx/sketch_parity"
+      val cfg0 = demoConfig.copy(sites = Seq("portal_saude_mg"),
+        months = MonthSelector.Multiple(Seq(1, 2, 3)))
+      def secondRunLog(sketch: String) = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-sk-$sketch").toString
+        val cfg = cfg0.copy(seenSketch = sketch)
+        val (r1, _) = CrawlJob.runResumable(s, cfg, dir, s"$sketch-1")
+        r1.log.count()
+        val (r2, _) = CrawlJob.runResumable(s, cfg, dir, s"$sketch-2")
+        val rows = r2.log.toDF()
+          .select(col("urlHash"), col("status"), col("attempts"))
+          .collect().toSeq
+        r1.unpersist(); r2.unpersist()
+        rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      }
+      val b = secondRunLog("bloom")
+      val c = secondRunLog("cuckoo")
+      import s.implicits._
+      val cmp = b.toDF("urlHash", "status_bloom", "attempts_bloom")
+        .join(c.toDF("urlHash", "status_cuckoo", "attempts_cuckoo"),
+          Seq("urlHash"), "full_outer")
+        .select(col("urlHash"),
+          coalesce(col("status_bloom"), lit("MISSING")).as("status_bloom"),
+          coalesce(col("status_cuckoo"), lit("MISSING")).as("status_cuckoo"),
+          coalesce(col("attempts_bloom"), lit(-1)).as("attempts_bloom"),
+          coalesce(col("attempts_cuckoo"), lit(-1)).as("attempts_cuckoo"))
+      cmp.write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .agg(count(lit(1)).as("n_urls"),
+          bool_and(col("status_bloom") === col("status_cuckoo"))
+            .as("all_status_agree"),
+          bool_and(col("attempts_bloom") === col("attempts_cuckoo"))
+            .as("all_attempts_agree"),
+          count(when(col("status_bloom") === CrawlStatus.Skipped, 1))
+            .cast("long").as("n_skipped_bloom"),
+          count(when(col("status_cuckoo") === CrawlStatus.Skipped, 1))
+            .cast("long").as("n_skipped_cuckoo"))
+    }),
+
     // S11 host health: probe fields + per-host crawl health aggregates
     // over a config with a planted sick host and the quarantine rule
     // armed (mds_saldo.py:249-294, portal_saude_mg.py:730-747)
@@ -192,7 +238,18 @@ object CrawlQueries {
         |   / greatest(a.duration_ms, 1) * 100) AS BIGINT) AS dpm_x100
         |FROM agg a LEFT JOIN img i
         |  ON i.site = a.site AND i.year = a.year AND i.month = a.month
-        |ORDER BY site, year, month""".stripMargin
+        |ORDER BY site, year, month""".stripMargin,
+    // re-derives the bloom-vs-cuckoo run-2 log agreement from the
+    // staged per-URL comparison rows
+    "seen_sketch_parity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_urls,
+        | bool_and(status_bloom = status_cuckoo) AS all_status_agree,
+        | bool_and(attempts_bloom = attempts_cuckoo) AS all_attempts_agree,
+        | CAST(count(*) FILTER (WHERE status_bloom = 'skipped')
+        |   AS BIGINT) AS n_skipped_bloom,
+        | CAST(count(*) FILTER (WHERE status_cuckoo = 'skipped')
+        |   AS BIGINT) AS n_skipped_cuckoo
+        |FROM '/tmp/graft_gate_fx/sketch_parity/*.parquet'""".stripMargin
   )
 
   /** Health/quarantine demo: one healthy reference site + one planted
