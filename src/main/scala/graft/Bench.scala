@@ -845,7 +845,7 @@ object Bench {
       f"""{"bench_sites":$scaleSites,"max_pages":$maxPages,""" +
         f""""executor_cores":$coresEach,"urls":$n4,""" +
         f""""demo_urls":$demoUrls,"demo_sec":$demoSec%.2f,""" +
-        f""""round_cols":"t1,t4,ext1,ext4,quiet1,quiet4",""" +
+        f""""round_cols":"t1,t4,ext1,ext4,quiet1,quiet4,mbw1,mbw4",""" +
         f""""rounds":${drawsJson(rounds)},""" +
         f""""sec_1_executor":$t1%.2f,"sec_4_executors":$t4%.2f,""" +
         f""""urls_per_sec_1_executor":$thr1%.1f,""" +

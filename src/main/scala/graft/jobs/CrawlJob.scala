@@ -389,7 +389,7 @@ object CrawlJob {
       : Dataset[(ScheduledEntry, Boolean)] = {
     import spark.implicits._
     val C = graft.seen.CuckooSeen
-    val dir = s"$tableDir/_cuckoo"
+    val dir = C.sketchDir(tableDir)
     if (seenCount == 0) {
       C.dropDir(dir)
       flagSeen(surviving, seenTable, None)

@@ -72,12 +72,16 @@ object CrawlMain {
       case _ => ()
     }
 
-    // optional trailing args: "strict" = per-host (not per-site-
-    // process) politeness domains; "cuckoo" = persisted deletable
-    // seen sketch instead of the per-run bloom rebuild
+    // optional trailing args AFTER the runId position: "strict" =
+    // per-host (not per-site-process) politeness domains; "cuckoo" =
+    // persisted deletable seen sketch instead of the per-run bloom
+    // rebuild. Only args(2..) are option words — a run literally
+    // named "strict" or "cuckoo" stays an opaque runId (same
+    // collision rule as the --maintenance commands above)
+    val opts = args.drop(2).toSet
     val cfg = graft.queries.CrawlQueries.demoConfig.copy(
-      strictPerHost = args.contains("strict"),
-      seenSketch = if (args.contains("cuckoo")) "cuckoo" else "bloom")
+      strictPerHost = opts.contains("strict"),
+      seenSketch = if (opts.contains("cuckoo")) "cuckoo" else "bloom")
     val (result, snap) = CrawlJob.runResumable(spark, cfg, tableDir, runId)
     import spark.implicits._
     val byStatus = result.log.groupByKey(_.status).count().collect()

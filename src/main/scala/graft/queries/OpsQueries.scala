@@ -144,9 +144,15 @@ object OpsQueries {
       val corpus = withPlantedDupes(s, dir)
       val pairs = DedupOps.minhashPairs(corpus, "doc_id", "text",
         threshold = 0.5)
-      val base = s"$gateFxBase/minhash_prec"
-      corpus.write.mode("overwrite").parquet(s"$base/corpus")
-      pairs.write.mode("overwrite").parquet(s"$base/pairs")
+      // SF-keyed path + an n_docs column (the simhash-gate pattern):
+      // fixtures of several SFs coexist in /tmp across verify/bench
+      // runs, and the oracle selects the current SF's rows by content
+      val nDocs = docs(s, dir).count()
+      val base = s"$gateFxBase/minhash_prec/sf_$nDocs"
+      corpus.withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(s"$base/corpus")
+      pairs.withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(s"$base/pairs")
       val p = s.read.parquet(s"$base/pairs")
       val c = s.read.parquet(s"$base/corpus")
       val jacUdf = udf((a: String, b: String) =>
@@ -610,10 +616,12 @@ object OpsQueries {
     // no hashing involved — and asserts ge_threshold as a literal
     "dedup_minhash_precision" ->
       """WITH pairs AS (SELECT id_a, id_b
-        |  FROM '/tmp/graft_gate_fx/minhash_prec/pairs/*.parquet'),
+        |  FROM '/tmp/graft_gate_fx/minhash_prec/*/pairs/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents)),
         | corpus AS (SELECT doc_id,
         |   lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
-        |  FROM '/tmp/graft_gate_fx/minhash_prec/corpus/*.parquet'),
+        |  FROM '/tmp/graft_gate_fx/minhash_prec/*/corpus/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents)),
         | sh AS (SELECT doc_id,
         |   CASE WHEN length(t) < 5 THEN [t]
         |        ELSE list_distinct([substring(t, i, 5)

@@ -199,6 +199,13 @@ object CuckooSeen {
     m
   }
 
+  /** The sketch's location inside a crawl table's storage — the ONE
+    * definition shared by CrawlJob (build/insert/probe) and TableIO
+    * (compaction coverage handoff, invalidation eviction); a drifted
+    * copy in either site would silently stop sketch maintenance and
+    * force full rebuilds. */
+  def sketchDir(tableDir: String): String = s"$tableDir/_cuckoo"
+
   private def filterFile(dir: String, part: Int) =
     Paths.get(dir, f"part-$part%05d.cuckoo")
   private def metaFile(dir: String) = Paths.get(dir, "meta.json")
@@ -243,16 +250,20 @@ object CuckooSeen {
     * failure poisons the sketch (failed insert = table overfull;
     * failed delete = the key was never inserted), so callers throw.
     *
-    * Routing is a COLUMN `pmod` repartition + `mapPartitions`, not a
-    * typed `groupByKey`: the exchange stays whole-stage-codegen'd on
-    * 8-byte rows, where groupByKey's lambda key forces per-element
-    * boxing plus a sort-based group shuffle — measured 592 s vs 38 s
-    * for an 80M-key build. All rows of one pmod group land in one
-    * Spark partition; a task may own several groups, each with its
-    * own filter. Task retries are safe-by-degradation: re-applied
-    * inserts waste slots (duplicate fingerprints, no false negatives);
-    * re-applied deletes read the already-written file, miss, and fail
-    * the update — callers rebuild instead of trusting the sketch. */
+    * Routing is a COLUMN `pmod` repartition + native
+    * `sortWithinPartitions` + `mapPartitions`, not a typed
+    * `groupByKey`: the exchange stays whole-stage-codegen'd on 8-byte
+    * rows, where groupByKey's lambda key forces per-element boxing
+    * plus an object sort — measured 592 s vs 38 s for an 80M-key
+    * build. The native key sort ALSO bounds memory: a task may own
+    * several pmod groups (hash-of-group routing), and key order lets
+    * it hold exactly ONE filter at a time, flushing on group switch —
+    * an unsorted per-task map would pin 2-4 filters (~0.5 GiB each at
+    * design sizes) simultaneously. Task retries are
+    * safe-by-degradation: re-applied inserts waste slots (duplicate
+    * fingerprints, no false negatives); re-applied deletes read the
+    * already-written file, miss, and fail the update — callers rebuild
+    * instead of trusting the sketch. */
   private def updateDir(hashes: Dataset[Long], dir: String,
       meta: CuckooMeta, op: String): Long = {
     val spark = hashes.sparkSession
@@ -262,26 +273,34 @@ object CuckooSeen {
     val parts = meta.parts
     val bucketBytes = meta.bucketBytes
     val insertOp = op == "insert"
+    val key = pmod(col("h"), lit(parts.toLong))
     hashes.toDF("h")
-      .repartition(parts, pmod(col("h"), lit(parts.toLong)))
+      .repartition(parts, key)
+      .sortWithinPartitions(key)
       .as[Long]
       .mapPartitions { it =>
-        val filters =
-          scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+        var curPart = -1
+        var filter: Array[Byte] = null
         var failed = 0L
+        def flush(): Unit =
+          if (filter != null) {
+            atomicWriteFilter(dir, curPart, filter)
+            filter = null
+          }
         it.foreach { h =>
           val part = java.lang.Math.floorMod(h, parts)
-          val filter = filters.getOrElseUpdate(part, {
+          if (part != curPart) {
+            flush()
+            curPart = part
             val f = filterFile(dir, part)
-            if (Files.exists(f)) Files.readAllBytes(f)
-            else new Array[Byte](bucketBytes)
-          })
+            filter =
+              if (Files.exists(f)) Files.readAllBytes(f)
+              else new Array[Byte](bucketBytes)
+          }
           if (insertOp) { if (!insert(filter, h)) failed += 1 }
           else { if (!delete(filter, h)) failed += 1 }
         }
-        filters.foreach { case (part, filter) =>
-          atomicWriteFilter(dir, part, filter)
-        }
+        flush()
         Iterator.single(failed)
       }
       .reduce(_ + _)

@@ -76,8 +76,14 @@ object TableIO {
 
   def readSnapshot(dir: String, version: Int): Snapshot = {
     val p = Paths.get(dir, "snapshots", f"v$version%05d.json")
-    require(Files.exists(p), s"snapshot v$version does not exist " +
-      s"(never committed, or expired by TableIO.expire) under $dir")
+    // NoSuchFileException (an IOException), NOT require/IAE: the
+    // expired-chain fallbacks (cumulativePartitionMeta, recordRunId's
+    // heal path) catch IOException — an IAE here would turn their
+    // documented degrade-to-scan behavior into a crash
+    if (!Files.exists(p))
+      throw new java.nio.file.NoSuchFileException(p.toString, null,
+        s"snapshot v$version does not exist (never committed, or " +
+          "expired by TableIO.expire)")
     mapper.readValue(Files.readString(p), classOf[Snapshot])
   }
 
@@ -351,11 +357,14 @@ object TableIO {
       // union), so a cuckoo sketch covering the parent's dirs stays
       // valid — only its coverage list must follow the rewrite; a
       // partially-covering sketch would mis-skip the delta, drop it
-      graft.seen.CuckooSeen.readMeta(s"$dir/_cuckoo").foreach { m =>
-        if (m.covered.toSet == parent.seenDirs.toSet)
-          graft.seen.CuckooSeen.writeMeta(s"$dir/_cuckoo",
-            m.copy(covered = if (hasSeen) Seq(seenDirName) else Nil))
-        else graft.seen.CuckooSeen.dropDir(s"$dir/_cuckoo")
+      locally {
+        val sk = graft.seen.CuckooSeen.sketchDir(dir)
+        graft.seen.CuckooSeen.readMeta(sk).foreach { m =>
+          if (m.covered.toSet == parent.seenDirs.toSet)
+            graft.seen.CuckooSeen.writeMeta(sk,
+              m.copy(covered = if (hasSeen) Seq(seenDirName) else Nil))
+          else graft.seen.CuckooSeen.dropDir(sk)
+        }
       }
       snap
     }
@@ -461,7 +470,7 @@ object TableIO {
       parentSeenDirs: Seq[String], dropped: Dataset[Long],
       newCovered: Seq[String]): Unit = {
     val C = graft.seen.CuckooSeen
-    val sketchDir = s"$dir/_cuckoo"
+    val sketchDir = C.sketchDir(dir)
     C.readMeta(sketchDir).foreach { m =>
       if (m.covered.toSet == parentSeenDirs.toSet) {
         // distinct: a URL may appear in several dropped image rows,

@@ -99,7 +99,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"RFC 9309 precedence filter (native expression) missing:\n$p")
   }
 
-  test("aligned sketch probe: one pmod exchange, no sort (the typed groupByKey shape is banned)") {
+  test("aligned sketch probe: pmod exchange + native key sort; the typed groupByKey shape is banned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan-cuckoo").toString
     val keys = spark.range(1000).as[Long]
@@ -108,8 +108,11 @@ class PlanAuditSpec extends AnyFunSuite {
       expectedKeys = 1000L)
     val p = formatted(graft.seen.CuckooSeen.probeAligned(
       keys.toDF("urlHash"), "urlHash", dir, meta))
-    assert(!p.toLowerCase.contains("sort"),
-      s"aligned probe plans a sort the semantics never needed:\n$p")
+    // AppendColumns is the typed-keyer marker (per-row object encode +
+    // object sort); the allowed shape is a pmod column exchange plus a
+    // native long-key sort (which bounds per-task filter residency to 1)
+    assert(!p.contains("AppendColumns"),
+      s"aligned probe fell back to the typed groupByKey shape:\n$p")
     assert(p.contains("pmod"), s"probe exchange is not pmod-keyed:\n$p")
   }
 }

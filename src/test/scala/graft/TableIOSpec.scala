@@ -102,7 +102,9 @@ class TableIOSpec extends AnyFunSuite {
     // expire reclaims superseded dirs and snapshot jsons: time travel
     // to reclaimed versions now fails with the expire hint
     TableIO.expire(dir)
-    val e = intercept[IllegalArgumentException] { imagesAt(1) }
+    // NoSuchFileException (an IOException) so expired-chain fallbacks
+    // that catch IOException keep working
+    val e = intercept[java.nio.file.NoSuchFileException] { imagesAt(1) }
     assert(e.getMessage.contains("expire"))
     assert(imagesAt(v4).nonEmpty, "current version must survive expire")
   }
