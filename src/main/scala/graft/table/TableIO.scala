@@ -584,7 +584,14 @@ object TableIO {
     * StreamingCrawl.commitOutcomesBatch), and compact/invalidate
     * rewrite to a single dir. At the 10^10-key design point the old
     * unconditional `distinct()` was a full-table shuffle on every
-    * resumable run. */
+    * resumable run.
+    *
+    * MIGRATION: tables whose streaming commits predate the
+    * Success-only delta may hold OVERLAPPING deltas; duplicate seen
+    * rows multiply frontier rows through the left_outer confirm join
+    * (duplicated Skipped log rows, inflated metrics). Run [[compact]]
+    * once on such a table before resuming against it — its seen
+    * rewrite applies the migrating `distinct()`. */
   def readSeen(spark: SparkSession, dir: String): Dataset[Long] = {
     import spark.implicits._
     currentSnapshot(dir) match {
