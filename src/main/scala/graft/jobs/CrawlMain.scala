@@ -11,6 +11,7 @@ import graft.model._
   * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table --compact"
   * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table --expire"
   * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table --invalidate <site> <year> <month>"
+  * sbt "runMain graft.jobs.CrawlMain /tmp/crawl_table --rollback <version>"
   * }}}
   *
   * Maintenance commands use `--`-prefixed flags so a crawl runId can
@@ -62,12 +63,20 @@ object CrawlMain {
           case None => println("[crawl] empty table, nothing to invalidate")
         }
         spark.stop(); return
+      case "--rollback" if args.length >= 3 =>
+        graft.table.TableIO.rollback(spark, tableDir, args(2).toInt) match {
+          case Some(s) =>
+            println(s"[crawl] rolled back to v${args(2)} -> v${s.version} " +
+              s"(rows=${s.totalRows})")
+          case None => println("[crawl] already at that version (or empty table)")
+        }
+        spark.stop(); return
       // a mistyped or under-aritied flag must NOT fall through into a
       // crawl that commits runId "--invalidate" to the table
       case flag if flag.startsWith("--") =>
         System.err.println(s"[crawl] unknown or incomplete command " +
           s"'$flag' - expected --compact | --expire | " +
-          "--invalidate <site> <year> <month>")
+          "--invalidate <site> <year> <month> | --rollback <version>")
         spark.stop(); sys.exit(2)
       case _ => ()
     }

@@ -263,9 +263,9 @@ object TableIO {
     // reconstructed partition metadata on tables written before the
     // explicit `cumulative` flag existed
     require(!runId.startsWith("compact-") &&
-      !runId.startsWith("invalidate-"),
+      !runId.startsWith("invalidate-") && !runId.startsWith("rollback-"),
       s"runId '$runId' uses a reserved maintenance prefix " +
-        "(compact-/invalidate-)")
+        "(compact-/invalidate-/rollback-)")
     val parent = currentSnapshot(dir)
     val version = parent.map(_.version).getOrElse(0) + 1
     val dataDirName = f"data/v$version%05d"
@@ -450,6 +450,99 @@ object TableIO {
           s"re-opened ${periods.size} periods for refetch " +
             s"(metadata-only: ${droppedLeaves.size} partition refs " +
             "dropped, 0 data files rewritten)"),
+        cumulative = true)
+      atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))
+      atomicWrite(hintPath(dir), version.toString)
+      recordRunId(dir, Some(parent), runId)
+      snap
+    }
+
+  /** Roll the table back to snapshot `toVersion` (Iceberg's
+    * `rollback_to_snapshot` analog): commit a NEW cumulative snapshot
+    * whose data and seen references are exactly the target's.
+    * METADATA-ONLY — no data file is read, copied or rewritten; the
+    * rolled-back commits' dirs stay on disk (time travel to them keeps
+    * working) until [[expire]] reclaims them. The URL-seen set reverts
+    * with the references, so the next resumable run REFETCHES
+    * everything the rolled-back runs fetched — that is the operator
+    * story for "a bad run landed, undo it": the refetch happens under
+    * new runIds via the reverted seen set. The runids.json sidecar
+    * deliberately KEEPS the rolled-back ids (it is append-only):
+    * streaming replay idempotence must survive an operator rollback —
+    * a crash-replayed micro-batch must not silently re-commit data the
+    * operator just removed. The persisted cuckoo seen sketch is
+    * maintained IN PLACE whenever its coverage list is a subset of the
+    * committed seen dirs (delete exactly the rolled-back covered
+    * deltas' hashes — O(dropped), the eviction a Bloom filter cannot
+    * do); coverage a rewrite invalidated drops the sketch for rebuild
+    * on the next run.
+    *
+    * Throws (NoSuchFileException / IllegalArgumentException) when the
+    * target snapshot or a dir it references was expired. None when
+    * `toVersion` is already current. Single-writer contract, like
+    * commit/compact. */
+  def rollback(spark: SparkSession, dir: String,
+      toVersion: Int): Option[Snapshot] =
+    currentSnapshot(dir).filter(_.version != toVersion).map { parent =>
+      import spark.implicits._
+      val target = readSnapshot(dir, toVersion)
+      val missing = (target.dataDirs ++ target.seenDirs)
+        .filterNot(e => Files.exists(Paths.get(dir, e)))
+      require(missing.isEmpty,
+        s"cannot roll back to v$toVersion: expire() reclaimed " +
+          s"'${missing.head}' (and ${missing.size - 1} more)")
+      val version = parent.version + 1
+
+      // cuckoo sketch: seen deltas align 1:1 with seen dirs and are
+      // pairwise disjoint, so the sketch survives a rollback IN PLACE
+      // when its coverage is a sane subset of the committed dirs —
+      // delete exactly the hashes of covered dirs the rollback
+      // un-references (dirs the sketch never inserted need no delete),
+      // hand coverage to the covered∩target intersection, and let the
+      // next run's delta-insert fill in target dirs it never covered.
+      // Coverage outside the committed set (a rewrite happened under
+      // the sketch) cannot be proven consistent: drop for rebuild.
+      locally {
+        val C = graft.seen.CuckooSeen
+        val sk = C.sketchDir(dir)
+        C.readMeta(sk).foreach { m =>
+          if (m.covered.toSet.subsetOf(parent.seenDirs.toSet)) {
+            val deleteDirs = m.covered.filterNot(target.seenDirs.toSet)
+            if (deleteDirs.nonEmpty) {
+              val dropped = spark.read
+                .parquet(deleteDirs.map(d => s"$dir/$d"): _*)
+                .select($"urlHash").as[Long].distinct()
+              val kept = m.covered.filter(target.seenDirs.toSet)
+              try C.deleteFromDir(dropped, sk, m, kept)
+              catch { case _: Exception => C.dropDir(sk) }
+            }
+          } else C.dropDir(sk)
+        }
+      }
+
+      // cumulative per-partition meta of the TARGET, from snapshot
+      // metadata only; scan fallback when the walk hits expired chain
+      val parts = cumulativePartitionMeta(dir, target) match {
+        case Some(cum) => cum
+          .map { case ((s, y, m), (r, b)) => PartitionMeta(s, y, m, r, b) }
+          .toSeq.sortBy(p => (p.site, p.year, p.month))
+        case None if target.dataDirs.nonEmpty =>
+          scanPartitionMeta(spark, readFrom(spark, dir, target.dataDirs))
+        case None => Nil
+      }
+      val runId = f"rollback-v$version%05d"
+      val snap = Snapshot(
+        version,
+        target.dataDirs,
+        target.seenDirs,
+        parts,
+        parts.map(_.rows).sum,
+        Lineage(runId, parent.version, Nil,
+          s"rollback to v$toVersion (metadata-only: references " +
+            s"reverted, 0 data files rewritten; " +
+            s"${parent.dataDirs.size - target.dataDirs.size} data dir " +
+            "refs dropped)"),
         cumulative = true)
       atomicWrite(Paths.get(dir, "snapshots", f"v$version%05d.json"),
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(snap))

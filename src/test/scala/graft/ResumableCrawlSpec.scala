@@ -192,6 +192,57 @@ class ResumableCrawlSpec extends AnyFunSuite {
     assert(snap4.totalRows === snap3.totalRows)
   }
 
+  test("rollback evicts the cuckoo sketch in place; rolled-back months refetch on the next run") {
+    import graft.seen.CuckooSeen
+    val cfg12 = cfg.copy(months = MonthSelector.Multiple(Seq(1, 2)),
+      seenSketch = "cuckoo")
+    val cfg123 = cfg.copy(seenSketch = "cuckoo")
+    val dir = Files.createTempDirectory("graft-rollback-ck").toString
+
+    // v1: months 1-2; v2: +month 3 (sketch built covering v1's delta);
+    // run 3's START delta-inserts v2's dir, so coverage reaches the
+    // full committed set before the rollback
+    val (r1, snap1) = CrawlJob.runResumable(spark, cfg12, dir, "rk-1")
+    val (r2, snap2) = CrawlJob.runResumable(spark, cfg123, dir, "rk-2")
+    CrawlJob.runResumable(spark, cfg123, dir, "rk-3")
+    assert(CuckooSeen.readMeta(s"$dir/_cuckoo").get.covered
+      === snap2.seenDirs)
+
+    // marker: any rebuild goes through dropDir and would delete it
+    val marker = java.nio.file.Paths.get(s"$dir/_cuckoo", "marker.keep")
+    java.nio.file.Files.writeString(marker, "incremental-witness")
+
+    // roll back to v1: exactly v2's covered delta is DELETED in place
+    // (no rebuild), coverage hands back to v1's dir
+    val snapR = graft.table.TableIO.rollback(spark, dir, 1).get
+    assert(java.nio.file.Files.exists(marker),
+      "rollback rebuilt the sketch instead of evicting in place")
+    assert(CuckooSeen.readMeta(s"$dir/_cuckoo").get.covered
+      === snap1.seenDirs)
+    assert(snapR.seenDirs === snap1.seenDirs)
+
+    // next run: month 3 refetches (its hashes left sketch AND seen
+    // set), months 1-2 skip; still no rebuild
+    val (r4, snap4) = CrawlJob.runResumable(spark, cfg123, dir, "rk-4")
+    val log4 = r4.log.collect()
+    val seen1 = CrawlJob.seenFrom(r1.log).collect().toSet
+    assert(log4.filter(_.month == 3).nonEmpty)
+    assert(log4.filter(_.month == 3)
+      .forall(_.status != CrawlStatus.Skipped), "month 3 must refetch")
+    assert(log4.filter(e => e.month != 3 && seen1.contains(e.urlHash))
+      .forall(_.status == CrawlStatus.Skipped))
+    assert(java.nio.file.Files.exists(marker), "run 4 rebuilt the sketch")
+    // table converges back to the full three-month crawl
+    assert(snap4.totalRows === snap2.totalRows)
+    val fullImages = CrawlJob.run(spark, cfg123).images
+      .select("image_id", "site", "phash").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(graft.table.TableIO.readImages(spark, dir)
+      .select("image_id", "site", "phash").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      === fullImages)
+  }
+
   test("strict per-host mode flows through the resumable (flagged) path") {
     val dir = Files.createTempDirectory("graft-resume-strict").toString
     val strictCfg = cfg.copy(strictPerHost = true)

@@ -293,6 +293,90 @@ class TableIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("rollback is metadata-only: references revert, time travel intact, replay ids kept, refetch follows") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir()
+    // two commits: months 1-3, then months 4-6 on top
+    val r1 = CrawlJob.run(spark, cfgA)
+    val snap1 = TableIO.commit(spark, dir, r1.images,
+      CrawlJob.newSeenFrom(r1.log), "run-1", Nil)
+    val v1Images = TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val v1Seen = TableIO.readSeen(spark, dir).collect().toSet
+    val r2 = CrawlJob.run(spark,
+      cfgA.copy(months = MonthSelector.Multiple(Seq(4, 5, 6))), v1Seen)
+    TableIO.commit(spark, dir, r2.images, CrawlJob.newSeenFrom(r2.log),
+      "run-2", Nil)
+    val v2Images = TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    def files(): Map[String, Array[Byte]] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.readAllBytes(p))
+        .toMap
+      finally s.close()
+    }
+    val before = files()
+
+    // rollback to current version is a no-op
+    assert(TableIO.rollback(spark, dir, 2).isEmpty)
+
+    val snap = TableIO.rollback(spark, dir, 1).get
+    assert(snap.version === 3)
+    assert(snap.cumulative)
+    assert(snap.dataDirs === snap1.dataDirs)
+    assert(snap.seenDirs === snap1.seenDirs)
+    // METADATA-ONLY: zero data files written, rewritten or deleted
+    val after = files()
+    assert(after.keySet === before.keySet, "rollback touched data files")
+    before.foreach { case (p, bytes) =>
+      assert(java.util.Arrays.equals(after(p), bytes),
+        s"rollback rewrote $p") }
+    // table content and seen set are exactly v1's
+    assert(TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === v1Images)
+    assert(TableIO.readSeen(spark, dir).collect().toSet === v1Seen)
+    assert(snap.totalRows === v1Images.size)
+    assert(snap.partitions.map(_.rows).sum === v1Images.size)
+    // the rolled-back version stays time-travelable until expire
+    assert(TableIO.readImagesAt(spark, dir, 2)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === v2Images)
+    // replay idempotence survives: the rolled-back run's id stays
+    // committed (a crash-replayed micro-batch must not re-commit data
+    // the operator just removed)
+    assert(TableIO.committedRunIds(dir).contains("run-2"))
+
+    // the operator story: the next resumable-style crawl REFETCHES the
+    // rolled-back months (their hashes left the seen set) and lands the
+    // same final table as the uninterrupted full crawl
+    val seenNow = TableIO.readSeen(spark, dir).collect().toSet
+    val r3 = CrawlJob.run(spark, cfgFull, seenNow)
+    val refetched = r3.log.collect().filter(e => e.month >= 4)
+    assert(refetched.nonEmpty &&
+      refetched.forall(_.status != CrawlStatus.Skipped),
+      "rolled-back months must refetch")
+    TableIO.commit(spark, dir, r3.images, CrawlJob.newSeenFrom(r3.log),
+      "run-3", Nil)
+    val full = CrawlJob.run(spark, cfgFull)
+    assert(TableIO.readImages(spark, dir)
+      .select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      full.images.collect().map(i => (i.image_id, i.phash)).toSet)
+
+    // rollback to an expired version fails loudly
+    TableIO.compact(spark, dir)
+    TableIO.expire(dir)
+    intercept[java.nio.file.NoSuchFileException] {
+      TableIO.rollback(spark, dir, 1)
+    }
+  }
+
   test("sidecar heals a multi-commit gap from the snapshot chain") {
     import spark.implicits._
     val dir = tmpDir()
