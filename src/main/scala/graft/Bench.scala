@@ -672,6 +672,69 @@ object Bench {
       } finally s.stop()
       return
     }
+    // ---- optional mode: incremental dedup-index maintenance cost
+    // (SPARK_GRAFT_BENCH_ONLY=dedupindex) — measures the claim behind
+    // DedupIndex: per-batch near-dup detection costs O(batch)
+    // signature CPU + one map-side scan of the persisted index, where
+    // the batch path re-shingles the WHOLE corpus and self-joins it
+    // every run. One 4×2-core cluster, fixed sizes; a cost-ratio
+    // evidence line (the document-level analog of sketch_maintenance),
+    // not a scaling gate.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("dedupindex")) {
+      val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
+        "960000").toLong
+      // the batch is FIXED while the corpus grows across captures —
+      // the claim under measurement is that per-batch cost does not
+      // scale with the settled corpus (the full recompute does)
+      val batchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH",
+        "60000").toLong
+      val s = clusterSession(4, 2)
+      try {
+        import org.apache.spark.sql.functions.col
+        // one generator range: the corpus is the low slice, the batch
+        // the top slice — dedupDocs plants its near-dup copies in the
+        // top tenth, so batch docs duplicate corpus docs (real cross
+        // pairs for the probe to find). Texts regenerate map-side in
+        // BOTH paths (never persisted), so the comparison is fair.
+        val all = dedupDocs(s, corpusN + batchN)
+        val corpus = all.filter(col("id") < corpusN)
+        val batch = all.filter(col("id") >= corpusN)
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val idx = java.nio.file.Files
+          .createTempDirectory("dedupindex-bench").toString
+        // what the batch path pays EVERY arrival of `batch` new docs
+        val fullRecompute = timed {
+          graft.ops.DedupOps
+            .minhashPairs(all, "id", "text", threshold = 0.5).count()
+        }
+        s.catalog.clearCache()
+        // index: built once over the settled corpus (amortized away),
+        // then per-batch probe + signature append
+        val buildOnce = timed {
+          graft.ops.DedupIndex.write(corpus, "id", "text", idx)
+        }
+        s.catalog.clearCache()
+        val probeSec = timed {
+          graft.ops.DedupIndex.probePairs(batch, corpus, "id", "text",
+            idx, threshold = 0.5).count()
+        }
+        s.catalog.clearCache()
+        val appendSec = timed {
+          graft.ops.DedupIndex.append(batch, "id", "text", idx)
+        }
+        println(f"""{"metric":"dedup_index_maintenance",""" +
+          f""""value":$fullRecompute%.2f,"unit":"sec",""" +
+          f""""corpus_docs":$corpusN,"batch_docs":$batchN,""" +
+          f""""full_recompute_sec":$fullRecompute%.2f,""" +
+          f""""index_build_once_sec":$buildOnce%.2f,""" +
+          f""""probe_sec":$probeSec%.2f,"append_sec":$appendSec%.2f,""" +
+          f""""per_batch_speedup":${
+            fullRecompute / (probeSec + appendSec)}%.1f}""")
+      } finally s.stop()
+      return
+    }
     // ---- optional mode: N→4N scaling of DISTRIBUTED connected
     // components (SPARK_GRAFT_BENCH_ONLY=cc) — the iterative star
     // loop's own scaling evidence over a graph big enough to clear

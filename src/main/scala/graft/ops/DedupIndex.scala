@@ -1,0 +1,228 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH signature index — INCREMENTAL near-duplicate
+  * detection for a growing corpus.
+  *
+  * The batch dataflow ([[DedupOps.minhashPairs]]) recomputes the
+  * signature pass over the WHOLE corpus and self-joins it every run —
+  * the right shape for a one-shot curation pass, but O(corpus) CPU
+  * per batch once documents arrive continuously (a crawl commits new
+  * pages every run; re-shingling 10^10 settled documents to dedup one
+  * day's 10^7 is the dominant waste). This index is the document-level
+  * analog of the persisted cuckoo URL-seen sketch: signatures are
+  * computed ONCE per document, persist in table storage as (id,
+  * bandHash) rows — 16 bytes × bands per document, ~0.3% of a 10 KB
+  * document — and each new batch
+  *
+  *   1. computes signatures for ITS documents only (O(batch) CPU),
+  *   2. probes the index with a BROADCAST hash join on bandHash —
+  *      the index side streams map-side in its parquet partition
+  *      order; the 10^11-row index is never shuffled, never sorted,
+  *      and only its two 8-byte columns are read (column pruning);
+  *      pathologically large batches fall back to a shuffle merge
+  *      join where runtime bloom-filter pushdown prunes index row
+  *      groups (files are written sorted by bandHash),
+  *   3. exact-verifies candidates through the same measured verify
+  *      tail as the batch dataflow ([[DedupOps.exactVerifyPairs]]),
+  *   4. appends its signatures as a new delta dir, so the next batch
+  *      sees this one — append-only deltas with an atomically-swapped
+  *      meta file, the [[graft.table.TableIO]] commit pattern.
+  *
+  * Determinism: signatures derive from fixed splitmix64 seeds
+  * ([[DedupOps.bandKeys]]), so index contents are reproducible across
+  * runs, partitionings and cluster sizes, and probe results equal the
+  * batch recompute exactly (spec-pinned: probe ∪ within-batch pairs ==
+  * full-recompute pairs touching a batch id, jaccard values included).
+  *
+  * Caller contract: batch ids are NEW (not already indexed) — a
+  * re-appended id would pair with itself across deltas. Single-writer,
+  * like the table layer. Reference: the reference's dedup is a
+  * per-listing in-memory seen set rebuilt per run
+  * (portal_saude_mg.py:404-414); this is the corpus-scale
+  * re-expression of "never pay for settled documents again".
+  */
+object DedupIndex {
+
+  /** Index geometry + lineage. `kind`: "char" (k-shingles) or "word"
+    * (k-grams). `deltas`: append-only list of signature dirs, oldest
+    * first. `docs`: total indexed documents (advisory, for sizing). */
+  final case class IndexMeta(kind: String, k: Int, numHashes: Int,
+      bands: Int, docs: Long, deltas: Seq[String])
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m.configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  private def metaPath(dir: String) = Paths.get(dir, "index-meta.json")
+
+  def readMeta(dir: String): Option[IndexMeta] =
+    if (!Files.exists(metaPath(dir))) None
+    else Some(mapper.readValue(Files.readString(metaPath(dir)),
+      classOf[IndexMeta]))
+
+  private def writeMeta(dir: String, m: IndexMeta): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val tmp = metaPath(dir).resolveSibling("index-meta.json.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(m))
+    Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def dropDir(dir: String): Unit = {
+    def rec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        try ls.forEach(rec) finally ls.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    if (Files.exists(Paths.get(dir))) rec(Paths.get(dir))
+  }
+
+  private def shinglerOf(m: IndexMeta): String => Array[Long] =
+    m.kind match {
+      case "char" => DedupOps.shingles(_, m.k)
+      case "word" => DedupOps.wordNgrams(_, m.k)
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind '$other' (expected char|word)")
+    }
+
+  /** (id, bandHash) signature rows of one document set — the fused
+    * shingle→minhash→band pass, map-side only. */
+  private def banded(docs: DataFrame, idCol: String, textCol: String,
+      m: IndexMeta): DataFrame = {
+    val sh = shinglerOf(m)
+    val nh = m.numHashes
+    val nb = m.bands
+    val bandsUdf = udf((t: String) => DedupOps.bandKeys(t, sh, nh, nb))
+    docs.select(col(idCol).as("id"),
+      explode(bandsUdf(col(textCol))).as("bandHash"))
+  }
+
+  /** Initialize the index over a corpus (drops any existing index at
+    * `dir` first — geometry must be uniform across deltas). */
+  def write(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      kind: String = "char", k: Int = 5, numHashes: Int = 64,
+      bands: Int = 16): IndexMeta = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    dropDir(dir)
+    writeMeta(dir, IndexMeta(kind, k, numHashes, bands, 0L, Nil))
+    append(docs, idCol, textCol, dir)
+  }
+
+  /** Append one batch's signatures as a new delta dir. O(batch) CPU —
+    * settled documents are never re-shingled. Files are written
+    * repartitioned + SORTED by bandHash so parquet row-group min/max
+    * stats stay tight (the shuffle-join fallback's runtime bloom
+    * filter prunes row groups against them). */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): IndexMeta = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no index at $dir — call write() first"))
+    val spark = docs.sparkSession
+    val delta = f"sig/v${m.deltas.size + 1}%05d"
+    val n = docs.count()
+    // partition count scales with batch size (~4M sig rows each, a
+    // few tens of MB of parquet) and never below the session's
+    // parallelism floor for small batches
+    val parts = math.max(
+      math.max(1, spark.sessionState.conf.numShufflePartitions / 4),
+      math.ceil(n.toDouble * m.bands / 4e6).toInt)
+    banded(docs, idCol, textCol, m)
+      .repartition(parts, col("bandHash"))
+      .sortWithinPartitions("bandHash")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$delta")
+    val next = m.copy(docs = m.docs + n, deltas = m.deltas :+ delta)
+    writeMeta(dir, next)
+    next
+  }
+
+  /** Read the full signature index (union of delta dirs). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no index at $dir"))
+    if (m.deltas.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Nil))
+    else spark.read.parquet(m.deltas.map(d => s"$dir/$d"): _*)
+  }
+
+  /** Near-dup pairs a NEW batch introduces: (batch ↔ indexed corpus)
+    * cross pairs plus within-batch pairs, exact-verified at
+    * `threshold` — exactly the pairs [[DedupOps.minhashPairs]] over
+    * (corpus ∪ batch) would emit that touch ≥1 batch id. Does NOT
+    * append — probe first, then [[append]] the batch (the order makes
+    * a crashed run re-probe instead of self-pair).
+    *
+    * `corpusTexts` supplies (id → text) for indexed ids; only
+    * candidate ids' texts are ever read/shuffled (semi-join in the
+    * verify tail), so passing the full corpus table is free.
+    *
+    * Scale: the batch side is broadcast when small (its signature
+    * rows are counted AFTER materialization, so the decision is
+    * measured, not estimated) — the index then streams map-side with
+    * no exchange; a huge batch falls back to a shuffle merge join.
+    */
+  def probePairs(newDocs: DataFrame, corpusTexts: DataFrame,
+      idCol: String, textCol: String, dir: String,
+      threshold: Double = 0.6,
+      maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no index at $dir"))
+    val cand = DedupOps.materialize(
+      probeCandidates(newDocs, idCol, textCol, dir, maxBroadcastRows))
+    val texts = corpusTexts
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .unionByName(newDocs
+        .select(col(idCol).as("id"), col(textCol).as("text")))
+    DedupOps.exactVerifyPairs(cand, texts, shinglerOf(m), threshold)
+  }
+
+  /** Candidate pairs of [[probePairs]] WITHOUT the exact verify —
+    * (id_a, id_b) sharing ≥1 band bucket, cross ∪ within-batch,
+    * distinct. Public for callers that run their own verification (or
+    * want bucket-collision stats) and for the plan-audit spec, which
+    * asserts the index side streams into the probe join with no
+    * exchange. */
+  def probeCandidates(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String, maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no index at $dir"))
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val newBanded = DedupOps.materialize(
+      banded(newDocs, idCol, textCol, m))
+    val batchSigRows = newBanded.count() // free: materialized
+    val nb = newBanded.select($"id".as("n_id"), $"bandHash")
+    val l = newBanded.as("l")
+    val r = newBanded.as("r")
+    val within = l.join(r, col("l.bandHash") === col("r.bandHash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val cross =
+      if (m.deltas.isEmpty) within.limit(0)
+      else {
+        val index = readIndex(spark, dir)
+        val joined =
+          if (batchSigRows <= maxBroadcastRows)
+            index.join(broadcast(nb), Seq("bandHash"))
+          else index.hint("merge").join(nb.hint("merge"), Seq("bandHash"))
+        joined
+          .filter($"id" =!= $"n_id")
+          .select(least($"id", $"n_id").as("id_a"),
+            greatest($"id", $"n_id").as("id_b"))
+      }
+    cross.union(within).distinct()
+  }
+}

@@ -213,7 +213,7 @@ object DedupOps {
     * shape — are unaffected; a long-lived session calling these
     * repeatedly should `spark.catalog.clearCache()` between corpora,
     * as Bench does between measured runs. */
-  private def materialize(df: DataFrame): DataFrame = {
+  private[ops] def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     def cachePersist(): DataFrame = {
       val p = df.persist(
@@ -277,21 +277,35 @@ object DedupOps {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
       .transform(materialize)
-    // Exact verify on candidates only. Two scale rules, both measured
-    // on multi-executor runs:
-    //  1. shrink FIRST: semi-join the corpus down to ids that appear
-    //     in some candidate pair before computing/shuffling shingle
-    //     arrays — candidates ≪ corpus, so the verify stage's shuffle
-    //     carries O(candidate) arrays, not every document's (the
-    //     all-rows join was shuffle-I/O-bound: 1 and 4 executors took
-    //     the SAME wall time moving ~GBs of arrays);
-    //  2. never broadcast the array side: its logical estimate is a
-    //     few bytes/row (the planner can't see the arrays a UDF
-    //     adds — ~8x the text), so the static planner would build a
-    //     multi-hundred-MB hash relation and ship it to EVERY
-    //     executor, which anti-scales with cluster size (measured:
-    //     4 executors 2x SLOWER than 1, and 1-GiB executors die
-    //     building it). The merge hint forces the shuffle join.
+    exactVerifyPairs(cand,
+      df.select(col(idCol).as("id"), col(textCol).as("text")),
+      shingler, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against document
+    * texts — the shared verify tail of every Jaccard family (the
+    * batch LSH dataflow above and [[DedupIndex.probePairs]]).
+    * `cand`: (id_a, id_b) candidate pairs; `texts`: (id, text) for
+    * every id the pairs may reference.
+    *
+    * Two scale rules, both measured on multi-executor runs:
+    *  1. shrink FIRST: semi-join the corpus down to ids that appear
+    *     in some candidate pair before computing/shuffling shingle
+    *     arrays — candidates ≪ corpus, so the verify stage's shuffle
+    *     carries O(candidate) arrays, not every document's (the
+    *     all-rows join was shuffle-I/O-bound: 1 and 4 executors took
+    *     the SAME wall time moving ~GBs of arrays);
+    *  2. never broadcast the array side: its logical estimate is a
+    *     few bytes/row (the planner can't see the arrays a UDF
+    *     adds — ~8x the text), so the static planner would build a
+    *     multi-hundred-MB hash relation and ship it to EVERY
+    *     executor, which anti-scales with cluster size (measured:
+    *     4 executors 2x SLOWER than 1, and 1-GiB executors die
+    *     building it). The merge hint forces the shuffle join. */
+  private[ops] def exactVerifyPairs(cand: DataFrame, texts: DataFrame,
+      shingler: String => Array[Long], threshold: Double): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
     val candIds = cand.select($"id_a".as("id"))
       .union(cand.select($"id_b".as("id"))).distinct()
     // candidate TEXTS materialized once (~the candidate fraction of
@@ -307,7 +321,7 @@ object DedupOps {
     // The exact Jaccard is then computed per ASSEMBLED PAIR — each
     // candidate doc is shingled ~once per pair it appears in, bounded
     // by the candidate count, never by the corpus.
-    val prepCand = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val prepCand = texts
       .join(candIds, Seq("id"), "left_semi")
       .transform(materialize)
     val jacTextUdf = udf((ta: String, tb: String) =>

@@ -177,6 +177,40 @@ object OpsQueries {
       DedupOps.ngramJaccardPairs(withPlantedDupes(s, dir), "doc_id",
         "text", n = 2, threshold = 0.5)),
 
+    // INCREMENTAL-vs-BATCH parity as a driver value gate: a batch
+    // probed against the persisted signature index must emit exactly
+    // the pairs the full recompute emits among pairs touching a batch
+    // id — the full recompute is staged to parquet and DuckDB
+    // re-derives the restriction independently, so a probe that
+    // misses a bucket (or self-pairs) hash-mismatches
+    "dedup_index_parity" -> ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      // batch: the remaining third PLUS perturbed copies of the 10
+      // lowest ids — guaranteed cross-batch near-dups
+      val copies = d.orderBy("doc_id").limit(10)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L))
+        .withColumn("text", concat(col("text"), lit(" versão revisada")))
+      val batch = d.filter(col("doc_id") % 3 === 0).unionByName(copies)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-idx-gate").toString
+      graft.ops.DedupIndex.write(corpus, "doc_id", "text", idxDir)
+      val inc = graft.ops.DedupIndex.probePairs(batch, corpus,
+        "doc_id", "text", idxDir, threshold = 0.5)
+      val full = DedupOps.minhashPairs(corpus.unionByName(batch),
+        "doc_id", "text", threshold = 0.5)
+      val nDocs = docs(s, dir).count()
+      val base = s"$gateFxBase/dedup_index/sf_$nDocs"
+      full.withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(s"$base/full")
+      batch.select(col("doc_id")).withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(s"$base/batch_ids")
+      inc.select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          round(col("jaccard") * 1000000).cast("long").as("jaccard_x1e6"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_embedding_pairs" -> ((s: SparkSession, dir: String) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       // plant near-identical copies: same vector, id offset
@@ -611,6 +645,22 @@ object OpsQueries {
         |  ON a.algo = al.algo AND a.qid = b.qid AND a.cid = b.cid
         |GROUP BY al.algo, b.qid
         |ORDER BY algo, qid""".stripMargin,
+    // the staged FULL recompute restricted to batch-touching pairs
+    // must equal the incremental probe's output row-for-row
+    "dedup_index_parity" ->
+      """WITH b AS (SELECT doc_id
+        |  FROM '/tmp/graft_gate_fx/dedup_index/*/batch_ids/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents)),
+        | f AS (SELECT id_a, id_b, jaccard
+        |  FROM '/tmp/graft_gate_fx/dedup_index/*/full/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents))
+        |SELECT CAST(id_a AS BIGINT) AS id_a,
+        | CAST(id_b AS BIGINT) AS id_b,
+        | CAST(round(jaccard * 1000000) AS BIGINT) AS jaccard_x1e6
+        |FROM f
+        |WHERE id_a IN (SELECT doc_id FROM b)
+        |   OR id_b IN (SELECT doc_id FROM b)
+        |ORDER BY id_a, id_b""".stripMargin,
     // recomputes each emitted pair's exact Jaccard from RAW 5-char
     // substring sets (list comprehension over the normalized text) —
     // no hashing involved — and asserts ge_threshold as a literal

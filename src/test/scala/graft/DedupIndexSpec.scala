@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupIndex, DedupOps}
+
+/** The persisted signature index must equal the batch recompute
+  * exactly: probe(batch) over an index of the corpus-so-far emits the
+  * same (id_a, id_b, jaccard) rows minhashPairs(corpus ∪ batch) emits
+  * among pairs touching ≥1 batch id — across multiple sequential
+  * appends, with the broadcast probe plan, and at the same threshold
+  * semantics. */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental probe == batch recompute over two sequential appends") {
+    val dir = Files.createTempDirectory("graft-dedup-idx").toString
+    // corpus = ids % 3 != 0; batch1 = % 3 == 0 originals; batch2 =
+    // perturbed copies of early docs (guaranteed cross-batch dups)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch1 = docs.filter(col("doc_id") % 3 === 0)
+    val batch2 = docs.orderBy("doc_id").limit(15)
+      .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      .withColumn("text", concat(col("text"), lit(" anexo atualizado")))
+
+    val m0 = DedupIndex.write(corpus, "doc_id", "text", dir,
+      kind = "char", k = 5, numHashes = 64, bands = 16)
+    assert(m0.deltas.size === 1 && m0.docs === corpus.count())
+
+    // batch 1: probe, then append
+    val inc1 = pairSet(DedupIndex.probePairs(batch1, corpus,
+      "doc_id", "text", dir, threshold = 0.5))
+    val full1 = DedupOps.minhashPairs(corpus.unionByName(batch1),
+      "doc_id", "text", threshold = 0.5)
+    val b1Ids = batch1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want1 = pairSet(full1).filter(p =>
+      b1Ids.contains(p._1) || b1Ids.contains(p._2))
+    assert(inc1 === want1,
+      s"batch1 probe != recompute: only_inc=${inc1 -- want1} " +
+        s"only_full=${want1 -- inc1}")
+    val m1 = DedupIndex.append(batch1, "doc_id", "text", dir)
+    assert(m1.deltas.size === 2)
+
+    // batch 2 (cross-batch dups): the probe must see corpus AND batch1
+    // through the appended deltas
+    val corpusSoFar = corpus.unionByName(batch1)
+    val inc2 = pairSet(DedupIndex.probePairs(batch2, corpusSoFar,
+      "doc_id", "text", dir, threshold = 0.5))
+    val full2 = DedupOps.minhashPairs(corpusSoFar.unionByName(batch2),
+      "doc_id", "text", threshold = 0.5)
+    val b2Ids = batch2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want2 = pairSet(full2).filter(p =>
+      b2Ids.contains(p._1) || b2Ids.contains(p._2))
+    assert(inc2 === want2,
+      s"batch2 probe != recompute: only_inc=${inc2 -- want2} " +
+        s"only_full=${want2 -- inc2}")
+    // the planted perturbed copies were actually found (non-vacuous)
+    assert(inc2.nonEmpty)
+    assert(inc2.exists(p => p._2 >= 2000000L))
+
+    // meta roundtrip
+    val m2 = DedupIndex.append(batch2, "doc_id", "text", dir)
+    assert(DedupIndex.readMeta(dir).get === m2)
+    assert(m2.docs === corpus.count() + batch1.count() + batch2.count())
+  }
+
+  test("small-batch probe broadcasts the batch side; index side has no exchange") {
+    val dir = Files.createTempDirectory("graft-dedup-idx-plan").toString
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0).limit(50)
+    DedupIndex.write(corpus, "doc_id", "text", dir)
+    val cand = DedupIndex.probeCandidates(batch, "doc_id", "text", dir)
+    val plan = cand.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe did not broadcast the batch side:\n$plan")
+    // the index parquet scan is in the plan (the index is read, not
+    // recomputed) and no Exchange hash-partitions it on bandHash —
+    // the only hash exchange allowed is the distinct() above the
+    // union, which keys on (id_a, id_b), never on the index rows
+    assert(plan.contains("Scan parquet"),
+      s"expected the index parquet scan in the probe plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(bandHash"),
+      s"index shuffled on bandHash before the probe join:\n$plan")
+    // probe results still correct on this split
+    assert(DedupIndex.probePairs(batch, corpus, "doc_id", "text", dir)
+      .columns.toSeq === Seq("id_a", "id_b", "jaccard"))
+  }
+
+  test("threshold filters; empty batch and fresh index behave") {
+    val dir = Files.createTempDirectory("graft-dedup-idx-edge").toString
+    val corpus = docs.limit(40)
+    DedupIndex.write(corpus, "doc_id", "text", dir)
+    // threshold 1.01 can never pass
+    val none = DedupIndex.probePairs(
+      docs.limit(5).withColumn("doc_id", col("doc_id") + lit(900000L)),
+      corpus, "doc_id", "text", dir, threshold = 1.01)
+    assert(none.count() === 0)
+    // word-kind index roundtrip
+    val dirW = Files.createTempDirectory("graft-dedup-idx-w").toString
+    DedupIndex.write(corpus, "doc_id", "text", dirW, kind = "word", k = 2)
+    val dup = corpus.limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(800000L))
+    val found = DedupIndex.probePairs(dup, corpus, "doc_id", "text",
+      dirW, threshold = 0.9)
+    assert(found.count() >= 5, "verbatim copies must pair at 0.9 word-jaccard")
+  }
+}
