@@ -50,9 +50,18 @@ object DedupIndex {
 
   /** Index geometry + lineage. `kind`: "char" (k-shingles) or "word"
     * (k-grams). `deltas`: append-only list of signature dirs, oldest
-    * first. `docs`: total indexed documents (advisory, for sizing). */
+    * first. `docs`: total indexed documents (advisory, for sizing).
+    * `runIds`: ids of appended batches — the replay-idempotence guard
+    * for streaming micro-batches (a replayed foreachBatch must not
+    * re-append its signatures, which would self-pair every future
+    * probe). Null-safe on read: metas written before the field existed
+    * deserialize with null. */
   final case class IndexMeta(kind: String, k: Int, numHashes: Int,
-      bands: Int, docs: Long, deltas: Seq[String])
+      bands: Int, docs: Long, deltas: Seq[String],
+      runIds: Seq[String] = Nil) {
+    def committedRunIds: Set[String] =
+      if (runIds == null) Set.empty else runIds.toSet
+  }
 
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -108,14 +117,25 @@ object DedupIndex {
       explode(bandsUdf(col(textCol))).as("bandHash"))
   }
 
+  /** Initialize an EMPTY index (geometry only, no deltas) — the
+    * streaming entry point: the first micro-batch probes an empty
+    * index (within-batch pairs only) and appends itself. Drops any
+    * existing index at `dir`. */
+  def init(dir: String, kind: String = "char", k: Int = 5,
+      numHashes: Int = 64, bands: Int = 16): IndexMeta = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    dropDir(dir)
+    val m = IndexMeta(kind, k, numHashes, bands, 0L, Nil)
+    writeMeta(dir, m)
+    m
+  }
+
   /** Initialize the index over a corpus (drops any existing index at
     * `dir` first — geometry must be uniform across deltas). */
   def write(docs: DataFrame, idCol: String, textCol: String, dir: String,
       kind: String = "char", k: Int = 5, numHashes: Int = 64,
       bands: Int = 16): IndexMeta = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    dropDir(dir)
-    writeMeta(dir, IndexMeta(kind, k, numHashes, bands, 0L, Nil))
+    init(dir, kind, k, numHashes, bands)
     append(docs, idCol, textCol, dir)
   }
 
@@ -123,11 +143,20 @@ object DedupIndex {
     * settled documents are never re-shingled. Files are written
     * repartitioned + SORTED by bandHash so parquet row-group min/max
     * stats stay tight (the shuffle-join fallback's runtime bloom
-    * filter prunes row groups against them). */
+    * filter prunes row groups against them).
+    *
+    * A non-empty `runId` makes the append IDEMPOTENT: a runId already
+    * recorded returns the current meta without writing (the streaming
+    * replay guard — foreachBatch is at-least-once, and a re-appended
+    * batch would self-pair on every future probe). The meta swap is
+    * atomic and happens AFTER the delta lands, so a crash between
+    * write and swap leaves an orphan delta dir that is simply
+    * rewritten on replay (Overwrite mode), never double-referenced. */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): IndexMeta = {
+      dir: String, runId: String = ""): IndexMeta = {
     val m = readMeta(dir).getOrElse(throw new IllegalStateException(
       s"no index at $dir — call write() first"))
+    if (runId.nonEmpty && m.committedRunIds.contains(runId)) return m
     val spark = docs.sparkSession
     val delta = f"sig/v${m.deltas.size + 1}%05d"
     val n = docs.count()
@@ -141,7 +170,10 @@ object DedupIndex {
       .repartition(parts, col("bandHash"))
       .sortWithinPartitions("bandHash")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$delta")
-    val next = m.copy(docs = m.docs + n, deltas = m.deltas :+ delta)
+    val next = m.copy(docs = m.docs + n, deltas = m.deltas :+ delta,
+      runIds =
+        if (runId.isEmpty) m.runIds
+        else (if (m.runIds == null) Nil else m.runIds) :+ runId)
     writeMeta(dir, next)
     next
   }

@@ -216,6 +216,74 @@ object StreamingCrawl {
         col("urls"), col("successes"), col("errors"), col("bytes_total"))
   }
 
+  /** Streaming NEAR-DUP curation over a document stream, backed by
+    * the persisted signature index ([[graft.ops.DedupIndex]] — call
+    * `DedupIndex.init(indexDir, ...)` once before starting): per
+    * micro-batch,
+    *
+    *   1. probe the index against everything already indexed —
+    *      cross-batch AND within-batch near-dup pairs, exact-verified;
+    *   2. write the pairs under the batch's own dir (Overwrite → a
+    *      replayed batch rewrites identical content, idempotent);
+    *   3. persist the batch texts under `docsDir/batch-N` (future
+    *      batches' verify stage reads candidate texts from here);
+    *   4. append the batch's signatures, runId-guarded (a replayed
+    *      foreachBatch must not re-append — self-pairing).
+    *
+    * The INDEX is the stream's dedup state: bounded by signature
+    * bytes (16 B × bands per doc, ~0.3% of the text), shared with
+    * batch jobs, and never re-derived from settled documents — the
+    * streaming complement of [[dedupWithinWatermark]] (which bounds
+    * state by TIME and catches only intra-horizon duplicates; this
+    * catches a duplicate of ANY earlier document, ever). Use as
+    * `.foreachBatch(dedupIndexBatch(idx, docs, pairs, "run") _)`. */
+  def dedupIndexBatch(indexDir: String, docsDir: String,
+      pairsDir: String, runTag: String, idCol: String = "id",
+      textCol: String = "text", threshold: Double = 0.6)(
+      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val runId = s"$runTag-batch-$batchId"
+    val m = graft.ops.DedupIndex.readMeta(indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no index at $indexDir — DedupIndex.init() it before starting"))
+    if (m.committedRunIds.contains(runId)) return // full replay
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        // corpus = every EARLIER batch's texts (a replayed batch must
+        // not verify against its own crashed write)
+        val self = s"batch-$batchId"
+        val root = java.nio.file.Paths.get(docsDir)
+        val prior =
+          if (!java.nio.file.Files.isDirectory(root)) Nil
+          else {
+            val ls = java.nio.file.Files.list(root)
+            try {
+              val b = Seq.newBuilder[String]
+              ls.forEach { p =>
+                val n = p.getFileName.toString
+                if (n.startsWith("batch-") && n != self) b += n
+              }
+              b.result()
+            } finally ls.close()
+          }
+        val corpus =
+          if (prior.isEmpty) cached.limit(0)
+          else spark.read.parquet(prior.map(d => s"$docsDir/$d"): _*)
+        graft.ops.DedupIndex.probePairs(cached, corpus, idCol, textCol,
+            indexDir, threshold)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$pairsDir/$self")
+        cached.select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(textCol))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$docsDir/$self")
+        graft.ops.DedupIndex.append(cached, idCol, textCol, indexDir,
+          runId)
+      }
+    } finally cached.unpersist()
+  }
+
   /** Streaming keep-first URL dedup with BOUNDED state:
     * `dropDuplicatesWithinWatermark` on the canonical urlHash keeps
     * the first outcome per hash among events within the watermark

@@ -97,6 +97,65 @@ class DedupIndexSpec extends AnyFunSuite {
       .columns.toSeq === Seq("id_a", "id_b", "jaccard"))
   }
 
+  test("streaming dedupIndexBatch: cross-batch pairs match recompute; replays never re-append") {
+    val root = Files.createTempDirectory("graft-idx-stream").toString
+    val (idx, dd, pp) = (s"$root/idx", s"$root/docs", s"$root/pairs")
+    DedupIndex.init(idx)
+    val fn = graft.streaming.StreamingCrawl.dedupIndexBatch(
+      idx, dd, pp, "cur", "doc_id", "text", threshold = 0.5) _
+    val b0 = docs.limit(30)
+    val b1 = docs.orderBy("doc_id").limit(10)
+      .withColumn("doc_id", col("doc_id") + lit(5000000L))
+      .withColumn("text", concat(col("text"), lit(" revisão")))
+    fn(b0.toDF(), 0L)
+    fn(b1.toDF(), 1L)
+    // batch 1's emitted pairs == full recompute restricted to b1 ids
+    val got = pairSet(spark.read.parquet(s"$pp/batch-1")
+      .select("id_a", "id_b", "jaccard"))
+    val full = DedupOps.minhashPairs(b0.unionByName(b1),
+      "doc_id", "text", threshold = 0.5)
+    val b1Ids = b1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = pairSet(full).filter(p =>
+      b1Ids.contains(p._1) || b1Ids.contains(p._2))
+    assert(got === want)
+    assert(got.nonEmpty, "planted cross-batch dups must be found")
+    // replay of batch 1 (foreachBatch at-least-once): the index must
+    // not gain a delta or a doubled runId, pairs stay identical
+    val before = DedupIndex.readMeta(idx).get
+    fn(b1.toDF(), 1L)
+    assert(DedupIndex.readMeta(idx).get === before)
+    assert(pairSet(spark.read.parquet(s"$pp/batch-1")
+      .select("id_a", "id_b", "jaccard")) === got)
+
+    // end-to-end through a real streaming query
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root2 = Files.createTempDirectory("graft-idx-stream2").toString
+    DedupIndex.init(s"$root2/idx")
+    val in = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String)], spark)
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.streaming.StreamingCrawl.dedupIndexBatch(
+        s"$root2/idx", s"$root2/docs", s"$root2/pairs", "s",
+        "doc_id", "text", threshold = 0.5) _)
+      .option("checkpointLocation", s"$root2/ckpt")
+      .start()
+    try {
+      val base = docs.limit(8).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      in.addData(base.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(base.take(3).map { case (i, t) =>
+        (i + 7000000L, t + " anexo") }.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = pairSet(spark.read.parquet(s"$root2/pairs/batch-1")
+      .select("id_a", "id_b", "jaccard"))
+    assert(streamed.size >= 3, s"expected the 3 planted pairs: $streamed")
+    assert(streamed.forall(p => p._2 >= 7000000L))
+    assert(DedupIndex.readMeta(s"$root2/idx").get.deltas.size === 2)
+  }
+
   test("threshold filters; empty batch and fresh index behave") {
     val dir = Files.createTempDirectory("graft-dedup-idx-edge").toString
     val corpus = docs.limit(40)
