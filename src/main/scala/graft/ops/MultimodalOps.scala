@@ -138,6 +138,33 @@ object MultimodalOps {
         .filter(col("dh").isNotNull),
       "id", "dh", maxDist)
 
+  /** Append a batch of images to a persisted perceptual-sketch index
+    * ([[SketchIndex]], `SketchIndex.init(dir, maxDist)` once first):
+    * each payload is decoded + dHashed exactly ONCE, ever — the index
+    * stores chunk rows, so settled images are never re-decoded (the
+    * dominant cost of the batch path at corpus scale). Undecodable
+    * payloads are dropped, as in [[imageNearDup]]. `runId` makes
+    * streaming replays idempotent. */
+  def imageIndexAppend(images: DataFrame, idCol: String,
+      bytesCol: String, dir: String, runId: String = "")
+      : SketchIndex.Meta =
+    SketchIndex.append(
+      images.select(col(idCol).as("id"), dhashUdf(col(bytesCol)).as("dh"))
+        .filter(col("dh").isNotNull),
+      "id", "dh", dir, runId)
+
+  /** Perceptual near-dup pairs a NEW image batch introduces against
+    * everything already indexed (plus within-batch pairs) — decodes
+    * ONLY the batch; the corpus side streams its persisted chunk rows
+    * map-side. Probe first, then [[imageIndexAppend]]. */
+  def imageIndexProbe(newImages: DataFrame, idCol: String,
+      bytesCol: String, dir: String): DataFrame =
+    SketchIndex.probePairs(
+      newImages.select(col(idCol).as("id"),
+          dhashUdf(col(bytesCol)).as("dh"))
+        .filter(col("dh").isNotNull),
+      "id", "dh", dir)
+
   /** One-call image curation: perceptual near-dup pairs resolved
     * transitively ([[DedupOps.connectedComponents]]), keeping the
     * minimum-id image of every duplicate cluster plus all unpaired

@@ -53,6 +53,25 @@ object OpsQueries {
     * correctness harness runs Verify, then the oracle, sequentially). */
   private val gateFxBase = "/tmp/graft_gate_fx"
 
+  /** ±2-gray-level deterministic pixel noise + jpeg re-encode — the
+    * planted "same image, different file" copy the perceptual gates
+    * (image_neardup_recovery, image_index_parity) must re-find. */
+  private val perturbJpeg = udf((bytes: Array[Byte], key: Long) => {
+    try {
+      val (iw, ih, px) = graft.fetch.ImageCodec.decode(bytes)
+      val out = new Array[Byte](px.length)
+      var i = 0
+      while (i < px.length) {
+        val n = java.lang.Math.floorMod(
+          graft.url.Hashing.mix(key + i * 0x9E3779B97F4A7C15L), 5L)
+          .toInt - 2
+        out(i) = math.max(0, math.min(255, (px(i) & 0xff) + n)).toByte
+        i += 1
+      }
+      graft.fetch.ImageCodec.encode(out, iw, ih, "jpeg")
+    } catch { case _: Exception => null }
+  })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -385,24 +404,9 @@ object OpsQueries {
         .withColumn("rid", row_number().over(w).cast("long"))
       val base = images.select(col("urlHash"), col("bytes"))
         .join(broadcast(ridMap), Seq("urlHash"))
-      val perturb = udf((bytes: Array[Byte], key: Long) => {
-        try {
-          val (iw, ih, px) = graft.fetch.ImageCodec.decode(bytes)
-          val out = new Array[Byte](px.length)
-          var i = 0
-          while (i < px.length) {
-            val n = java.lang.Math.floorMod(
-              graft.url.Hashing.mix(key + i * 0x9E3779B97F4A7C15L), 5L)
-              .toInt - 2
-            out(i) = math.max(0, math.min(255, (px(i) & 0xff) + n)).toByte
-            i += 1
-          }
-          graft.fetch.ImageCodec.encode(out, iw, ih, "jpeg")
-        } catch { case _: Exception => null }
-      })
       val planted = base.filter(col("rid") <= 20)
         .select((col("rid") + lit(1000000L)).as("rid"),
-          perturb(col("bytes"), col("urlHash")).as("bytes"))
+          perturbJpeg(col("bytes"), col("urlHash")).as("bytes"))
       val pairs = graft.ops.MultimodalOps.imageNearDup(
         base.select(col("rid"), col("bytes")).unionByName(planted),
         "rid", "bytes", maxDist = 4)
@@ -423,6 +427,41 @@ object OpsQueries {
           sum(col("recovered").cast("int")).cast("long").as("recovered"),
           floor(sum(col("recovered").cast("int")) * 1000.0 /
             count(lit(1))).cast("long").as("recall_x1000"))
+    }),
+
+    // INCREMENTAL image-index parity: a perturbed-copy batch probed
+    // against the persisted perceptual-sketch index must emit exactly
+    // the pairs the full recompute emits among batch-touching pairs —
+    // the staged recompute is restricted by DuckDB independently
+    // (batch rids sit above 1e6, corpus rids below, so the
+    // restriction is a literal predicate)
+    "image_index_parity" -> ((s: SparkSession, _: String) => {
+      val images = CrawlQueries.demoResult(s).images.toDF()
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("urlHash"))
+      val ridMap = images.select(col("urlHash"))
+        .withColumn("rid", row_number().over(w).cast("long"))
+      val base = images.select(col("urlHash"), col("bytes"))
+        .join(broadcast(ridMap), Seq("urlHash"))
+      val corpus = base.select(col("rid"), col("bytes"))
+      val batch = base.filter(col("rid") <= 20)
+        .select((col("rid") + lit(1000000L)).as("rid"),
+          perturbJpeg(col("bytes"), col("urlHash")).as("bytes"))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-skidx-gate").toString
+      graft.ops.SketchIndex.init(idxDir, maxDist = 4)
+      graft.ops.MultimodalOps.imageIndexAppend(corpus, "rid", "bytes",
+        idxDir)
+      val inc = graft.ops.MultimodalOps.imageIndexProbe(batch, "rid",
+        "bytes", idxDir)
+      val full = graft.ops.MultimodalOps.imageNearDup(
+        corpus.unionByName(batch), "rid", "bytes", maxDist = 4)
+      // unkeyed fixture path: the demo crawl is SF-independent (same
+      // contract as the imgdup fixture above)
+      full.write.mode("overwrite").parquet(s"$gateFxBase/imgidx")
+      inc.select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ANN recall as a CROSS-ENGINE oracle gate: the approximate pairs
@@ -696,6 +735,16 @@ object OpsQueries {
         | CAST(count(*) FILTER (WHERE recovered) AS BIGINT) AS recovered,
         | CAST(floor(count(*) FILTER (WHERE recovered) * 1000.0
         |   / count(*)) AS BIGINT) AS recall_x1000
-        |FROM '/tmp/graft_gate_fx/imgdup/*.parquet'""".stripMargin
+        |FROM '/tmp/graft_gate_fx/imgdup/*.parquet'""".stripMargin,
+    // the staged full recompute restricted to batch-touching pairs
+    // (batch rids >= 1e6 by construction) must equal the incremental
+    // probe's output row-for-row, Hamming distances included
+    "image_index_parity" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a,
+        | CAST(id_b AS BIGINT) AS id_b,
+        | CAST(hamming AS BIGINT) AS hamming
+        |FROM '/tmp/graft_gate_fx/imgidx/*.parquet'
+        |WHERE id_a >= 1000000 OR id_b >= 1000000
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
