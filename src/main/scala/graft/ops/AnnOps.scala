@@ -169,6 +169,25 @@ object AnnOps {
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    val centroids = trainCentroids(candidates, nlist, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Float]) =>
+      nearestCentroids(bc.value, v.toArray, 1)(0))
+    val cands = candidates.withColumn("cl", assign($"cv"))
+      .withColumn("cnorm", normCol($"cv"))
+    topKByCell(probedQueries(queries, centroids, nProbe), cands, k)
+  }
+
+  /** The deterministic spherical-k-means coarse quantizer shared by
+    * [[ivfTopK]] (per-call) and [[AnnIndex.build]] (persisted):
+    * `nlist` seed centroids (the candidates with the lowest
+    * xxh64(cid)) refined by `iters` iterations of Spark aggregations,
+    * quantized to 6 dp per iteration so assignments are bit-stable
+    * under any partitioning/cluster size. */
+  private[ops] def trainCentroids(candidates: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
     // the quantizer makes iters+2 passes over the candidates — cache
     // them once (vectors only; tiny next to the corpus they index)
     val cands0 = candidates
@@ -200,19 +219,40 @@ object AnnOps {
       }
       centroids = next.map(quantize)
     }
-    // quantizer built — the cache served its iters+1 passes; the final
-    // probe plan below reads the source once, so release it now rather
-    // than leaving it pinned for the caller's lifetime
+    // quantizer built — the cache served its iters+1 passes; the
+    // caller's probe plan reads the source once, so release it now
+    // rather than leaving it pinned for the caller's lifetime
     cands0.unpersist(blocking = false)
+    centroids
+  }
+
+  /** Assign a centroid index to each vector row (broadcast model). */
+  private[ops] def assignCell(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    udf((v: Seq[Float]) => nearestCentroids(bc.value, v.toArray, 1)(0))
+      .apply(col(vecCol))
+  }
+
+  /** Queries exploded to their nProbe nearest cells, with norms. */
+  private[ops] def probedQueries(queries: DataFrame,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
-    val assign = udf((v: Seq[Float]) =>
-      nearestCentroids(bc.value, v.toArray, 1)(0))
     val probes = udf((v: Seq[Float]) =>
       nearestCentroids(bc.value, v.toArray, nProbe))
-    val cands = candidates.withColumn("cl", assign($"cv"))
-      .withColumn("cnorm", normCol($"cv"))
-    val qs = queries.withColumn("cl", explode(probes($"qv")))
+    queries.withColumn("cl", explode(probes($"qv")))
       .withColumn("qnorm", normCol($"qv"))
+  }
+
+  /** Shared IVF scoring tail: exact cosine of every (query, candidate)
+    * pair sharing a probed cell, deterministic top-k per query. `qs`
+    * carries (qid, qv, cl, qnorm); `cands` (cid, cv, cl, cnorm). */
+  private[ops] def topKByCell(qs: DataFrame, cands: DataFrame,
+      k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
     cands.join(broadcast(qs), Seq("cl"))
       .withColumn("cosine",

@@ -464,6 +464,29 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // PERSISTED-IVF parity: top-k over the AnnIndex (frozen persisted
+    // quantizer + cell-partitioned vectors, static partition pruning)
+    // must equal the per-call ivfTopK verbatim — ranks and cosines.
+    // The per-call result is staged and DuckDB replays it as the
+    // oracle, so the hash compare pins the equality externally.
+    "ann_index_parity" -> ((s: SparkSession, dir: String) => {
+      val (q, c) = annSides(s, dir)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ann-gate").toString
+      graft.ops.AnnIndex.build(c, idxDir, nlist = 16, iters = 2)
+      val perCall = AnnOps.ivfTopK(q, c, 5, nlist = 16, nProbe = 4,
+        iters = 2)
+      val nVecs = emb(s, dir).count()
+      val path = s"$gateFxBase/annidx/sf_$nVecs"
+      perCall.withColumn("n_vecs", lit(nVecs))
+        .write.mode("overwrite").parquet(path)
+      graft.ops.AnnIndex.topK(q, idxDir, 5, nProbe = 4)
+        .select(col("qid"), col("cid"),
+          floor(col("cosine") * 1000000).cast("long").as("cos_x1e6"),
+          col("rk"))
+        .orderBy("qid", "rk")
+    }),
+
     // ANN recall as a CROSS-ENGINE oracle gate: the approximate pairs
     // (LSH and IVF, same operating points as the *_recall entries) are
     // staged as a parquet fixture; DuckDB independently recomputes the
@@ -736,6 +759,14 @@ object OpsQueries {
         | CAST(floor(count(*) FILTER (WHERE recovered) * 1000.0
         |   / count(*)) AS BIGINT) AS recall_x1000
         |FROM '/tmp/graft_gate_fx/imgdup/*.parquet'""".stripMargin,
+    // replays the staged per-call IVF ranking — the persisted index's
+    // output must hash-match it rank-for-rank, cosine included
+    "ann_index_parity" ->
+      """SELECT qid, cid,
+        | CAST(floor(cosine * 1000000) AS BIGINT) AS cos_x1e6, rk
+        |FROM '/tmp/graft_gate_fx/annidx/*/*.parquet'
+        |WHERE n_vecs = (SELECT count(*) FROM embeddings)
+        |ORDER BY qid, rk""".stripMargin,
     // the staged full recompute restricted to batch-touching pairs
     // (batch rids >= 1e6 by construction) must equal the incremental
     // probe's output row-for-row, Hamming distances included
