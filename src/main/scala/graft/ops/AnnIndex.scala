@@ -94,7 +94,7 @@ object AnnIndex {
     val spark = vectors.sparkSession
     import spark.implicits._
     val centroids = readCentroids(spark, dir)
-    val delta = f"cells/v${m.deltas.size + 1}%05d"
+    val delta = f"cells/v${DedupIndex.nextVersion(m.deltas)}%05d"
     val n = vectors.count()
     vectors
       .withColumn("cl", AnnOps.assignCell(vectors, "cv", centroids))
@@ -107,6 +107,54 @@ object AnnIndex {
         if (runId.isEmpty) m.runIds
         else (if (m.runIds == null) Nil else m.runIds) :+ runId)
     writeMeta(dir, next)
+    next
+  }
+
+  /** Compact the cell-partitioned delta chain into ONE dir; the
+    * frozen centroids (and thus every assignment) are untouched, so
+    * probe results are bit-identical. runIds survive. */
+  def compact(dir: String): Meta = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no ANN index at $dir"))
+    if (m.deltas.size <= 1) m else rewrite(dir, m, identity)
+  }
+
+  /** Remove vectors by cid (revised-corpus workflow — a deleted
+    * document's embedding must stop surfacing as a neighbor).
+    * O(index) rewrite preserving the cell partitioning. */
+  def deleteIds(ids: DataFrame, dir: String): Meta = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no ANN index at $dir"))
+    if (m.deltas.isEmpty) m
+    else {
+      val del = ids.toDF("del_id")
+      rewrite(dir, m,
+        _.join(del, col("cid") === col("del_id"), "left_anti"))
+    }
+  }
+
+  private def rewrite(dir: String, m: Meta,
+      f: DataFrame => DataFrame): Meta = {
+    val spark = SparkSession.active
+    val all = m.deltas
+      .map(d => spark.read.option("basePath", s"$dir/$d")
+        .parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+    val rows = f(all)
+    if (rows.isEmpty) {
+      val next = m.copy(docs = 0L, deltas = Nil)
+      writeMeta(dir, next)
+      m.deltas.foreach(d => DedupIndex.dropDir(s"$dir/$d"))
+      return next
+    }
+    val delta = f"cells/v${DedupIndex.nextVersion(m.deltas)}%05d"
+    rows.write.mode(SaveMode.Overwrite).partitionBy("cl")
+      .parquet(s"$dir/$delta")
+    val docs = spark.read.option("basePath", s"$dir/$delta")
+      .parquet(s"$dir/$delta").count()
+    val next = m.copy(docs = docs, deltas = Seq(delta))
+    writeMeta(dir, next)
+    m.deltas.foreach(d => DedupIndex.dropDir(s"$dir/$d"))
     next
   }
 

@@ -97,6 +97,13 @@ object DedupIndex {
     if (Files.exists(Paths.get(dir))) rec(Paths.get(dir))
   }
 
+  /** Next delta version: max over LIVE dirs + 1, never deltas.size+1 —
+    * after a compaction ([v00005] with size 1) size-based naming would
+    * eventually Overwrite the live dir. */
+  private[ops] def nextVersion(deltas: Seq[String]): Int =
+    deltas.map(d => d.substring(d.lastIndexOf('v') + 1).toInt)
+      .foldLeft(0)(math.max) + 1
+
   private def shinglerOf(m: IndexMeta): String => Array[Long] =
     m.kind match {
       case "char" => DedupOps.shingles(_, m.k)
@@ -158,7 +165,7 @@ object DedupIndex {
       s"no index at $dir — call write() first"))
     if (runId.nonEmpty && m.committedRunIds.contains(runId)) return m
     val spark = docs.sparkSession
-    val delta = f"sig/v${m.deltas.size + 1}%05d"
+    val delta = f"sig/v${nextVersion(m.deltas)}%05d"
     val n = docs.count()
     // partition count scales with batch size (~4M sig rows each, a
     // few tens of MB of parquet) and never below the session's
@@ -188,6 +195,64 @@ object DedupIndex {
           .emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Nil))
     else spark.read.parquet(m.deltas.map(d => s"$dir/$d"): _*)
+  }
+
+  /** Compact the delta chain into ONE signature dir (a long-lived
+    * stream appends one delta per micro-batch; without compaction
+    * [[readIndex]] plans O(batches) scans). runIds survive — replay
+    * idempotence is unaffected. Old delta dirs are deleted after the
+    * atomic meta swap (the index is derived data: no time travel). */
+  def compact(dir: String): IndexMeta = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no index at $dir"))
+    if (m.deltas.size <= 1) m else rewrite(dir, m, identity)
+  }
+
+  /** Remove documents from the index (the revised-corpus workflow:
+    * [[graft.table.TableIO.invalidatePeriods]] re-opens a period, and
+    * its documents must stop pairing — a stale signature row would
+    * emit phantom pairs against deleted docs on every future probe).
+    * Rewrites the signature rows anti-joined on id — O(index bytes),
+    * which is ~0.3% of the corpus (16 B × bands per doc), not a
+    * corpus rewrite. Compacts as a side effect. */
+  def deleteIds(ids: DataFrame, dir: String): IndexMeta = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no index at $dir"))
+    if (m.deltas.isEmpty) m
+    else {
+      val del = ids.toDF("del_id")
+      rewrite(dir, m,
+        _.join(del, col("id") === col("del_id"), "left_anti"))
+    }
+  }
+
+  /** Shared rewrite: read all deltas, transform, land ONE new delta,
+    * swap meta, reap superseded dirs. */
+  private def rewrite(dir: String, m: IndexMeta,
+      f: DataFrame => DataFrame): IndexMeta = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rows = f(readIndex(spark, dir))
+    // an emptied index must reference NO delta (a schema-less empty
+    // parquet dir would poison the next read)
+    if (rows.isEmpty) {
+      val next = m.copy(docs = 0L, deltas = Nil)
+      writeMeta(dir, next)
+      m.deltas.foreach(d => dropDir(s"$dir/$d"))
+      return next
+    }
+    val delta = f"sig/v${nextVersion(m.deltas)}%05d"
+    val parts = math.max(1,
+      spark.sessionState.conf.numShufflePartitions / 4)
+    rows.repartition(parts, col("bandHash"))
+      .sortWithinPartitions("bandHash")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$delta")
+    // docs count survives compaction; deletes recount from the rows
+    val docs = spark.read.parquet(s"$dir/$delta")
+      .select("id").distinct().count()
+    val next = m.copy(docs = docs, deltas = Seq(delta))
+    writeMeta(dir, next)
+    m.deltas.foreach(d => dropDir(s"$dir/$d"))
+    next
   }
 
   /** Near-dup pairs a NEW batch introduces: (batch ↔ indexed corpus)

@@ -107,7 +107,7 @@ object SketchIndex {
       s"no sketch index at $dir — call init() first"))
     if (runId.nonEmpty && m.committedRunIds.contains(runId)) return m
     val spark = sketches.sparkSession
-    val delta = f"chunk/v${m.deltas.size + 1}%05d"
+    val delta = f"chunk/v${DedupIndex.nextVersion(m.deltas)}%05d"
     val rows = sketches.select(col(idCol).as("id"),
       col(simCol).cast("long").as("sim"))
     val n = rows.count()
@@ -126,6 +126,52 @@ object SketchIndex {
         if (runId.isEmpty) m.runIds
         else (if (m.runIds == null) Nil else m.runIds) :+ runId)
     writeMeta(dir, next)
+    next
+  }
+
+  /** Compact the delta chain into ONE chunk dir; runIds survive.
+    * Same contract as [[DedupIndex.compact]]. */
+  def compact(dir: String): Meta = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no sketch index at $dir"))
+    if (m.deltas.size <= 1) m else rewrite(dir, m, identity)
+  }
+
+  /** Remove sketches by id (revised-corpus workflow — a stale chunk
+    * row would emit phantom pairs against deleted images on every
+    * probe). O(index bytes) rewrite; compacts as a side effect. */
+  def deleteIds(ids: DataFrame, dir: String): Meta = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no sketch index at $dir"))
+    if (m.deltas.isEmpty) m
+    else {
+      val del = ids.toDF("del_id")
+      rewrite(dir, m,
+        _.join(del, col("id") === col("del_id"), "left_anti"))
+    }
+  }
+
+  private def rewrite(dir: String, m: Meta,
+      f: DataFrame => DataFrame): Meta = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rows = f(spark.read.parquet(m.deltas.map(d => s"$dir/$d"): _*))
+    if (rows.isEmpty) {
+      val next = m.copy(docs = 0L, deltas = Nil)
+      writeMeta(dir, next)
+      m.deltas.foreach(d => DedupIndex.dropDir(s"$dir/$d"))
+      return next
+    }
+    val delta = f"chunk/v${DedupIndex.nextVersion(m.deltas)}%05d"
+    val parts = math.max(1,
+      spark.sessionState.conf.numShufflePartitions / 4)
+    rows.repartition(parts, col("chunkKey"))
+      .sortWithinPartitions("chunkKey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$delta")
+    val docs = spark.read.parquet(s"$dir/$delta")
+      .select("id").distinct().count()
+    val next = m.copy(docs = docs, deltas = Seq(delta))
+    writeMeta(dir, next)
+    m.deltas.foreach(d => DedupIndex.dropDir(s"$dir/$d"))
     next
   }
 

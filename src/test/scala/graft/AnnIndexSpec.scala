@@ -67,6 +67,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.readMeta(dirB).get.deltas.size === 3)
   }
 
+  test("maintenance: compact is score-identical; deleted vectors stop surfacing as neighbors") {
+    val dir = Files.createTempDirectory("graft-ann-maint").toString
+    val c1 = cands.filter(col("cid") % 2 === 0)
+    val c2 = cands.filter(col("cid") % 2 =!= 0)
+    AnnIndex.build(c1, dir, nlist = 16, iters = 2)
+    AnnIndex.append(c2, dir, runId = "w")
+    val before = rows(AnnIndex.topK(queries, dir, 5))
+    val mc = AnnIndex.compact(dir)
+    assert(mc.deltas.size === 1 && mc.committedRunIds === Set("w"))
+    assert(rows(AnnIndex.topK(queries, dir, 5)) === before)
+    // delete every current top-1: the new top-1 differs and none of
+    // the deleted cids appear anywhere in the new top-5
+    val top1 = before.filter(_._4 == 1L).map(_._2).toSet
+    import spark.implicits._
+    AnnIndex.deleteIds(top1.toSeq.toDF("cid"), dir)
+    val after = rows(AnnIndex.topK(queries, dir, 5))
+    assert(after.forall(r => !top1.contains(r._2)),
+      "deleted vectors still surfacing as neighbors")
+    assert(after.nonEmpty)
+  }
+
   test("probe reads only the probed cells (static partition pruning in the plan)") {
     val dir = Files.createTempDirectory("graft-ann-prune").toString
     AnnIndex.build(cands, dir, nlist = 16, iters = 2)

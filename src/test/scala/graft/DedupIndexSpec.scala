@@ -156,6 +156,47 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(DedupIndex.readMeta(s"$root2/idx").get.deltas.size === 2)
   }
 
+  test("maintenance: compact preserves probe results; deleteIds stops phantom pairs; no dir collision after compaction") {
+    val dir = Files.createTempDirectory("graft-idx-maint").toString
+    val corpus = docs.limit(60)
+    val b1 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+    val b2 = docs.filter(col("doc_id") >= 90 && col("doc_id") < 120)
+    DedupIndex.write(corpus, "doc_id", "text", dir)
+    DedupIndex.append(b1, "doc_id", "text", dir, runId = "m1")
+    DedupIndex.append(b2, "doc_id", "text", dir, runId = "m2")
+    val batch = docs.orderBy("doc_id").limit(8)
+      .withColumn("doc_id", col("doc_id") + lit(4000000L))
+      .withColumn("text", concat(col("text"), lit(" cópia")))
+    val all = corpus.unionByName(b1).unionByName(b2)
+    val before = pairSet(DedupIndex.probePairs(batch, all,
+      "doc_id", "text", dir, threshold = 0.5))
+    assert(before.nonEmpty)
+
+    val mc = DedupIndex.compact(dir)
+    assert(mc.deltas.size === 1)
+    assert(mc.committedRunIds === Set("m1", "m2"), "runIds must survive")
+    assert(pairSet(DedupIndex.probePairs(batch, all,
+      "doc_id", "text", dir, threshold = 0.5)) === before)
+    // post-compaction appends must not collide with the live dir
+    val ma = DedupIndex.append(batch, "doc_id", "text", dir)
+    assert(ma.deltas.toSet.size === ma.deltas.size)
+    assert(ma.deltas.forall(d =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, d))))
+
+    // delete the 8 lowest-id originals: a fresh perturbed batch no
+    // longer pairs with them (no phantom pairs against removed docs)
+    val dir2 = Files.createTempDirectory("graft-idx-del").toString
+    DedupIndex.write(corpus, "doc_id", "text", dir2)
+    val victims = docs.orderBy("doc_id").limit(8).select("doc_id")
+    DedupIndex.deleteIds(victims, dir2)
+    val vIds = victims.collect().map(_.getLong(0)).toSet
+    val after = pairSet(DedupIndex.probePairs(batch, corpus,
+      "doc_id", "text", dir2, threshold = 0.5))
+    assert(after.forall(p => !vIds.contains(p._1) && !vIds.contains(p._2)),
+      s"deleted ids still pairing: $after")
+    assert(DedupIndex.readMeta(dir2).get.docs === 52)
+  }
+
   test("threshold filters; empty batch and fresh index behave") {
     val dir = Files.createTempDirectory("graft-dedup-idx-edge").toString
     val corpus = docs.limit(40)

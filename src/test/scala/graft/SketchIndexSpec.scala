@@ -94,6 +94,28 @@ class SketchIndexSpec extends AnyFunSuite {
       s"index shuffled on chunkKey:\n$plan")
   }
 
+  test("maintenance: compact preserves probes, deleteIds stops phantom pairs") {
+    val dir = Files.createTempDirectory("graft-sk-maint").toString
+    val c1 = sketches(200)
+    val c2 = sketches(200, offset = 500000L)
+    SketchIndex.init(dir, maxDist = 4)
+    SketchIndex.append(c1, "id", "sim", dir, runId = "a")
+    SketchIndex.append(c2, "id", "sim", dir, runId = "b")
+    val batch = flipped(c1, 10, 1000000L, bits = 2)
+    val before = pairSet(SketchIndex.probePairs(batch, "id", "sim", dir))
+    assert(before.nonEmpty)
+    val mc = SketchIndex.compact(dir)
+    assert(mc.deltas.size === 1 && mc.committedRunIds === Set("a", "b"))
+    assert(pairSet(SketchIndex.probePairs(batch, "id", "sim", dir))
+      === before)
+    // delete the flip sources: their copies stop pairing with them
+    val victims = c1.orderBy("id").limit(10).select("id")
+    SketchIndex.deleteIds(victims, dir)
+    val vIds = victims.collect().map(_.getLong(0)).toSet
+    val after = pairSet(SketchIndex.probePairs(batch, "id", "sim", dir))
+    assert(after.forall(p => !vIds.contains(p._1) && !vIds.contains(p._2)))
+  }
+
   test("image wrapper: batch decoded once, pairs match imageNearDup restricted to the batch") {
     import spark.implicits._
     // tiny synthetic gray images: base gradient + per-image bias;
