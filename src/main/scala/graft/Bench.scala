@@ -724,6 +724,41 @@ object Bench {
         val appendSec = timed {
           graft.ops.DedupIndex.append(batch, "id", "text", idx)
         }
+        s.catalog.clearCache()
+        // multi-executor smokes of the OTHER two persisted indexes on
+        // the same 4x2 cluster (their specs run single-JVM; this
+        // records that the broadcast probe / cell pruning survive
+        // executor JVM boundaries): parity counts must be nonzero and
+        // equal between index probe and batch recompute
+        import org.apache.spark.sql.functions.{expr, lit}
+        val skN = 200000L
+        val sk = s.range(skN).select(col("id"),
+          expr("xxhash64(id, 7)").as("sim"))
+        val skBatch = s.range(skN, skN + 2000).select(col("id"),
+          expr(s"xxhash64(id - ${skN}L, 7)")
+            .bitwiseXOR(lit(1L)).as("sim")) // 1-bit flips of corpus
+        val skDir = java.nio.file.Files
+          .createTempDirectory("skidx-bench").toString
+        graft.ops.SketchIndex.init(skDir, maxDist = 4)
+        graft.ops.SketchIndex.append(sk, "id", "sim", skDir)
+        val skGot = graft.ops.SketchIndex
+          .probePairs(skBatch, "id", "sim", skDir).count()
+        val skWant = graft.ops.DedupOps.hammingPairs64(
+            sk.unionByName(skBatch), "id", "sim", 4)
+          .filter(col("id_b") >= skN).count()
+        s.catalog.clearCache()
+        val dim = 32
+        def vecs(a: Long, b: Long) = s.range(a, b).select(
+          col("id").as("cid"),
+          expr(("array(" + (0 until dim).map(i =>
+            s"cast(pmod(xxhash64(id, $i), 1000) / 1000.0 as float)")
+            .mkString(",") + ")")).as("cv"))
+        val annDir = java.nio.file.Files
+          .createTempDirectory("annidx-bench").toString
+        graft.ops.AnnIndex.build(vecs(0, 20000), annDir, nlist = 16)
+        graft.ops.AnnIndex.append(vecs(20000, 40000), annDir)
+        val annGot = graft.ops.AnnIndex.topK(
+          vecs(0, 3).toDF("qid", "qv"), annDir, 5).count()
         println(f"""{"metric":"dedup_index_maintenance",""" +
           f""""value":$fullRecompute%.2f,"unit":"sec",""" +
           f""""corpus_docs":$corpusN,"batch_docs":$batchN,""" +
@@ -731,7 +766,11 @@ object Bench {
           f""""index_build_once_sec":$buildOnce%.2f,""" +
           f""""probe_sec":$probeSec%.2f,"append_sec":$appendSec%.2f,""" +
           f""""per_batch_speedup":${
-            fullRecompute / (probeSec + appendSec)}%.1f}""")
+            fullRecompute / (probeSec + appendSec)}%.1f,""" +
+          f""""sketch_index_pairs":$skGot,""" +
+          f""""sketch_recompute_pairs":$skWant,""" +
+          f""""sketch_parity":${skGot == skWant && skGot > 0},""" +
+          f""""ann_index_rows":$annGot}""")
       } finally s.stop()
       return
     }
