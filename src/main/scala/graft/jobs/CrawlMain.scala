@@ -63,7 +63,8 @@ object CrawlMain {
           case None => println("[crawl] empty table, nothing to invalidate")
         }
         spark.stop(); return
-      case "--rollback" if args.length >= 3 =>
+      case "--rollback" if args.length >= 3 &&
+          args(2).toIntOption.isDefined =>
         graft.table.TableIO.rollback(spark, tableDir, args(2).toInt) match {
           case Some(s) =>
             println(s"[crawl] rolled back to v${args(2)} -> v${s.version} " +

@@ -170,6 +170,13 @@ object AnnIndex {
     val m = readMeta(dir).getOrElse(throw new IllegalStateException(
       s"no ANN index at $dir"))
     val spark = queries.sparkSession
+    // an emptied index (deleteIds removed every vector → deltas=Nil)
+    // has no neighbors to return: an empty frame in the result shape,
+    // like the other two indexes' empty-index guards — the unguarded
+    // deltas.reduce below would throw on the empty list
+    if (m.deltas.isEmpty)
+      return queries.select(col("qid"), col("qid").as("cid"),
+        lit(0.0).as("cosine"), lit(0L).as("rk")).limit(0)
     val centroids = readCentroids(spark, dir)
     val qs = DedupOps.materialize(
       AnnOps.probedQueries(queries, centroids, nProbe))

@@ -100,7 +100,7 @@ object DedupIndex {
   /** Next delta version: max over LIVE dirs + 1, never deltas.size+1 —
     * after a compaction ([v00005] with size 1) size-based naming would
     * eventually Overwrite the live dir. */
-  private[ops] def nextVersion(deltas: Seq[String]): Int =
+  private[graft] def nextVersion(deltas: Seq[String]): Int =
     deltas.map(d => d.substring(d.lastIndexOf('v') + 1).toInt)
       .foldLeft(0)(math.max) + 1
 

@@ -221,7 +221,7 @@ object DedupOps {
       p.count()
       p
     }
-    spark.conf.get("spark.graft.dedup.materialize", "auto") match {
+    val out = spark.conf.get("spark.graft.dedup.materialize", "auto") match {
       case "reliable" => df.checkpoint(eager = true)
       case "local" => df.localCheckpoint(eager = true)
       case "cache" => cachePersist()
@@ -229,6 +229,40 @@ object DedupOps {
       case _ => // auto
         if (spark.sparkContext.isLocal) df.localCheckpoint(eager = true)
         else cachePersist()
+    }
+    if (out ne df) Option(matScope.get()).foreach(_ += out)
+    out
+  }
+
+  // ---- materialization scopes ----------------------------------------
+  // `materialize` pins blocks: CacheManager entries on multi-executor
+  // masters (held until clearCache/session stop), localCheckpoint RDDs
+  // in one JVM (freed only when the frame goes unreachable). One-shot
+  // batch jobs are fine, but a LONG-LIVED caller — a streaming
+  // foreachBatch probing an index every micro-batch — would accumulate
+  // pinned blocks without bound and eventually exhaust executor
+  // storage/disk. A scope records every frame `materialize` produces
+  // on this thread and releases their blocks on exit.
+  //
+  // Contract: the scope must enclose EVERY action that reads the
+  // materialized frames (release severs localCheckpoint lineage — a
+  // later read would fail, and a cached frame would silently recompute
+  // its whole upstream). Scopes nest; each releases only its own.
+  private val matScope = new ThreadLocal[
+    scala.collection.mutable.ListBuffer[DataFrame]]()
+
+  /** Run `body` with a materialization scope: every intermediate the
+    * dedup/index dataflows pin inside it is released on exit — the
+    * long-lived-session complement of the one-shot contract documented
+    * on [[materialize]]. */
+  def withMaterializeScope[T](body: => T): T = {
+    val outer = matScope.get()
+    val mine = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    matScope.set(mine)
+    try body
+    finally {
+      matScope.set(outer)
+      mine.foreach(releaseBlocks)
     }
   }
 
@@ -346,11 +380,15 @@ object DedupOps {
             .hint("merge"), Seq("id_a"))
           .join(prepCand.select($"id".as("id_b"), $"text".as("text_b"))
             .hint("merge"), Seq("id_b"))
+    // no global orderBy: determinism of presentation belongs to
+    // callers/tests (the SketchIndex probe rule). In the curation
+    // pipeline the pairs feed connectedComponents' distinct, which
+    // re-shuffles anyway — a baked-in range-partition+sort stage on
+    // every pair emission is pure waste at corpus scale.
     out
       .withColumn("jaccard", round(jacTextUdf($"text_a", $"text_b"), 6))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
   }
 
   // ---- SimHash ------------------------------------------------------
@@ -414,11 +452,11 @@ object DedupOps {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
       .distinct()
+    // no global orderBy (see exactVerifyPairs)
     cand.withColumn("hamming",
         bit_count($"sim_a".bitwiseXOR($"sim_b")).cast("int"))
       .filter($"hamming" <= maxDist)
       .select($"id_a", $"id_b", $"hamming")
-      .orderBy($"id_a", $"id_b")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. */
@@ -471,12 +509,12 @@ object DedupOps {
         col("l.nrm").as("nrm_a"), col("r.nrm").as("nrm_b"))
       // a pair can collide in several tables — dedup on ids only
       .dropDuplicates("id_a", "id_b")
+    // no global orderBy (see exactVerifyPairs)
     cand.withColumn("cosine",
         round(graft.functions.VecExpressions.vec_cosine(
           $"vec_a", $"vec_b", $"nrm_a", $"nrm_b"), 6))
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
-      .orderBy($"id_a", $"id_b")
   }
 
   /** Exact dedup: keep the lowest id per identical content hash.
@@ -521,7 +559,6 @@ object DedupOps {
       .select(col(aCol).as("u"), col(bCol).cast(idType).as("v"))
       .filter($"u" =!= $"v")
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Adaptive execution: near-dup edge sets are usually TINY relative
     // to the corpus that produced them (pairs ≈ dup-rate · n, 16 bytes
     // each) — a bounded driver-side union-find resolves up to the
@@ -531,12 +568,21 @@ object DedupOps {
     // 4-executor cluster). Past the threshold — the 100 TB corpus
     // case — the log-round distributed loop takes over. Override via
     // spark.graft.dedup.cc.localThreshold (0 forces distributed).
-    val localMax = spark.conf
-      .get("spark.graft.dedup.cc.localThreshold", (1 << 20).toString).toLong
-    val nEdges = edges0.count()
-    if (nEdges <= localMax) {
-      val es = edges0.collect().map(r => (r.get(0), r.get(1)))
-      edges0.unpersist(blocking = false)
+    //
+    // The size test IS the collect: one bounded limit(max+1) probe
+    // fetches the whole edge set when it fits (upstream shuffle map
+    // stages are shared with any fallback read, so the probe wastes
+    // nothing) — the previous persist→count→collect protocol paid a
+    // full extra pass plus a cache round-trip just to learn the size,
+    // a fixed ~seconds tax on EVERY small graph (measured against the
+    // 4-executor dedup pipeline where it diluted N→4N scaling).
+    val localMax = math.min(spark.conf
+        .get("spark.graft.dedup.cc.localThreshold", (1 << 20).toString)
+        .toLong,
+      Int.MaxValue - 2L)
+    val probe = edges0.limit(localMax.toInt + 1).collect()
+    if (probe.length <= localMax) {
+      val es = probe.map(r => (r.get(0), r.get(1)))
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("component", idType)))
@@ -547,9 +593,14 @@ object DedupOps {
         localComponents(es).map { case (a, b) =>
           org.apache.spark.sql.Row(a, b) }.asJava, schema)
     }
-    var edges: DataFrame = edges0
+    // past the threshold: persist the edge set for the iterative loop
+    // (round 1 reads it up to 3 times; the probe's partial result-stage
+    // work is discarded but its shuffle map outputs are reused)
+    val edgesP = edges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var edges: DataFrame = edgesP
     var prevSig = (-1L, -1L)
-    var prevMat: DataFrame = edges0 // unpersisted after round 1 consumes it
+    var prevMat: DataFrame = edgesP // unpersisted after round 1 consumes it
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -609,7 +660,7 @@ object DedupOps {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds " +
-          s"($nEdges input edges); raise maxIter")
+          s"(> $localMax input edges); raise maxIter")
     // converged: every non-root points directly at its component root
     edges.select($"u".as("id"), $"v".as("component"))
       .union(edges.select($"v".as("id"), $"v".as("component")).distinct())

@@ -210,7 +210,9 @@ object SketchIndex {
           .filter($"hamming" <= m.maxDist)
           .distinct()
       }
+    // no global orderBy: determinism of presentation belongs to
+    // callers/tests — a library op must not bake a full sort of the
+    // pair set into every probe (DedupIndex.probePairs doesn't either)
     cross.unionByName(within).distinct()
-      .orderBy($"id_a", $"id_b")
   }
 }

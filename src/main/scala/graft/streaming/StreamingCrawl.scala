@@ -216,6 +216,35 @@ object StreamingCrawl {
         col("urls"), col("successes"), col("errors"), col("bytes_total"))
   }
 
+  // ---- docs-dir registry for dedupIndexBatch --------------------------
+  // The corpus-texts side of the streaming curation sink: one line per
+  // live dir under docsDir (`batch-N` per micro-batch, `merged-vK`
+  // after a fold), swapped atomically like the index meta — readers go
+  // through the log, so a fold that crashes mid-way leaves only
+  // unreferenced orphan dirs, never a double-read.
+  private def docsLogPath(docsDir: String) =
+    java.nio.file.Paths.get(docsDir, "docs-log.txt")
+
+  private def readDocsLog(docsDir: String): Seq[String] = {
+    val p = docsLogPath(docsDir)
+    if (!java.nio.file.Files.exists(p)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala.toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  private def writeDocsLog(docsDir: String, dirs: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(docsDir))
+    val tmp = docsLogPath(docsDir).resolveSibling("docs-log.txt.tmp")
+    java.nio.file.Files.writeString(tmp, dirs.mkString("\n"))
+    java.nio.file.Files.move(tmp, docsLogPath(docsDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Streaming NEAR-DUP curation over a document stream, backed by
     * the persisted signature index ([[graft.ops.DedupIndex]] — call
     * `DedupIndex.init(indexDir, ...)` once before starting): per
@@ -225,10 +254,17 @@ object StreamingCrawl {
     *      cross-batch AND within-batch near-dup pairs, exact-verified;
     *   2. write the pairs under the batch's own dir (Overwrite → a
     *      replayed batch rewrites identical content, idempotent);
-    *   3. persist the batch texts under `docsDir/batch-N` (future
-    *      batches' verify stage reads candidate texts from here);
+    *   3. persist the batch texts under `docsDir/batch-N` and register
+    *      the dir in the atomically-swapped docs log (future batches'
+    *      verify stage reads candidate texts from the log's dirs);
     *   4. append the batch's signatures, runId-guarded (a replayed
-    *      foreachBatch must not re-append — self-pairing).
+    *      foreachBatch must not re-append — self-pairing);
+    *   5. when `compactEvery > 0` and either chain reaches it, fold:
+    *      [[graft.ops.DedupIndex.compact]] squashes the signature
+    *      deltas, and the `batch-*` text dirs merge into ONE
+    *      `merged-vK` dir — without this a long-lived stream plans
+    *      O(batches) scans for both the index read and the corpus
+    *      read (the TableIO sink's compactEvery, mirrored).
     *
     * The INDEX is the stream's dedup state: bounded by signature
     * bytes (16 B × bands per doc, ~0.3% of the text), shared with
@@ -236,10 +272,16 @@ object StreamingCrawl {
     * streaming complement of [[dedupWithinWatermark]] (which bounds
     * state by TIME and catches only intra-horizon duplicates; this
     * catches a duplicate of ANY earlier document, ever). Use as
-    * `.foreachBatch(dedupIndexBatch(idx, docs, pairs, "run") _)`. */
+    * `.foreachBatch(dedupIndexBatch(idx, docs, pairs, "run") _)`.
+    *
+    * Every intermediate the probe pins (persist on multi-executor
+    * masters) is released per invocation via
+    * [[graft.ops.DedupOps.withMaterializeScope]] — a long-lived stream
+    * holds no cached blocks between micro-batches. */
   def dedupIndexBatch(indexDir: String, docsDir: String,
       pairsDir: String, runTag: String, idCol: String = "id",
-      textCol: String = "text", threshold: Double = 0.6)(
+      textCol: String = "text", threshold: Double = 0.6,
+      compactEvery: Int = 0)(
       batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val runId = s"$runTag-batch-$batchId"
@@ -248,25 +290,13 @@ object StreamingCrawl {
         s"no index at $indexDir — DedupIndex.init() it before starting"))
     if (m.committedRunIds.contains(runId)) return // full replay
     val cached = batch.persist()
-    try {
+    try graft.ops.DedupOps.withMaterializeScope {
       if (!cached.isEmpty) {
         // corpus = every EARLIER batch's texts (a replayed batch must
-        // not verify against its own crashed write)
+        // not verify against its own crashed write — self is excluded
+        // even though registration precedes the append commit)
         val self = s"batch-$batchId"
-        val root = java.nio.file.Paths.get(docsDir)
-        val prior =
-          if (!java.nio.file.Files.isDirectory(root)) Nil
-          else {
-            val ls = java.nio.file.Files.list(root)
-            try {
-              val b = Seq.newBuilder[String]
-              ls.forEach { p =>
-                val n = p.getFileName.toString
-                if (n.startsWith("batch-") && n != self) b += n
-              }
-              b.result()
-            } finally ls.close()
-          }
+        val prior = readDocsLog(docsDir).filter(_ != self)
         val corpus =
           if (prior.isEmpty) cached.limit(0)
           else spark.read.parquet(prior.map(d => s"$docsDir/$d"): _*)
@@ -278,8 +308,30 @@ object StreamingCrawl {
             org.apache.spark.sql.functions.col(textCol))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$docsDir/$self")
+        // register texts BEFORE the append commit: a crash between the
+        // two replays the whole batch (runId not yet committed), while
+        // the reverse order could commit signatures whose texts no
+        // future verify stage can read (silently dropped pairs). The
+        // re-read+filter makes a replayed registration idempotent.
+        writeDocsLog(docsDir,
+          readDocsLog(docsDir).filter(_ != self) :+ self)
         graft.ops.DedupIndex.append(cached, idCol, textCol, indexDir,
           runId)
+        if (compactEvery > 0) {
+          if (graft.ops.DedupIndex.readMeta(indexDir)
+              .exists(_.deltas.size >= compactEvery))
+            graft.ops.DedupIndex.compact(indexDir)
+          val live = readDocsLog(docsDir)
+          if (live.size >= compactEvery) {
+            val merged = f"merged-v${graft.ops.DedupIndex
+              .nextVersion(live.filter(_.startsWith("merged-")))}%05d"
+            spark.read.parquet(live.map(d => s"$docsDir/$d"): _*)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$docsDir/$merged")
+            writeDocsLog(docsDir, Seq(merged))
+            live.foreach(d => graft.ops.DedupIndex.dropDir(s"$docsDir/$d"))
+          }
+        }
       }
     } finally cached.unpersist()
   }

@@ -461,9 +461,16 @@ object TableIO {
   /** Roll the table back to snapshot `toVersion` (Iceberg's
     * `rollback_to_snapshot` analog): commit a NEW cumulative snapshot
     * whose data and seen references are exactly the target's.
-    * METADATA-ONLY — no data file is read, copied or rewritten; the
+    * REFERENCE-ONLY — no data file is copied or rewritten; the
     * rolled-back commits' dirs stay on disk (time travel to them keeps
-    * working) until [[expire]] reclaims them. The URL-seen set reverts
+    * working) until [[expire]] reclaims them. Two bounded READS can
+    * still occur: (a) maintaining the cuckoo seen sketch in place
+    * reads the ROLLED-BACK seen-delta parquet (hash columns only —
+    * O(dropped keys), the rows being evicted); (b) when the cumulative
+    * partition-meta chain hits an expired snapshot, the fallback
+    * rescans partition meta from the target's data dirs — O(target
+    * data) and only on an already-expired chain. Neither rewrites
+    * anything. The URL-seen set reverts
     * with the references, so the next resumable run REFETCHES
     * everything the rolled-back runs fetched — that is the operator
     * story for "a bad run landed, undo it": the refetch happens under

@@ -156,6 +156,85 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(DedupIndex.readMeta(s"$root2/idx").get.deltas.size === 2)
   }
 
+  test("streaming compactEvery: 100 micro-batches stay bounded; union of emitted pairs == batch recompute; no pinned blocks leak") {
+    val root = Files.createTempDirectory("graft-idx-compact").toString
+    val (idx, dd, pp) = (s"$root/idx", s"$root/docs", s"$root/pairs")
+    DedupIndex.init(idx)
+    val fed = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val base = docs.orderBy("doc_id").limit(200).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String)], spark)
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.streaming.StreamingCrawl.dedupIndexBatch(
+        idx, dd, pp, "c", "doc_id", "text", threshold = 0.5,
+        compactEvery = 8) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      (0 until 100).foreach { i =>
+        // 2 docs per batch; every 10th batch (from 49 on) plants a
+        // perturbed copy of a doc fed ~40 batches earlier — by then
+        // the original's text lives only in a merged-v* dir and its
+        // signatures only in a compacted delta
+        val a = base(2 * i)
+        val b =
+          if (i % 10 == 9 && i >= 40)
+            (base(2 * (i - 40))._1 + 9000000L,
+              base(2 * (i - 40))._2 + " anexo")
+          else base(2 * i + 1)
+        fed += a += b
+        in.addData(a, b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // BOUNDED: deltas and live text dirs never exceed compactEvery
+    val m = DedupIndex.readMeta(idx).get
+    assert(m.deltas.size <= 8,
+      s"signature deltas unbounded: ${m.deltas.size}")
+    val dirsOnDisk = {
+      val ls = Files.list(java.nio.file.Paths.get(dd))
+      try {
+        val b = Seq.newBuilder[String]
+        ls.forEach(p => if (Files.isDirectory(p))
+          b += p.getFileName.toString)
+        b.result()
+      } finally ls.close()
+    }
+    assert(dirsOnDisk.size <= 8,
+      s"text dirs unbounded: ${dirsOnDisk.sorted}")
+    assert(dirsOnDisk.exists(_.startsWith("merged-v")),
+      s"no fold ever ran: ${dirsOnDisk.sorted}")
+    assert(m.docs === 200, "every fed doc indexed exactly once")
+
+    // IDENTICAL PAIRS: each pair (a,b) with batch(a) <= batch(b) is
+    // emitted exactly when b's batch probes, so the union over all
+    // batch dirs must equal the one-shot batch recompute over every
+    // doc ever fed — folding/compaction must not lose or invent pairs
+    import spark.implicits._
+    val union = pairSet(spark.read.parquet(s"$pp/batch-*")
+      .select("id_a", "id_b", "jaccard"))
+    val want = pairSet(DedupOps.minhashPairs(
+      fed.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5))
+    assert(union === want,
+      s"only_streamed=${union -- want} only_batch=${want -- union}")
+    // the cross-fold-horizon planted dups were actually recovered
+    assert(union.count(p => p._2 >= 9000000L) >= 6,
+      s"planted 40-batch-old copies not re-found: $union")
+
+    // NO PINNED BLOCKS: withMaterializeScope released every
+    // intermediate the 100 probes materialized
+    val rddsAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(rddsAfter <= rddsBefore + 1,
+      s"pinned blocks leaked across micro-batches: " +
+        s"$rddsBefore -> $rddsAfter")
+  }
+
   test("maintenance: compact preserves probe results; deleteIds stops phantom pairs; no dir collision after compaction") {
     val dir = Files.createTempDirectory("graft-idx-maint").toString
     val corpus = docs.limit(60)

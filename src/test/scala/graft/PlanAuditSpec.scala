@@ -70,6 +70,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"payload bytes cross a shuffle boundary:\n$p")
   }
 
+  test("pair emission bakes no global sort (ordering belongs to callers)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(100).select($"id",
+      concat_ws(" ", (0 until 20).map(i =>
+        xxhash64($"id" + lit(i)).cast("string")): _*).as("text"))
+    val e = spark.range(40).select($"id".as("vec_id"),
+      expr("array(cast(id as float), cast(id+1 as float), 1.0f)")
+        .as("embedding"))
+    for (df <- Seq(
+        graft.ops.DedupOps.minhashPairs(docs, "id", "text",
+          threshold = 0.5),
+        graft.ops.DedupOps.simhashPairs(docs, "id", "text", maxDist = 3),
+        graft.ops.DedupOps.embeddingNearDup(e, "vec_id", "embedding"))) {
+      val p = formatted(df)
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"pair op bakes a global sort into its plan:\n$p")
+    }
+  }
+
   test("survivor anti-join broadcasts the driver-resolved loser set") {
     import spark.implicits._
     // the bounded-CC path returns a LocalRelation, so the corpus-side

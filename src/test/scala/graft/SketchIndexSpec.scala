@@ -92,6 +92,12 @@ class SketchIndexSpec extends AnyFunSuite {
       s"index not read from parquet:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning(chunkKey"),
       s"index shuffled on chunkKey:\n$plan")
+    // determinism belongs to callers: the library probe must not bake
+    // a global sort of the pair set into the plan
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"probe plan contains a global sort:\n$plan")
+    assert(!plan.contains("Sort ["),
+      s"probe plan contains a sort:\n$plan")
   }
 
   test("maintenance: compact preserves probes, deleteIds stops phantom pairs") {
