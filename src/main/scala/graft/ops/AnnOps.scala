@@ -178,6 +178,23 @@ object AnnOps {
     topKByCell(probedQueries(queries, centroids, nProbe), cands, k)
   }
 
+  /** The (qid, cid) candidate set [[ivfTopK]] scores — every pair
+    * sharing a probed cell. Deterministic (the quantizer is), so a
+    * separate call agrees with the topK run; exposed so an external
+    * oracle can re-rank the exact same candidate set and certify the
+    * op's scoring/ranking end to end (OpsQueries `ann_ivf_top5`). */
+  def ivfCandidates(queries: DataFrame, candidates: DataFrame,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(candidates, nlist, iters)
+    val cands = candidates.withColumn("cl",
+      assignCell(candidates, "cv", centroids))
+    cands.join(broadcast(probedQueries(queries, centroids, nProbe)
+        .select($"qid", $"cl")), Seq("cl"))
+      .select($"qid", $"cid").distinct()
+  }
+
   /** The deterministic spherical-k-means coarse quantizer shared by
     * [[ivfTopK]] (per-call) and [[AnnIndex.build]] (persisted):
     * `nlist` seed centroids (the candidates with the lowest
@@ -272,6 +289,30 @@ object AnnOps {
       planes: Int = 8, tables: Int = 6): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
+    lshCandidates(queries, candidates, planes, tables)
+      .join(broadcast(queries.withColumn("qnorm", normCol($"qv"))),
+        Seq("qid"))
+      .join(candidates.withColumn("cnorm", normCol($"cv")), Seq("cid"))
+      .withColumn("cosine",
+        round(cosineFromNorms($"qv", $"cv", $"qnorm", $"cnorm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"qid", $"cid", $"cosine", $"rk")
+      .orderBy($"qid", $"rk")
+  }
+
+  /** The (qid, cid) candidate set [[lshTopK]] scores — ids sharing any
+    * probed bucket (query bucket or 1-bit flip, any table). The
+    * query side is small by contract (tables·(planes+1) probe rows per
+    * query) — broadcast it so the big candidate table is never
+    * shuffled: the bucket join streams candidates map-side, and only
+    * the candidate-PAIR ids reach the distinct. Exposed for the same
+    * external-oracle reason as [[ivfCandidates]]. */
+  def lshCandidates(queries: DataFrame, candidates: DataFrame,
+      planes: Int = 8, tables: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val bucketsUdf = udf((v: Seq[Float]) => {
       val a = v.toArray
       (0 until tables).map(t => bucketKey(t, signSketch(a, planes, t))).toArray
@@ -287,21 +328,7 @@ object AnnOps {
     val cands = candidates
       .withColumn("bucket", explode(bucketsUdf($"cv")))
     val qs = queries.withColumn("bucket", explode(probesUdf($"qv")))
-    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid".asc)
-    // the query side is small by contract (tables·(planes+1) probe
-    // rows per query) — broadcast it twice so the big candidate table
-    // is never shuffled: the bucket join streams candidates map-side,
-    // and the final vector lookup shuffles only the candidate-PAIR ids
     cands.join(broadcast(qs.select($"qid", $"bucket")), Seq("bucket"))
       .select($"qid", $"cid").distinct()
-      .join(broadcast(queries.withColumn("qnorm", normCol($"qv"))),
-        Seq("qid"))
-      .join(candidates.withColumn("cnorm", normCol($"cv")), Seq("cid"))
-      .withColumn("cosine",
-        round(cosineFromNorms($"qv", $"cv", $"qnorm", $"cnorm"), 6))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= k)
-      .select($"qid", $"cid", $"cosine", $"rk")
-      .orderBy($"qid", $"rk")
   }
 }

@@ -196,6 +196,71 @@ object OpsQueries {
       DedupOps.ngramJaccardPairs(withPlantedDupes(s, dir), "doc_id",
         "text", n = 2, threshold = 0.5)),
 
+    // PRECISION gate for the word-bigram family (dedup_minhash_precision
+    // pattern): DuckDB re-derives every emitted pair's exact bigram
+    // Jaccard from RAW token lists of the staged corpus (list
+    // comprehension — no hashing) and asserts ge_threshold as a
+    // literal; the Spark side recomputes it from the hashed sets. A
+    // false-positive pair flips the oracle row and fails the hash
+    // compare (hashed-set vs raw-set Jaccard agree absent 64-bit
+    // collisions, as with the char-shingle gate).
+    "dedup_ngram_precision" -> ((s: SparkSession, dir: String) => {
+      val corpus = withPlantedDupes(s, dir)
+      val pairs = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      val nDocs = docs(s, dir).count()
+      val base = s"$gateFxBase/ngram_prec/sf_$nDocs"
+      corpus.withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(s"$base/corpus")
+      pairs.withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(s"$base/pairs")
+      val p = s.read.parquet(s"$base/pairs")
+      val c = s.read.parquet(s"$base/corpus")
+      val jacUdf = udf((a: String, b: String) =>
+        DedupOps.jaccard(DedupOps.wordNgrams(a, 2),
+          DedupOps.wordNgrams(b, 2)))
+      p.join(c.select(col("doc_id").as("id_a"), col("text").as("text_a")),
+          "id_a")
+        .join(c.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+          "id_b")
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          floor(jacUdf(col("text_a"), col("text_b")) * 1000)
+            .cast("long").as("jaccard_x1000"))
+        // same 5-permille slack as the minhash gate: the verify
+        // stage's 6-decimal rounding must not flake a legitimate
+        // threshold-exact admit
+        .withColumn("ge_threshold", col("jaccard_x1000") >= 495)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // PRECISION gate for the SimHash family: the per-doc 64-bit
+    // sketches are staged alongside the emitted pairs, and DuckDB
+    // re-derives every pair's Hamming distance INDEPENDENTLY as
+    // bit_count(xor(sketch_a, sketch_b)) with le_max stated as a
+    // literal — a pairing/banding/verify defect (wrong distance, or a
+    // pair beyond maxDist) fails the hash compare. Recall is pinned by
+    // dedup_simhash_recovery; this pins precision.
+    "dedup_simhash_precision" -> ((s: SparkSession, dir: String) => {
+      val corpus = withPlantedDupes(s, dir)
+      val pairs = DedupOps.simhashPairs(corpus, "doc_id", "text",
+        maxDist = 3)
+      val nDocs = docs(s, dir).count()
+      val base = s"$gateFxBase/simhash_prec/sf_$nDocs"
+      val shUdf = udf((t: String) => DedupOps.simhash64(t))
+      corpus.select(col("doc_id"), shUdf(col("text")).as("sh"))
+        .withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(s"$base/sketches")
+      pairs.withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(s"$base/pairs")
+      s.read.parquet(s"$base/pairs")
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .withColumn("le_max", col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // INCREMENTAL-vs-BATCH parity as a driver value gate: a batch
     // probed against the persisted signature index must emit exactly
     // the pairs the full recompute emits among pairs touching a batch
@@ -239,14 +304,70 @@ object OpsQueries {
         threshold = 0.999)
     }),
 
+    // PRECISION gate for the embedding family: every emitted pair's
+    // cosine is recomputed by DuckDB in double precision from the RAW
+    // embeddings table (a planted copy shares its original's vector,
+    // so ids ≥ 1e6 map back by subtraction) and compared at 6 dp —
+    // the engine's codegen dot kernel and the oracle's list arithmetic
+    // agree bit-for-bit (sequential double sums over float-exact
+    // values; verified across all SFs). ge_threshold is RECOMPUTED on
+    // the oracle side, so a below-threshold false positive flips the
+    // row false and fails the hash compare.
+    "dedup_embedding_precision" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val copies = e.orderBy("vec_id").limit(10)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val pairs = DedupOps.embeddingNearDup(e.unionByName(copies),
+        "vec_id", "embedding", threshold = 0.999)
+      val nVecs = emb(s, dir).count()
+      val path = s"$gateFxBase/emb_prec/sf_$nVecs"
+      pairs.withColumn("n_vecs", lit(nVecs))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          round(col("cosine") * 1e6).cast("long").as("cos_x1e6"))
+        .withColumn("ge_threshold", lit(true))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ORACLE-gated approximate top-k (both paths): the op's OWN output
+    // — ranks, tie-breaks, and 6-dp cosines — must match DuckDB's
+    // independent exact re-ranking of the STAGED candidate set (the
+    // ids the probe actually surfaced). Candidate QUALITY is pinned by
+    // ann_recall_vs_oracle; this pins the scoring/ranking end to end:
+    // a wrong dot kernel, a dropped candidate, or a tie-break
+    // regression all fail the hash compare. Cross-engine cosine
+    // equality at 6 dp holds bit-for-bit (sequential double sums over
+    // float-exact values, verified across all SFs).
     "ann_lsh_top5" -> ((s: SparkSession, dir: String) => {
       val (q, c) = annSides(s, dir)
-      AnnOps.lshTopK(q, c, k = 5)
+      val nVecs = emb(s, dir).count()
+      val path = s"$gateFxBase/lsh_top5/sf_$nVecs"
+      AnnOps.lshCandidates(q, c, planes = 6, tables = 8)
+        .withColumn("n_vecs", lit(nVecs))
+        .write.mode("overwrite").parquet(path)
+      AnnOps.lshTopK(q, c, k = 5, planes = 6, tables = 8)
+        .select(col("qid"), col("cid"),
+          round(col("cosine") * 1e6).cast("long").as("cos_x1e6"),
+          col("rk"))
+        .orderBy("qid", "rk")
     }),
 
     "ann_ivf_top5" -> ((s: SparkSession, dir: String) => {
       val (q, c) = annSides(s, dir)
+      val nVecs = emb(s, dir).count()
+      val path = s"$gateFxBase/ivf_top5/sf_$nVecs"
+      // the quantizer is deterministic (seeded, 6-dp-quantized), so
+      // this separate candidate derivation agrees with the topK call
+      AnnOps.ivfCandidates(q, c)
+        .withColumn("n_vecs", lit(nVecs))
+        .write.mode("overwrite").parquet(path)
       AnnOps.ivfTopK(q, c, k = 5)
+        .select(col("qid"), col("cid"),
+          round(col("cosine") * 1e6).cast("long").as("cos_x1e6"),
+          col("rk"))
+        .orderBy("qid", "rk")
     }),
 
     // ORACLE-checked planted-duplicate gates: the 20 lowest-id docs
@@ -751,6 +872,130 @@ object OpsQueries {
         |   AS jaccard_x1000,
         | true AS ge_threshold
         |FROM j ORDER BY id_a, id_b""".stripMargin,
+    // recomputes each emitted pair's exact word-bigram Jaccard from
+    // RAW token lists of the staged corpus (no hashing) and asserts
+    // ge_threshold as a literal — the bigram-family twin of
+    // dedup_minhash_precision
+    "dedup_ngram_precision" ->
+      """WITH pairs AS (SELECT id_a, id_b
+        |  FROM '/tmp/graft_gate_fx/ngram_prec/*/pairs/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents)),
+        | corpus AS (SELECT doc_id,
+        |   list_filter(string_split_regex(lower(text), '\s+'),
+        |     x -> x <> '') AS toks
+        |  FROM '/tmp/graft_gate_fx/ngram_prec/*/corpus/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents)),
+        | sh AS (SELECT doc_id,
+        |   CASE WHEN len(toks) < 2
+        |        THEN [coalesce(array_to_string(toks, ' '), '')]
+        |        ELSE list_distinct([toks[i] || ' ' || toks[i+1]
+        |          for i in range(1, len(toks))])
+        |   END AS s
+        |  FROM corpus),
+        | j AS (SELECT p.id_a, p.id_b,
+        |   len(list_intersect(a.s, b.s)) AS inter,
+        |   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+        |  FROM pairs p
+        |  JOIN sh a ON a.doc_id = p.id_a
+        |  JOIN sh b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b,
+        | CAST(floor((CAST(inter AS DOUBLE) / uni) * 1000) AS BIGINT)
+        |   AS jaccard_x1000,
+        | true AS ge_threshold
+        |FROM j ORDER BY id_a, id_b""".stripMargin,
+    // re-derives each emitted pair's Hamming distance independently
+    // from the staged per-doc sketches (bit_count over xor) and states
+    // le_max as a literal
+    "dedup_simhash_precision" ->
+      """WITH p AS (SELECT id_a, id_b
+        |  FROM '/tmp/graft_gate_fx/simhash_prec/*/pairs/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents)),
+        | sk AS (SELECT doc_id, sh
+        |  FROM '/tmp/graft_gate_fx/simhash_prec/*/sketches/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents))
+        |SELECT CAST(p.id_a AS BIGINT) AS id_a,
+        | CAST(p.id_b AS BIGINT) AS id_b,
+        | CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming,
+        | true AS le_max
+        |FROM p
+        |JOIN sk a ON a.doc_id = p.id_a
+        |JOIN sk b ON b.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+    // recomputes each emitted pair's cosine in double from the raw
+    // embeddings table (planted ids >= 1e6 share their original's
+    // vector) — ge_threshold is the ORACLE's judgment of the pair
+    "dedup_embedding_precision" ->
+      """WITH p AS (SELECT id_a, id_b
+        |  FROM '/tmp/graft_gate_fx/emb_prec/*/*.parquet'
+        |  WHERE n_vecs = (SELECT count(*) FROM embeddings)),
+        | e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | scored AS (SELECT p.id_a, p.id_b,
+        |   round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0
+        |     ELSE list_dot_product(a.v, b.v) /
+        |       (sqrt(list_dot_product(a.v, a.v)) *
+        |        sqrt(list_dot_product(b.v, b.v))) END, 6) AS cosine
+        |  FROM p
+        |  JOIN e a ON a.vec_id = CASE WHEN p.id_a >= 1000000
+        |    THEN p.id_a - 1000000 ELSE p.id_a END
+        |  JOIN e b ON b.vec_id = CASE WHEN p.id_b >= 1000000
+        |    THEN p.id_b - 1000000 ELSE p.id_b END)
+        |SELECT id_a, id_b,
+        | CAST(round(cosine * 1e6) AS BIGINT) AS cos_x1e6,
+        | CAST(round(cosine * 1e6) AS BIGINT) >= 999000 AS ge_threshold
+        |FROM scored ORDER BY id_a, id_b""".stripMargin,
+    // independently re-ranks the STAGED LSH candidate set by exact
+    // double cosine — the op's own top-5 (ranks, ties, 6-dp cosines)
+    // must match rank-for-rank
+    "ann_lsh_top5" ->
+      """WITH cand AS (SELECT DISTINCT qid, cid
+        |  FROM '/tmp/graft_gate_fx/lsh_top5/*/*.parquet'
+        |  WHERE n_vecs = (SELECT count(*) FROM embeddings)),
+        | e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | scored AS (SELECT c.qid, c.cid,
+        |   round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(d.v, d.v)) = 0 THEN 0
+        |     ELSE list_dot_product(q.v, d.v) /
+        |       (sqrt(list_dot_product(q.v, q.v)) *
+        |        sqrt(list_dot_product(d.v, d.v))) END, 6) AS cosine
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.qid
+        |  JOIN e d ON d.vec_id = c.cid),
+        | ranked AS (SELECT qid, cid,
+        |   CAST(round(cosine * 1e6) AS BIGINT) AS cos_x1e6,
+        |   CAST(row_number() OVER (PARTITION BY qid
+        |     ORDER BY cosine DESC, cid ASC) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT qid, cid, cos_x1e6, rk FROM ranked WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin,
+    // same re-ranking gate over the staged IVF candidate set
+    "ann_ivf_top5" ->
+      """WITH cand AS (SELECT DISTINCT qid, cid
+        |  FROM '/tmp/graft_gate_fx/ivf_top5/*/*.parquet'
+        |  WHERE n_vecs = (SELECT count(*) FROM embeddings)),
+        | e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | scored AS (SELECT c.qid, c.cid,
+        |   round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(d.v, d.v)) = 0 THEN 0
+        |     ELSE list_dot_product(q.v, d.v) /
+        |       (sqrt(list_dot_product(q.v, q.v)) *
+        |        sqrt(list_dot_product(d.v, d.v))) END, 6) AS cosine
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.qid
+        |  JOIN e d ON d.vec_id = c.cid),
+        | ranked AS (SELECT qid, cid,
+        |   CAST(round(cosine * 1e6) AS BIGINT) AS cos_x1e6,
+        |   CAST(row_number() OVER (PARTITION BY qid
+        |     ORDER BY cosine DESC, cid ASC) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT qid, cid, cos_x1e6, rk FROM ranked WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin,
     // re-aggregates the staged per-image recovery flags (same floor()
     // rule as dedup_simhash_recovery)
     "image_neardup_recovery" ->
