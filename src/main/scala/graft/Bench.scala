@@ -145,6 +145,15 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_CAL", "1.95").toDouble
   private var bestBw =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_BW_CAL", "0.14").toDouble
+  // optional ABSOLUTE ceiling for the between-draw bandwidth probe,
+  // calibrated on a silent night (e.g. 0.16 = quiet ceiling + margin).
+  // Closes the one mode the relative ratchet cannot see: sustained
+  // MILD pressure present from the very first draw — the ratchet then
+  // adopts the degraded reading as "best" and every later check passes
+  // trivially. Unset = relative gating only (cross-hardware default:
+  // an absolute number only means something once calibrated here).
+  private val bwFloor =
+    sys.env.get("SPARK_GRAFT_BENCH_MBW_FLOOR").map(_.toDouble)
 
   final case class HostCheck(quiet: Boolean, probeSec: Double,
       bwSec: Double, extCores: Double, load: Double)
@@ -249,7 +258,8 @@ object Bench {
     bestProbe = math.min(bestProbe, p)
     bestBw = math.min(bestBw, bw)
     val quiet = ext >= 0.0 && ext <= ExtBusyCoreLimit &&
-      p <= bestProbe * ProbeTolerance && bw <= bestBw * ProbeTolerance
+      p <= bestProbe * ProbeTolerance && bw <= bestBw * ProbeTolerance &&
+      bwFloor.forall(bw <= _)
     HostCheck(quiet, p, bw, ext, loadAvg())
   }
 
@@ -725,6 +735,34 @@ object Bench {
           graft.ops.DedupIndex.append(batch, "id", "text", idx)
         }
         s.catalog.clearCache()
+        // ---- adversarial-batch probe: the merge-join fallback --------
+        // a 9× batch (8.6M sig rows > the 4M broadcast cap) exercises
+        // the path a pathological arrival takes: shuffle merge join
+        // instead of the broadcast probe. Recorded: wall seconds, that
+        // the fallback actually planned a SortMergeJoin (no broadcast),
+        // and whether Spark's runtime bloom-filter injection fired
+        // (might_contain in the executed plan) — the mechanism the
+        // probe relies on at real scale to avoid streaming the whole
+        // index through the exchange. Thresholds are opened to the
+        // bench's data sizes (the 10 MB/10 GB defaults target real
+        // clusters; at bench scale they suppress injection entirely).
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+          ".applicationSideScanSizeThreshold", "10MB")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+          ".creationSideThreshold", "1GB")
+        // ids start PAST the appended batch (overlapping ids would put
+        // two texts under one id in the verify join); texts are
+        // id-deterministic, so cross pairs vs the indexed corpus are
+        // real (the big generator's top tenth duplicates low corpus ids)
+        val bigBatch = dedupDocs(s, corpusN + 10 * batchN)
+          .filter(col("id") >= corpusN + batchN)
+        val mergeCand = graft.ops.DedupIndex.probeCandidates(
+          bigBatch, "id", "text", idx)
+        val mergePlan = mergeCand.queryExecution.executedPlan.toString
+        val mergeIsSmj = mergePlan.contains("SortMergeJoin")
+        val mergeBloom = mergePlan.contains("might_contain")
+        val mergeCandSec = timed { mergeCand.count() }
+        s.catalog.clearCache()
         // multi-executor smokes of the OTHER two persisted indexes on
         // the same 4x2 cluster (their specs run single-JVM; this
         // records that the broadcast probe / cell pruning survive
@@ -767,6 +805,10 @@ object Bench {
           f""""probe_sec":$probeSec%.2f,"append_sec":$appendSec%.2f,""" +
           f""""per_batch_speedup":${
             fullRecompute / (probeSec + appendSec)}%.1f,""" +
+          f""""merge_fallback_batch_docs":${9 * batchN},""" +
+          f""""merge_fallback_candidates_sec":$mergeCandSec%.2f,""" +
+          f""""merge_fallback_smj_planned":$mergeIsSmj,""" +
+          f""""merge_fallback_bloom_injected":$mergeBloom,""" +
           f""""sketch_index_pairs":$skGot,""" +
           f""""sketch_recompute_pairs":$skWant,""" +
           f""""sketch_parity":${skGot == skWant && skGot > 0},""" +
@@ -804,6 +846,73 @@ object Bench {
         f""""quiet_draws":$nQuiet,""" +
         f""""draw_cols":"t1,t4,ext1,ext4,quiet1,quiet4,mbw1,mbw4",""" +
         f""""draws":${drawsJson(rounds)}}""")
+      return
+    }
+    // ---- optional mode: SAME-CORES JVM-layout decomposition ---------
+    // (SPARK_GRAFT_BENCH_ONLY=dedupshape) — separates "more JVMs"
+    // from "more cores" for the dedup pipeline. The 4N side of the
+    // N→4N gate can be laid out as 1×8 (one executor JVM, in-process
+    // shuffle), 2×4, or 4×2 (the gate's shape: cross-JVM shuffle,
+    // four block managers). If the three 8-core layouts agree, the
+    // multi-executor machinery costs nothing and any efficiency loss
+    // vs 4·t(1×2) is the SHARED HOST resource — one memory bus under
+    // every "executor", which a real 4-node cluster does not share.
+    // Each layout also records listener-summed executor CPU: constant
+    // CPU at rising wall = scheduling/skew; INFLATED CPU for the same
+    // logical work = memory-stall cycles, the bandwidth signature
+    // (stalls burn cycles on-core, so contention shows up as the SAME
+    // job costing more CPU when more cores hammer the bus).
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("dedupshape")) {
+      val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
+        "1920000").toLong
+      var lastCpu = 0.0
+      var lastRun = 0.0
+      def metered(ex: Int, co: Int): (Long, Double) = {
+        val s = clusterSession(ex, co)
+        try {
+          val cpuMs = new java.util.concurrent.atomic.AtomicLong(0L)
+          val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+          val lis = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = e.taskMetrics
+              if (m != null) {
+                cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+                runMs.addAndGet(m.executorRunTime)
+              }
+            }
+          }
+          dedupOnce(s, nDocs / 8) // warmup: JIT + codegen (unmetered)
+          s.sparkContext.addSparkListener(lis)
+          val out = dedupOnce(s, nDocs)
+          Thread.sleep(1500) // listener bus is async; let it drain
+          lastCpu = cpuMs.get() / 1e3
+          lastRun = runMs.get() / 1e3
+          out
+        } finally s.stop()
+      }
+      val layouts = Seq((1, 2), (1, 8), (2, 4), (4, 2))
+      val rows = layouts.map { case (ex, co) =>
+        val pre = waitForQuiet(120)
+        val (side, post) = runSide(() => metered(ex, co), pre)
+        System.err.println(f"[bench] dedupshape ${ex}x$co: " +
+          f"sec=${side.sec}%.1f cpu=$lastCpu%.1f run=$lastRun%.1f " +
+          f"ext=${side.ext}%.1f mbw=${side.midBw}%.2f " +
+          f"quiet=${side.quiet} post(bw=${post.bwSec}%.2f)")
+        (s"${ex}x$co", side, lastCpu, lastRun)
+      }
+      val base = rows.head
+      val rowJson = rows.map { case (name, side, cpu, run) =>
+        f"""{"layout":"$name","sec":${side.sec}%.1f,""" +
+          f""""cpu_sec":$cpu%.1f,"run_sec":$run%.1f,""" +
+          f""""cpu_inflation_vs_1x2":${cpu / base._3}%.2f,""" +
+          f""""eff_vs_4x_1x2":${base._2.sec / (4.0 * side.sec)}%.3f,""" +
+          f""""ext":${side.ext}%.1f,"midbw":${side.midBw}%.2f,""" +
+          f""""quiet":${side.quiet}}"""
+      }.mkString("[", ",", "]")
+      println(f"""{"metric":"dedup_shape","value":${
+        rows.map(_._2.sec).sum}%.2f,"unit":"sec","docs":$nDocs,""" +
+        f""""layouts":$rowJson}""")
       return
     }
     // profiling aid: run ONLY battery queries matching this regex and
@@ -949,7 +1058,22 @@ object Bench {
 
     val total = results.map(_._2).sum + demoSec +
       rounds.map(r => r.s1.sec + r.s4.sec).sum
+    // battery-map order: the driver keeps only the final ~2000 stdout
+    // bytes and the map has outgrown them, so front-truncation is
+    // inevitable — order entries so it eats the LEAST load-bearing
+    // timings first: staged-fixture value gates (their wall time is
+    // fixture IO, not operator speed), then crawl views, then the
+    // operator/q* timings the baseline comparison actually reads.
+    // BENCH_LOCAL.json always carries the complete map regardless.
+    def tailRank(name: String): Int =
+      if (name.contains("parity") || name.contains("recovery") ||
+        name.contains("invariants") || name.contains("stability") ||
+        name.contains("precision") || name.contains("planted") ||
+        name.contains("vs_oracle") || name.contains("_recall")) 0
+      else if (name.startsWith("crawl")) 1
+      else 2
     val qs = (results :+ ("crawl_demo" -> demoSec))
+      .sortBy { case (k, _) => (tailRank(k), k) }
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     // key order inside `crawl` is deliberate: context first, the
     // gate-critical numbers LAST. The driver keeps only the final
@@ -988,12 +1112,18 @@ object Bench {
     catch { case _: Throwable => () }
     System.err.println(s"[bench] full: $fullJson")
     // the ONE-LINE driver contract. The driver's artifact keeps only
-    // the final ~2000 chars of stdout, so order the keys so the tail
-    // always retains the crawl efficiency block (end of `crawl`) and
-    // the COMPLETE battery map + sf after it; the front-truncated
-    // keys (wrapper, dedup, crawl context) live in BENCH_LOCAL.json.
+    // the final ~2000 chars of stdout, so the line ENDS with the
+    // headline scalars (crawl efficiency/quiet/throughputs, dedup
+    // efficiency/quiet) — self-sufficient even under truncation — with
+    // the battery map immediately before them (gate-first ordering:
+    // see tailRank). Front-truncated keys (wrapper, full dedup/crawl
+    // draw blocks) live in BENCH_LOCAL.json.
+    val headlineTail =
+      f""","crawl_sec_1_executor":$t1%.1f,"crawl_sec_4_executors":$t4%.1f,""" +
+        f""""crawl_urls_per_sec_1":$thr1%.1f,"crawl_urls_per_sec_4":$thr4%.1f,""" +
+        f""""crawl_scaling_efficiency":$eff%.3f,"crawl_quiet_draws":$nQuietBoth"""
     println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s"""$dedupJson,"crawl":$crawlJson,"queries":$qs,"sf":"$sfDir"""" +
-      s"""$dedupTail}""")
+      s"""$headlineTail$dedupTail}""")
   }
 }
