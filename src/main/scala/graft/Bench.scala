@@ -40,6 +40,25 @@ object Bench {
     * stand-in for N vs 4N executors under spark-submit. Requires
     * SPARK_HOME (+SPARK_SCALA_VERSION) in the environment; build.sbt
     * provides both to forked runs. */
+  /** Single-JVM thread-parallelism session (`local[cores]`) — the
+    * north rule's own example form of the two-parallelism-level
+    * evidence ("e.g. local[8] and local[32], or N and 4N cores").
+    * Shares every conf with [[clusterSession]] that applies in one
+    * JVM; materialization takes the in-process localCheckpoint path
+    * (DedupOps.materialize auto-selects on `isLocal`). */
+  private def threadSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-local$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
   private def clusterSession(execs: Int, coresEach: Int): SparkSession = {
     // profiling aid: SPARK_GRAFT_EVENTLOG=/dir enables the Spark event
     // log for offline stage-time analysis of a scaling side
@@ -602,8 +621,15 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("dedup")) {
       val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "960000").toLong
       val coresEa = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_CORES", "2").toInt
+      // SPARK_GRAFT_BENCH_MASTER=threads: the same job at local[N]
+      // vs local[4N] — the rule's example form (thread parallelism,
+      // one JVM) instead of the stricter multi-executor layout; the
+      // dedupshape mode decomposes the difference between the two
+      val threads = sys.env.get("SPARK_GRAFT_BENCH_MASTER")
+        .contains("threads")
       def scaledD(execs: Int): (Long, Double) = {
-        val s = clusterSession(execs, coresEa)
+        val s = if (threads) threadSession(execs * coresEa)
+          else clusterSession(execs, coresEa)
         try {
           dedupOnce(s, nDocs / 8) // warmup: JIT + codegen
           dedupOnce(s, nDocs)
@@ -867,8 +893,8 @@ object Bench {
         "1920000").toLong
       var lastCpu = 0.0
       var lastRun = 0.0
-      def metered(ex: Int, co: Int): (Long, Double) = {
-        val s = clusterSession(ex, co)
+      def meteredS(mk: () => SparkSession): (Long, Double) = {
+        val s = mk()
         try {
           val cpuMs = new java.util.concurrent.atomic.AtomicLong(0L)
           val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -891,15 +917,26 @@ object Bench {
           out
         } finally s.stop()
       }
-      val layouts = Seq((1, 2), (1, 8), (2, 4), (4, 2))
-      val rows = layouts.map { case (ex, co) =>
+      // cluster layouts decompose the 8-core side; the local[N] rows
+      // bound the same workload with NO executor JVMs at all (thread
+      // parallelism, in-process materialization) — the gap local8 vs
+      // 1x8 is the executor-JVM tax alone, 1x8 vs 4·(1x2) the shared
+      // memory bus alone, 4x2 vs 1x8 the cross-JVM shuffle on top
+      val layouts: Seq[(String, () => SparkSession)] = Seq(
+        ("1x2", () => clusterSession(1, 2)),
+        ("1x8", () => clusterSession(1, 8)),
+        ("2x4", () => clusterSession(2, 4)),
+        ("4x2", () => clusterSession(4, 2)),
+        ("local2", () => threadSession(2)),
+        ("local8", () => threadSession(8)))
+      val rows = layouts.map { case (name, mk) =>
         val pre = waitForQuiet(120)
-        val (side, post) = runSide(() => metered(ex, co), pre)
-        System.err.println(f"[bench] dedupshape ${ex}x$co: " +
+        val (side, post) = runSide(() => meteredS(mk), pre)
+        System.err.println(f"[bench] dedupshape $name: " +
           f"sec=${side.sec}%.1f cpu=$lastCpu%.1f run=$lastRun%.1f " +
           f"ext=${side.ext}%.1f mbw=${side.midBw}%.2f " +
           f"quiet=${side.quiet} post(bw=${post.bwSec}%.2f)")
-        (s"${ex}x$co", side, lastCpu, lastRun)
+        (name, side, lastCpu, lastRun)
       }
       val base = rows.head
       val rowJson = rows.map { case (name, side, cpu, run) =>
