@@ -764,30 +764,31 @@ object Bench {
         // ---- adversarial-batch probe: the merge-join fallback --------
         // a 9× batch (8.6M sig rows > the 4M broadcast cap) exercises
         // the path a pathological arrival takes: shuffle merge join
-        // instead of the broadcast probe. Recorded: wall seconds, that
-        // the fallback actually planned a SortMergeJoin (no broadcast),
-        // and whether Spark's runtime bloom-filter injection fired
-        // (might_contain in the executed plan) — the mechanism the
-        // probe relies on at real scale to avoid streaming the whole
-        // index through the exchange. Thresholds are opened to the
-        // bench's data sizes (the 10 MB/10 GB defaults target real
-        // clusters; at bench scale they suppress injection entirely).
-        s.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
-          ".applicationSideScanSizeThreshold", "10MB")
-        s.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
-          ".creationSideThreshold", "1GB")
+        // instead of the broadcast probe. Recorded: wall seconds
+        // (INCLUDING the bloom build — it is part of the fallback's
+        // cost), that the fallback actually planned a SortMergeJoin
+        // (no broadcast), and that the EXPLICIT bloom prune guards the
+        // index scan (graft_bloom_prune in the executed plan) — the
+        // mechanism that keeps the index from streaming whole through
+        // the exchange. (Spark's own InjectRuntimeFilter can never
+        // fire here: the creation side is materialized, so the
+        // selective filter it requires is invisible — measured in r5,
+        // hence the explicit prune in DedupIndex.probeCandidates.)
         // ids start PAST the appended batch (overlapping ids would put
         // two texts under one id in the verify join); texts are
         // id-deterministic, so cross pairs vs the indexed corpus are
         // real (the big generator's top tenth duplicates low corpus ids)
         val bigBatch = dedupDocs(s, corpusN + 10 * batchN)
           .filter(col("id") >= corpusN + batchN)
-        val mergeCand = graft.ops.DedupIndex.probeCandidates(
-          bigBatch, "id", "text", idx)
+        var mergeCand: org.apache.spark.sql.DataFrame = null
+        val mergeCandSec = timed {
+          mergeCand = graft.ops.DedupIndex.probeCandidates(
+            bigBatch, "id", "text", idx)
+          mergeCand.count()
+        }
         val mergePlan = mergeCand.queryExecution.executedPlan.toString
         val mergeIsSmj = mergePlan.contains("SortMergeJoin")
-        val mergeBloom = mergePlan.contains("might_contain")
-        val mergeCandSec = timed { mergeCand.count() }
+        val mergeBloom = mergePlan.contains("graft_bloom_prune")
         s.catalog.clearCache()
         // multi-executor smokes of the OTHER two persisted indexes on
         // the same 4x2 cluster (their specs run single-JVM; this
@@ -834,7 +835,7 @@ object Bench {
           f""""merge_fallback_batch_docs":${9 * batchN},""" +
           f""""merge_fallback_candidates_sec":$mergeCandSec%.2f,""" +
           f""""merge_fallback_smj_planned":$mergeIsSmj,""" +
-          f""""merge_fallback_bloom_injected":$mergeBloom,""" +
+          f""""merge_fallback_bloom_pruned":$mergeBloom,""" +
           f""""sketch_index_pairs":$skGot,""" +
           f""""sketch_recompute_pairs":$skWant,""" +
           f""""sketch_parity":${skGot == skWant && skGot > 0},""" +

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *      order; the 10^11-row index is never shuffled, never sorted,
   *      and only its two 8-byte columns are read (column pruning);
   *      pathologically large batches fall back to a shuffle merge
-  *      join where runtime bloom-filter pushdown prunes index row
-  *      groups (files are written sorted by bandHash),
+  *      join behind an EXPLICIT bloom prune: a filter built over the
+  *      batch's band hashes drops non-candidate index rows before
+  *      the exchange (measured: `merge_fallback_*` keys in the
+  *      dedupindex bench mode),
   *   3. exact-verifies candidates through the same measured verify
   *      tail as the batch dataflow ([[DedupOps.exactVerifyPairs]]),
   *   4. appends its signatures as a new delta dir, so the next batch
@@ -314,7 +316,33 @@ object DedupIndex {
         val joined =
           if (batchSigRows <= maxBroadcastRows)
             index.join(broadcast(nb), Seq("bandHash"))
-          else index.hint("merge").join(nb.hint("merge"), Seq("bandHash"))
+          else {
+            // pathological batch (> broadcast cap): shuffle merge join.
+            // Prune the index EXPLICITLY before the exchange with a
+            // bloom built over the batch's band hashes — Spark's own
+            // InjectRuntimeFilter cannot help here (the creation side
+            // is materialized, so the selective filter it requires is
+            // no longer visible in the plan), and without pruning the
+            // whole 10^11-row index streams through the shuffle to
+            // match a batch that touches a sliver of its buckets. The
+            // bloom costs one cheap pass over the ALREADY-materialized
+            // signatures; sizing is measured (batchSigRows), fpp 3% —
+            // a false positive only forwards a row the join drops.
+            // Capped: past ~2^27 distinct hashes the filter itself is
+            // driver-heavy (~200 MB); such a "batch" is a backfill —
+            // run the batch dataflow instead.
+            val pruned =
+              if (batchSigRows <= (1L << 27)) {
+                val bf = nb.stat.bloomFilter("bandHash",
+                  batchSigRows, 0.03)
+                val bc = spark.sparkContext.broadcast(bf)
+                val mightContain =
+                  udf((h: Long) => bc.value.mightContainLong(h))
+                    .withName("graft_bloom_prune")
+                index.filter(mightContain($"bandHash"))
+              } else index
+            pruned.hint("merge").join(nb.hint("merge"), Seq("bandHash"))
+          }
         joined
           .filter($"id" =!= $"n_id")
           .select(least($"id", $"n_id").as("id_a"),

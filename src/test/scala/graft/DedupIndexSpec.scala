@@ -74,6 +74,37 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(m2.docs === corpus.count() + batch1.count() + batch2.count())
   }
 
+  test("merge fallback (batch > broadcast cap): bloom-pruned SMJ, pairs identical to the broadcast path") {
+    val dir = Files.createTempDirectory("graft-dedup-idx-merge").toString
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.orderBy("doc_id").limit(15)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+        .withColumn("text", concat(col("text"), lit(" anexo"))))
+    DedupIndex.write(corpus, "doc_id", "text", dir)
+    // maxBroadcastRows=1 forces the pathological-batch path on the
+    // same data the broadcast path answers — results must not depend
+    // on which plan the size decision picks
+    val mg = DedupIndex.probeCandidates(batch, "doc_id", "text", dir,
+      maxBroadcastRows = 1L)
+    val plan = mg.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"fallback did not plan a shuffle merge join:\n$plan")
+    assert(plan.contains("graft_bloom_prune"),
+      s"no explicit bloom prune guarding the index scan:\n$plan")
+    val bc = DedupIndex.probeCandidates(batch, "doc_id", "text", dir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(mg) === ids(bc),
+      "fallback candidates differ from broadcast-path candidates")
+    val pMerge = pairSet(DedupIndex.probePairs(batch, corpus,
+      "doc_id", "text", dir, threshold = 0.5, maxBroadcastRows = 1L))
+    val pBcast = pairSet(DedupIndex.probePairs(batch, corpus,
+      "doc_id", "text", dir, threshold = 0.5))
+    assert(pMerge === pBcast && pMerge.nonEmpty)
+    assert(pMerge.exists(p => p._2 >= 2000000L), "planted dups not found")
+  }
+
   test("small-batch probe broadcasts the batch side; index side has no exchange") {
     val dir = Files.createTempDirectory("graft-dedup-idx-plan").toString
     val corpus = docs.filter(col("doc_id") % 2 === 0)
