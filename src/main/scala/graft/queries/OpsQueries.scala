@@ -109,20 +109,43 @@ object OpsQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
   }
 
-  /** Recall@5 of an approximate ANN path against the exact brute-force
-    * ranking (the oracle-green q36 baseline), computed IN Spark — one
-    * row per query id, recall as a BIGINT fraction ×1000 so the driver
-    * snapshot gets a hashable VALUE gate on the approximate paths, not
-    * just a row count. */
-  private def annRecall(s: SparkSession, dir: String,
+  /** Recall@5 of an approximate ANN path, ORACLE-GATED: the approx
+    * top-5 set is staged as a parquet fixture, Spark computes recall
+    * against the integer-quantized brute ranking (bit-for-bit the
+    * cross-engine baseline ann_recall_vs_oracle established), and the
+    * per-algo oracle SQL independently recomputes the SAME brute set
+    * in DuckDB and re-derives recall@5 from the staged fixture — the
+    * hash compare certifies the recall VALUES, one row per query id,
+    * as a BIGINT fraction ×1000. */
+  private def annRecall(s: SparkSession, dir: String, algo: String,
       approx: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
     val (q, c) = annSides(s, dir)
-    val brute = AnnOps.bruteTopK(q, c, 5).select(col("qid"), col("cid"))
-    val got = approx(q, c, 5)
-      .select(col("qid"), col("cid")).withColumn("hit", lit(1))
+    val nVecs = emb(s, dir).count()
+    val path = s"$gateFxBase/annrecall_$algo/sf_$nVecs"
+    approx(q, c, 5).select(col("qid"), col("cid"))
+      .withColumn("n_vecs", lit(nVecs))
+      .write.mode("overwrite").parquet(path)
+    val got = s.read.parquet(path)
+      .select(col("qid"), col("cid")).distinct()
+      .withColumn("hit", lit(1))
+    // integer-quantized dot ranking, ties by cid — must mirror the
+    // oracle SQL exactly so both engines agree on the baseline set
+    def qz(v: org.apache.spark.sql.Column) =
+      transform(v, x => round(x.cast("double") * 1000).cast("long"))
+    val qq = q.select(col("qid"), qz(col("qv")).as("qv"))
+    val cc = c.select(col("cid"), qz(col("cv")).as("cv"))
+    val dot = aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
+    val brute = cc.crossJoin(broadcast(qq))
+      .withColumn("dot", dot)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cid"))
     brute.join(got, Seq("qid", "cid"), "left_outer")
       .groupBy(col("qid"))
-      .agg((sum(coalesce(col("hit"), lit(0))) * 1000 /
+      .agg(floor(sum(coalesce(col("hit"), lit(0))) * 1000.0 /
         count(lit(1))).cast("long").as("recall_x1000"))
       .orderBy(col("qid"))
   }
@@ -135,11 +158,11 @@ object OpsQueries {
     // LSH 0.93/0.80/1.00, IVF 0.73/0.73/0.73 — floors 0.6/0.5 pinned
     // in OpsSpec.
     "ann_lsh_recall" -> ((s: SparkSession, dir: String) =>
-      annRecall(s, dir,
+      annRecall(s, dir, "lsh",
         AnnOps.lshTopK(_, _, _, planes = 6, tables = 8))),
 
     "ann_ivf_recall" -> ((s: SparkSession, dir: String) =>
-      annRecall(s, dir,
+      annRecall(s, dir, "ivf",
         AnnOps.ivfTopK(_, _, _, nlist = 16, nProbe = 8))),
 
     "dedup_minhash_pairs" -> ((s: SparkSession, dir: String) =>
@@ -805,6 +828,51 @@ object OpsQueries {
     // recomputes the exact quantized brute-force top-5 independently
     // (the q36 ranking) and re-derives recall@5 from the staged
     // approximate pairs — a genuine cross-engine value check
+    // per-algo recall gates: identical brute derivation, each against
+    // its own staged approx fixture (one fixture per entry so query
+    // execution order cannot stale a shared one)
+    "ann_lsh_recall" ->
+      """WITH qz AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS qid, v AS qv FROM qz WHERE vec_id < 3),
+        | c AS (SELECT vec_id AS cid, v AS cv FROM qz WHERE vec_id >= 3),
+        | ranked AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |   ORDER BY CAST(list_dot_product(qv, cv) AS BIGINT) DESC,
+        |     cid ASC) AS rk
+        |  FROM q CROSS JOIN c),
+        | brute AS (SELECT qid, cid FROM ranked WHERE rk <= 5),
+        | approx AS (SELECT DISTINCT qid, cid
+        |  FROM '/tmp/graft_gate_fx/annrecall_lsh/*/*.parquet'
+        |  WHERE n_vecs = (SELECT count(*) FROM embeddings))
+        |SELECT b.qid AS qid,
+        | CAST(floor(count(a.cid) * 1000.0 / count(*)) AS BIGINT)
+        |   AS recall_x1000
+        |FROM brute b
+        |LEFT JOIN approx a ON a.qid = b.qid AND a.cid = b.cid
+        |GROUP BY b.qid
+        |ORDER BY qid""".stripMargin,
+    "ann_ivf_recall" ->
+      """WITH qz AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS qid, v AS qv FROM qz WHERE vec_id < 3),
+        | c AS (SELECT vec_id AS cid, v AS cv FROM qz WHERE vec_id >= 3),
+        | ranked AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |   ORDER BY CAST(list_dot_product(qv, cv) AS BIGINT) DESC,
+        |     cid ASC) AS rk
+        |  FROM q CROSS JOIN c),
+        | brute AS (SELECT qid, cid FROM ranked WHERE rk <= 5),
+        | approx AS (SELECT DISTINCT qid, cid
+        |  FROM '/tmp/graft_gate_fx/annrecall_ivf/*/*.parquet'
+        |  WHERE n_vecs = (SELECT count(*) FROM embeddings))
+        |SELECT b.qid AS qid,
+        | CAST(floor(count(a.cid) * 1000.0 / count(*)) AS BIGINT)
+        |   AS recall_x1000
+        |FROM brute b
+        |LEFT JOIN approx a ON a.qid = b.qid AND a.cid = b.cid
+        |GROUP BY b.qid
+        |ORDER BY qid""".stripMargin,
     "ann_recall_vs_oracle" ->
       """WITH qz AS (SELECT vec_id, list_transform(embedding,
         |   x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
