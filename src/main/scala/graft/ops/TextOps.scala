@@ -115,4 +115,78 @@ object TextOps {
     val u = udf((t: String) => winnowFingerprint(t))
     c => u(c)
   }
+
+  // ---- repetition / boilerplate stats (Gopher-style rules) -------------
+
+  /** Per-document word-bigram repetition statistics — the public
+    * Gopher-report quality-rule family (Rae et al., arXiv:2112.11446,
+    * Table A1: "duplicate n-gram fraction" rules): for each document,
+    * the total and distinct bigram counts, the most frequent bigram
+    * (count-desc, lexicographic tie-break so the answer is unique) and
+    * the duplicate-bigram fraction `1 - distinct/total`. Boilerplate
+    * and template spam score high; natural prose scores near 0.
+    *
+    * Scale shape: bigrams are built by pure array expressions
+    * (`slice` + `zip_with`, codegen'd — no UDF), then ONE explode +
+    * ONE hash-groupBy on (doc_id, bigram), a per-doc rank window and a
+    * final per-doc groupBy that reuses the same doc_id partitioning
+    * (no extra exchange after the window sort). Work is linear in
+    * corpus tokens and partitions by doc hash — no all-pairs term, so
+    * the same plan runs at 100 TB.
+    *
+    * Expects `doc_id` + `text` columns; documents with fewer than two
+    * words carry no bigram and are absent from the result. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val counts = docs
+      .filter(n >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val top = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("c").desc, col("bg").asc)
+    counts
+      .withColumn("rk", row_number().over(top))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        max(when(col("rk") === 1, col("bg"))).as("top_bigram"),
+        max(when(col("rk") === 1, col("c"))).cast("long").as("top_count"))
+      .withColumn("dup_fraction",
+        round(lit(1.0) - col("distinct_bigrams").cast("double") /
+          col("n_bigrams"), 6))
+  }
+
+  // ---- PII detection / redaction ---------------------------------------
+
+  /** Email/phone patterns shared by detection and redaction. Kept to
+    * syntax that Java regex (Spark codegen) and RE2 (the DuckDB
+    * oracle) interpret identically: character classes, bounded
+    * repetition, a literal `+` — no backreferences or lookaround. */
+  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+1-555-[0-9]{4}"
+
+  /** Count of email-shaped spans (codegen regexp, map-side). */
+  def piiEmailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0)))
+
+  /** Count of NANP-style phone spans (codegen regexp, map-side). */
+  def piiPhoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PhonePattern), lit(0)))
+
+  /** Redact every email/phone span with a typed placeholder — the
+    * C4/Dolma-style pre-training scrub step as one narrow projection:
+    * pure `regexp_replace` chains, whole-stage-codegen'd, zero
+    * shuffles — the shape that matters when the scrub runs over
+    * 100 TB of raw text. */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, lit(EmailPattern), lit("[EMAIL]")),
+      lit(PhonePattern), lit("[PHONE]"))
 }

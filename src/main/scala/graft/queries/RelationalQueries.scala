@@ -391,6 +391,33 @@ object RelationalQueries {
           count(when($"n_chars" > 300, 1)).as("n_long"),
           count(lit(1)).as("n"))
         .orderBy($"lang")
+    }),
+
+    // ---- gap-based sessionization (classic gaps-and-islands): a new
+    //      session starts when a user's inter-event gap exceeds 8 h.
+    //      One shuffle on user_id; the running session index and the
+    //      per-session rollup reuse the same partitioning (no second
+    //      exchange). Timestamps compare as epoch MICROS (exact — the
+    //      parquet physical unit) so the oracle is bit-deterministic.
+    "q50_event_sessions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val order = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val running = order.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val gapUs = unix_micros($"ts".cast("timestamp")) -
+        lag(unix_micros($"ts".cast("timestamp")), 1).over(order)
+      t(s, dir, "events")
+        .withColumn("ns", when(gapUs.isNull ||
+          gapUs > lit(8L * 3600 * 1000000L), 1L).otherwise(0L))
+        .withColumn("sess", sum($"ns").over(running))
+        .groupBy($"user_id", $"sess")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L))
+            .as("n_clicks"),
+          min(unix_micros($"ts".cast("timestamp"))).as("start_us"),
+          max(unix_micros($"ts".cast("timestamp"))).as("end_us"),
+          round(sum($"value"), 2).as("total_value"))
+        .orderBy($"user_id", $"sess")
     })
   )
 
@@ -576,6 +603,25 @@ object RelationalQueries {
         | count(*) FILTER (WHERE regexp_matches(text, '^the ')) AS n_the,
         | count(*) FILTER (WHERE regexp_matches(text, '[0-9]')) AS n_digit,
         | count(*) FILTER (WHERE n_chars > 300) AS n_long, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_event_sessions" ->
+      """WITH g AS (SELECT *,
+        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) IS NULL
+        |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id)
+        |        > 28800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        | s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        | count(*) AS n_events,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_clicks,
+        | CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+        | CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+        | round(sum(value), 2) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -135,6 +135,43 @@ object TextQueries {
         .filter($"rk" <= 5)
         .select($"qid", $"cid", $"dot", $"rk")
         .orderBy($"qid", $"rk")
+    }),
+
+    // ---- Gopher-style repetition stats (duplicate-bigram rules): the
+    //      boilerplate/template-spam quality signal, per document —
+    //      DuckDB re-derives every row (counts, argmax bigram with a
+    //      deterministic tie-break, duplicate fraction) from raw text
+    "q48_repetition_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.ops.TextOps.repetitionStats(t(s, dir, "documents"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- PII scrub (C4/Dolma-style): deterministic PII is planted
+    //      from doc_id arithmetic IDENTICALLY in both engines, then the
+    //      op under test — regexp detection counts + typed-placeholder
+    //      redaction — must agree span-for-span (md5 of the redacted
+    //      text). Map-side codegen'd regexp, zero shuffles: the shape
+    //      of a 100 TB pre-training scrub.
+    "q49_pii_scrub" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val planted = concat(
+        $"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@ex"), ($"doc_id" % 7).cast("string"),
+        lit(".com or +1-555-"),
+        lpad(($"doc_id" * 37 % 10000).cast("string"), 4, "0"),
+        when($"doc_id" % 3 === 0, lit(" cc admin@site.net"))
+          .otherwise(lit("")))
+      val red = graft.ops.TextOps.piiRedact(planted)
+      t(s, dir, "documents")
+        .select($"doc_id",
+          graft.ops.TextOps.piiEmailCount(planted).cast("long")
+            .as("n_emails"),
+          graft.ops.TextOps.piiPhoneCount(planted).cast("long")
+            .as("n_phones"),
+          md5(red.cast("binary")).as("redacted_md5"),
+          length(red).cast("long").as("redacted_len"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -189,6 +226,43 @@ object TextQueries {
         |   PARTITION BY qid ORDER BY dot DESC, cid ASC) AS BIGINT) AS rk
         |  FROM scored)
         |SELECT qid, cid, dot, rk FROM ranked WHERE rk <= 5
-        |ORDER BY qid, rk""".stripMargin
+        |ORDER BY qid, rk""".stripMargin,
+    "q48_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |      FROM documents),
+        | u AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |      FROM w WHERE len(ws) >= 2),
+        | b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM u),
+        | c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        | r AS (SELECT doc_id, bg, c, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rk FROM c)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        | count(*) AS distinct_bigrams,
+        | max(CASE WHEN rk = 1 THEN bg END) AS top_bigram,
+        | CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_count,
+        | round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_fraction
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q49_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |   text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |     || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+        |     || '.com or +1-555-'
+        |     || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0')
+        |     || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@site.net'
+        |        ELSE '' END AS pt
+        |  FROM documents),
+        | r AS (SELECT doc_id, pt, regexp_replace(regexp_replace(pt,
+        |     '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |     '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(pt,
+        |   '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(pt,
+        |   '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | md5(red) AS redacted_md5,
+        | CAST(length(red) AS BIGINT) AS redacted_len
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -315,4 +315,79 @@ class OpsSpec extends AnyFunSuite {
       .getSeq[Array[Byte]](0)
     assert(frames.nonEmpty)
   }
+
+  test("repetition stats: counts, deterministic argmax bigram, dup fraction") {
+    import spark.implicits._
+    // "a b a b a b" -> bigrams [a b, b a, a b, b a, a b]: 5 total,
+    // 2 distinct, top = "a b" (count 3), dup_fraction = 1 - 2/5
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x y z"),           // all distinct: dup_fraction 0
+      (3L, "w"),               // single word: no bigram, absent
+      (4L, "t t t t")          // [t t]*3: argmax unique
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L), "single-word doc must be absent")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_bigrams") === 5L)
+    assert(d1.getAs[Long]("distinct_bigrams") === 2L)
+    assert(d1.getAs[String]("top_bigram") === "a b")
+    assert(d1.getAs[Long]("top_count") === 3L)
+    assert(math.abs(d1.getAs[Double]("dup_fraction") - 0.6) < 1e-9)
+    assert(out(2L).getAs[Double]("dup_fraction") === 0.0)
+    assert(out(4L).getAs[String]("top_bigram") === "t t")
+    // tie-break: "b a b a" -> [b a, a b, b a]? no — [b a, a b, b a]:
+    // top is "b a" (2). "a b b a" -> [a b, b b, b a] all count 1:
+    // lexicographically smallest wins
+    val tie = TextOps.repetitionStats(
+      Seq((9L, "a b b a")).toDF("doc_id", "text")).collect()(0)
+    assert(tie.getAs[String]("top_bigram") === "a b")
+  }
+
+  test("pii scrub: counts every planted span, redacts with typed placeholders") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at alice.w@corp.example.com or +1-555-0199 now"),
+      (2L, "two mails a@b.io c.d@e.org one phone +1-555-1234"),
+      (3L, "nothing sensitive here"),
+      (4L, "+1-555-9999 leads; trailing bob@x.yz")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextOps.piiEmailCount($"text").as("e"),
+        TextOps.piiPhoneCount($"text").as("p"),
+        TextOps.piiRedact($"text").as("red"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("e") === 1 && got(1L).getAs[Int]("p") === 1)
+    assert(got(2L).getAs[Int]("e") === 2 && got(2L).getAs[Int]("p") === 1)
+    assert(got(3L).getAs[Int]("e") === 0 && got(3L).getAs[Int]("p") === 0)
+    assert(got(1L).getAs[String]("red") ===
+      "mail me at [EMAIL] or [PHONE] now")
+    assert(got(2L).getAs[String]("red") ===
+      "two mails [EMAIL] [EMAIL] one phone [PHONE]")
+    assert(got(3L).getAs[String]("red") === "nothing sensitive here")
+    assert(got(4L).getAs[String]("red") === "[PHONE] leads; trailing [EMAIL]")
+  }
+
+  test("sessionization: gap strictly over the threshold starts a new session") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L // ms
+    val gapMs = 8L * 3600 * 1000
+    val events = Seq(
+      // user 1: second event EXACTLY at the 8h gap -> same session;
+      // third event 1ms past it -> new session
+      (10L, new Timestamp(base), 1L, "click", 1.0, "{}"),
+      (11L, new Timestamp(base + gapMs), 1L, "view", 2.0, "{}"),
+      (12L, new Timestamp(base + 2 * gapMs + 1), 1L, "click", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q50_event_sessions")(spark, dir)
+      .collect()
+    assert(out.length === 2, s"expected 2 sessions, got ${out.toSeq}")
+    assert(out(0).getAs[Long]("n_events") === 2L)
+    assert(out(0).getAs[Long]("n_clicks") === 1L)
+    assert(out(1).getAs[Long]("n_events") === 1L)
+  }
 }

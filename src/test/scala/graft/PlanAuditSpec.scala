@@ -135,4 +135,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"aligned probe fell back to the typed groupByKey shape:\n$p")
     assert(p.contains("pmod"), s"probe exchange is not pmod-keyed:\n$p")
   }
+
+  test("pii scrub is map-side: no hash exchange, regexp stays in codegen") {
+    val p = plan("q49_pii_scrub")
+    // the scrub itself must not shuffle — the only allowed exchange is
+    // the caller-requested final orderBy (rangepartitioning)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pii scrub shuffles:\n$p")
+    // the detection/redaction must be native regexp expressions in one
+    // Project (codegen'd), never a UDF
+    assert(p.contains("regexp_extract_all") && p.contains("regexp_replace"),
+      s"pii ops are not native expressions:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"pii scrub fell back to a UDF:\n$p")
+    // column pruning: only doc_id + text reach the scan
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 2,
+      s"scan reads more than (doc_id, text): $readSchema")
+  }
+
+  test("repetition stats: the per-doc rollup reuses the window's doc_id partitioning") {
+    val p = plan("q48_repetition_stats")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // allowed: (doc_id, bg) for the bigram count + (doc_id) for the
+    // rank window; the final groupBy(doc_id) must NOT add a third
+    assert(hashEx.size <= 2,
+      s"expected <=2 hash exchanges, got ${hashEx.size}:\n$p")
+  }
+
+  test("sessionization: one user_id exchange feeds window and rollup") {
+    val p = plan("q50_event_sessions")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // allowed: user_id for the lag/running-sum windows, plus the
+    // (user_id, sess) agg exchange; never a third
+    assert(hashEx.size <= 2,
+      s"expected <=2 hash exchanges, got ${hashEx.size}:\n$p")
+  }
 }
