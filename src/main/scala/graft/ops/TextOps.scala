@@ -189,4 +189,111 @@ object TextOps {
     regexp_replace(
       regexp_replace(c, lit(EmailPattern), lit("[EMAIL]")),
       lit(PhonePattern), lit("[PHONE]"))
+
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Distinct word n-grams of a text column as an array — pure array
+    * expressions (`split`/`sequence`/`slice`, whole-stage codegen'd,
+    * no UDF). Documents with fewer than `n` words yield an empty
+    * array (guarded: Spark's `sequence(1, 0)` would count DOWN). */
+  def wordNGrams(c: Column, n: Int): Column = {
+    val words = split(c, " ")
+    val nw = size(words)
+    when(nw >= n,
+      array_distinct(transform(sequence(lit(1), nw - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination — the GPT-3/Dolma pre-training step
+    * that flags corpus documents sharing any word n-gram with a
+    * held-out evaluation set (Brown et al. arXiv:2005.14165 §C use
+    * 13-grams; Dolma uses paragraph Bloom membership). Returns one row
+    * per corpus document: total distinct n-grams, distinct n-grams
+    * also present in the benchmark, distinct benchmark documents hit,
+    * and the contamination flag.
+    *
+    * Scale shape: the benchmark side is an eval set — thousands of
+    * documents against a 100 TB corpus — so its exploded (gram,
+    * bench-id) table is broadcast (`broadcastBench=true`, the
+    * default) and the corpus side never shuffles for the join; the
+    * only exchange is the per-doc hash aggregation, linear in corpus
+    * grams. Corpus docs with fewer than `n` words survive via
+    * `explode_outer` with zero counts. */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, n: Int = 5,
+      broadcastBench: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val bg0 = benchmark.select(col("doc_id").as("bid"),
+      explode(wordNGrams(col("text"), n)).as("bg"))
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    corpus
+      .select(col("doc_id"), explode_outer(wordNGrams(col("text"), n)).as("g"))
+      .join(bg, col("g") === col("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("g")).as("n_grams"),
+        countDistinct(when(col("bid").isNotNull, col("g"))).as("n_hit_grams"),
+        countDistinct(col("bid")).as("n_bench_docs"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
+  // ---- deterministic stratified sampling -------------------------------
+
+  /** Uniform-in-[0,1) draw derived from an id column by pure 64-bit
+    * integer arithmetic (multiplicative hash into a 2^20 bucket, so
+    * the quotient is an exact binary fraction both engines represent
+    * identically). A production pipeline would plug the native
+    * xxhash64 here; the arithmetic form keeps the DuckDB oracle
+    * bit-exact without porting xxHash to SQL. */
+  def uniformFromId(id: Column): Column =
+    pmod(id * lit(2654435761L) + lit(40503L), lit(1048576L))
+      .cast("double") / lit(1048576.0)
+
+  /** Deterministic stratified sampling for training-mixture
+    * construction: keep a document iff its id-derived uniform draw
+    * falls under its stratum's target rate. Reproducible (same ids →
+    * same sample, any partitioning), single map-side projection +
+    * filter — no shuffle, no RNG state; the per-stratum rate map
+    * rides along as a literal `CASE` (strata are languages/sources —
+    * small). Unknown strata default to `defaultRate`. */
+  def sampleStratified(docs: org.apache.spark.sql.DataFrame,
+      rates: Map[String, Double], stratumCol: String = "lang",
+      idCol: String = "doc_id",
+      defaultRate: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("u", uniformFromId(col(idCol)))
+      .filter(col("u") < rate)
+  }
+
+  // ---- token-budget shard packing --------------------------------------
+
+  /** Pack documents into fixed token-budget shards by cumulative
+    * offset within each partition group — the pre-training shard-prep
+    * step (docs are concatenated and split into fixed-length
+    * sequences downstream, so offset packing is the standard layout;
+    * see e.g. the T5/GPT "pack to sequence length" preprocessing).
+    * Shard k of a group holds the docs whose EXCLUSIVE cumulative
+    * token offset lands in [k·budget, (k+1)·budget) — deterministic
+    * given the (group, order) columns, one window over the group
+    * partitioning and nothing else.
+    *
+    * Scale shape: partitioned by `groupCol` (language/source), never a
+    * global single-partition window; at 100 TB you pack per
+    * (source, date-bucket) so every window partition is bounded. */
+  def packShards(docs: org.apache.spark.sql.DataFrame, budget: Long,
+      groupCol: String = "lang", orderCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("n_tokens", toks)
+      .withColumn("shard",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget)
+          .cast("long"))
+  }
 }

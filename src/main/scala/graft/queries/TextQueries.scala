@@ -172,6 +172,45 @@ object TextQueries {
           md5(red.cast("binary")).as("redacted_md5"),
           length(red).cast("long").as("redacted_len"))
         .orderBy($"doc_id")
+    }),
+
+    // ---- benchmark decontamination (GPT-3 §C / Dolma style): corpus
+    //      docs sharing any word 5-gram with a held-out "benchmark"
+    //      slice (doc_id % 23 == 0 — an eval-set-sized side that
+    //      BROADCASTS; plan-gated in PlanAuditSpec). DuckDB re-derives
+    //      every count from raw text.
+    "q51_decontamination" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      graft.ops.TextOps.decontaminate(
+          d.filter($"doc_id" % 23 =!= 0), d.filter($"doc_id" % 23 === 0), 5)
+        .orderBy($"doc_id")
+    }),
+
+    // ---- deterministic stratified sampling (training-mixture
+    //      construction): per-language quota rates, id-derived uniform
+    //      draw by pure integer arithmetic — the kept SET is the
+    //      oracle check (exact, reproducible under any partitioning).
+    "q52_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.ops.TextOps.sampleStratified(t(s, dir, "documents"),
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.75, "fr" -> 0.1,
+            "zh" -> 0.9))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // ---- token-budget shard packing (pre-training shard prep):
+    //      cumulative-offset packing at 2000 whitespace tokens per
+    //      shard, partitioned by language (never a global window).
+    "q53_shard_pack" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.ops.TextOps.packShards(t(s, dir, "documents"), 2000L)
+        .groupBy($"lang", $"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"lang", $"shard")
     })
   )
 
@@ -263,6 +302,48 @@ object TextQueries {
         |   '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
         | md5(red) AS redacted_md5,
         | CAST(length(red) AS BIGINT) AS redacted_len
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q51_decontamination" ->
+      """WITH c AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |      FROM documents WHERE doc_id % 23 <> 0),
+        | b AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |      FROM documents WHERE doc_id % 23 = 0),
+        | cg AS (SELECT DISTINCT doc_id,
+        |     array_to_string(list_slice(ws, i, i + 4), ' ') AS g
+        |   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |         FROM c WHERE len(ws) >= 5)),
+        | bg AS (SELECT DISTINCT doc_id AS bid,
+        |     array_to_string(list_slice(ws, i, i + 4), ' ') AS bg
+        |   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |         FROM b WHERE len(ws) >= 5)),
+        | j AS (SELECT cg.doc_id, cg.g, bg.bid
+        |   FROM cg LEFT JOIN bg ON cg.g = bg.bg)
+        |SELECT c2.doc_id,
+        | CAST(count(DISTINCT j.g) AS BIGINT) AS n_grams,
+        | CAST(count(DISTINCT CASE WHEN j.bid IS NOT NULL THEN j.g END)
+        |   AS BIGINT) AS n_hit_grams,
+        | CAST(count(DISTINCT j.bid) AS BIGINT) AS n_bench_docs,
+        | count(DISTINCT CASE WHEN j.bid IS NOT NULL THEN j.g END) > 0
+        |   AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) c2
+        |LEFT JOIN j ON c2.doc_id = j.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761 + 40503) % 1048576 / 1048576.0 <
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |    WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.9
+        |    ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+    "q53_shard_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |     len(string_split(text, ' ')) AS nt FROM documents),
+        | s AS (SELECT *, CAST(floor((sum(nt) OVER (PARTITION BY lang
+        |     ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt) / 2000)
+        |   AS BIGINT) AS shard FROM t)
+        |SELECT lang, shard, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -390,4 +390,71 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_clicks") === 1L)
     assert(out(1).getAs[Long]("n_events") === 1L)
   }
+
+  test("decontamination: planted benchmark 5-gram is flagged, clean and short docs are not") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds "beta gamma delta epsilon zeta" (a benchmark 5-gram)
+      (1L, "intro words then beta gamma delta epsilon zeta outro"),
+      // shares words but no 5-gram run
+      (2L, "alpha beta something gamma delta other epsilon zeta"),
+      (3L, "tiny doc"), // < 5 words: zero counts, still present
+      (4L, "completely unrelated content with many extra words here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, bench, 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("contaminated"))
+    assert(out(1L).getAs[Long]("n_hit_grams") === 1L)
+    assert(out(1L).getAs[Long]("n_bench_docs") === 1L)
+    assert(!out(2L).getAs[Boolean]("contaminated"))
+    assert(out(3L).getAs[Long]("n_grams") === 0L &&
+      !out(3L).getAs[Boolean]("contaminated"))
+    assert(!out(4L).getAs[Boolean]("contaminated"))
+    // n_grams counts DISTINCT grams from raw text
+    assert(out(4L).getAs[Long]("n_grams") === 4L)
+  }
+
+  test("stratified sample: reproducible under repartitioning, rates realized, zero-rate stratum empty") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.9)
+    val s1 = TextOps.sampleStratified(d, rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = TextOps.sampleStratified(d.repartition(7, col("text")), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "sample must be independent of partitioning")
+    // strata not in the rate map (es, fr) default to rate 0.0
+    val langs = TextOps.sampleStratified(d, rates)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(!langs.contains("es") && !langs.contains("fr"))
+    // realized rate within a loose tolerance of the target (small n)
+    val en = d.filter(col("lang") === "en").count().toDouble
+    val enKept = TextOps.sampleStratified(d, rates)
+      .filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / en - 0.5) < 0.2,
+      s"en realized rate ${enKept / en} far from 0.5")
+  }
+
+  test("shard packing: offsets land in the shard's budget window, shards contiguous, totals preserved") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val budget = 500L
+    val out = TextOps.packShards(d, budget).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      ordered.foreach { r =>
+        val shard = r.getAs[Long]("shard")
+        assert(shard === cum / budget,
+          s"$lang doc ${r.getAs[Long]("doc_id")}: shard $shard at offset $cum")
+        cum += r.getAs[Long]("n_tokens")
+      }
+      // contiguous shard ids from 0
+      val shards = ordered.map(_.getAs[Long]("shard")).distinct
+      assert(shards.sorted.toSeq === (0L to shards.max).toSeq,
+        s"$lang shards not contiguous: ${shards.toSeq}")
+    }
+    assert(out.length === d.count(), "packing must keep every doc")
+  }
 }

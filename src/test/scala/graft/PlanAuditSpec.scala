@@ -174,4 +174,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx.size <= 2,
       s"expected <=2 hash exchanges, got ${hashEx.size}:\n$p")
   }
+
+  test("decontamination: benchmark side broadcasts, corpus never sort-merge-joins") {
+    val p = plan("q51_decontamination")
+    // the eval set is tiny vs a 100 TB corpus: the gram join must be
+    // a broadcast hash join, never a corpus-shuffling sort-merge join
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the gram join:\n$p")
+    // n-gram construction is pure array expressions, not a UDF
+    assert(!p.contains("ScalaUDF"), s"n-grams fell back to a UDF:\n$p")
+  }
+
+  test("stratified sample is a map-side filter: no exchange, no UDF, pruned scan") {
+    val p = plan("q52_stratified_sample")
+    // sampling must not shuffle — only the caller's final orderBy
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"stratified sample shuffles:\n$p")
+    assert(!p.contains("ScalaUDF"),
+      s"sampling draw fell back to a UDF:\n$p")
+    // column pruning: only (doc_id, lang) reach the scan
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 2,
+      s"scan reads more than (doc_id, lang): $readSchema")
+  }
+
+  test("shard packing: windows partition by lang — never a global single-partition window") {
+    val p = plan("q53_shard_pack")
+    assert(!p.contains("SinglePartition"),
+      s"shard packing collapsed to a single partition:\n$p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // one lang exchange feeds both the window and the rollup
+    assert(hashEx.size <= 2,
+      s"expected <=2 hash exchanges, got ${hashEx.size}:\n$p")
+  }
 }
