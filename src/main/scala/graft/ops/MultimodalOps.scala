@@ -203,6 +203,36 @@ object MultimodalOps {
     } catch { case _: Exception => null }
   })
 
+  /** LAION/DataComp-style image quality filter (Schuhmann et al.
+    * arXiv:2210.08402 §2.2 filter on minimum dimension and aspect
+    * ratio; the contrast floor rejects blank/flat payloads): keeps an
+    * image iff it decodes, `min(w,h) >= minDim`, aspect ratio
+    * `max/min <= maxAspect`, and pixel stddev `>= minStd`. Returns the
+    * input plus feature columns (`decoded`, `dec_w`, `dec_h`,
+    * `px_std`) and the `keep` flag — callers filter or route.
+    *
+    * One decode per row (shares [[imageFeatures]]' single-decode UDF);
+    * undecodable payloads yield `keep=false`, never an exception — a
+    * 100 TB scan must survive corrupt bytes. Map-side only: no
+    * shuffle, payload bytes never leave their partition. */
+  def imageQualityFilter(images: DataFrame, minDim: Int = 32,
+      maxAspect: Double = 3.0, minStd: Double = 5.0): DataFrame = {
+    images
+      .withColumn("ft", allFeaturesUdf(col("bytes")))
+      .withColumn("decoded", col("ft").isNotNull)
+      .withColumn("dec_w", col("ft._1"))
+      .withColumn("dec_h", col("ft._2"))
+      .withColumn("px_std", col("ft._5"))
+      .withColumn("keep", coalesce(
+        col("decoded") &&
+          least(col("dec_w"), col("dec_h")) >= minDim &&
+          (greatest(col("dec_w"), col("dec_h")).cast("double") /
+            least(col("dec_w"), col("dec_h"))) <= maxAspect &&
+          col("px_std") >= minStd,
+        lit(false)))
+      .drop("ft")
+  }
+
   /** Feature table for an image table (input_hint schema): dims from
     * the real decode, 16-bin histogram, pixel stats — the canonical
     * multimodal feature-extraction job. One decode per row. */

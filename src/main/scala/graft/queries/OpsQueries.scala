@@ -730,6 +730,40 @@ object OpsQueries {
       MultimodalOps.imageFeatures(images)
         .drop("hist16") // array col: keep the dump schema flat
         .orderBy(col("image_id"), col("fmt"))
+    }),
+
+    // LAION-style image quality filter as a ROW-WISE parity gate: the
+    // demo images plus four planted rejects (too small, extreme
+    // aspect, flat/contrast-free, corrupt bytes) run through the
+    // operator; per-image features AND the operator's keep decision
+    // are staged, and DuckDB independently RE-DERIVES every keep flag
+    // from the staged raw features (dims/std are exact — doubles
+    // round-trip bit-identically through parquet). Row-wise compare:
+    // one flipped decision anywhere fails the gate.
+    "image_quality_parity" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val demo = CrawlQueries.demoResult(s).images.toDF()
+        .select(col("image_id"), col("fmt"), col("bytes"))
+      def px(n: Int, f: Int => Int): Array[Byte] =
+        Array.tabulate(n)(i => f(i).toByte)
+      val planted = Seq(
+        ("planted-tiny", "png",
+          graft.fetch.ImageCodec.encode(px(64, _ * 37), 8, 8, "png")),
+        ("planted-aspect", "png",
+          graft.fetch.ImageCodec.encode(px(800, _ * 31), 200, 4, "png")),
+        ("planted-flat", "png",
+          graft.fetch.ImageCodec.encode(px(4096, _ => 128), 64, 64, "png")),
+        ("planted-corrupt", "png",
+          "definitely not an image payload".getBytes("UTF-8"))
+      ).toDF("image_id", "fmt", "bytes")
+      val out = MultimodalOps.imageQualityFilter(demo.unionByName(planted))
+        .select(col("image_id"), col("fmt"), col("decoded"),
+          col("dec_w"), col("dec_h"), col("px_std"), col("keep"))
+      val path = s"$gateFxBase/imgqual"
+      out.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("image_id"), col("fmt"), col("decoded"), col("keep"))
+        .orderBy(col("image_id"))
     })
   )
 
@@ -1089,6 +1123,16 @@ object OpsQueries {
         | CAST(hamming AS BIGINT) AS hamming
         |FROM '/tmp/graft_gate_fx/imgidx/*.parquet'
         |WHERE id_a >= 1000000 OR id_b >= 1000000
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // re-derives every keep decision from the staged raw features
+    // (decode flag, dims, pixel stddev) with the same thresholds the
+    // operator used — the staged `keep` column itself is NOT read
+    "image_quality_parity" ->
+      """SELECT image_id, fmt, decoded,
+        | coalesce(decoded AND least(dec_w, dec_h) >= 32 AND
+        |   greatest(dec_w, dec_h) * 1.0 / least(dec_w, dec_h) <= 3.0 AND
+        |   px_std >= 5.0, false) AS keep
+        |FROM '/tmp/graft_gate_fx/imgqual/*.parquet'
+        |ORDER BY image_id""".stripMargin
   )
 }

@@ -391,6 +391,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_events") === 1L)
   }
 
+  test("image quality filter: each planted defect rejected for its own rule, good image kept, corrupt survives") {
+    import spark.implicits._
+    def px(n: Int, f: Int => Int): Array[Byte] =
+      Array.tabulate(n)(i => f(i).toByte)
+    val imgs = Seq(
+      ("good", ImageCodec.encode(px(4096, i => (i * 53) % 251), 64, 64, "png")),
+      ("tiny", ImageCodec.encode(px(64, _ * 37), 8, 8, "png")),
+      ("stretched", ImageCodec.encode(px(800, _ * 31), 200, 4, "png")),
+      ("flat", ImageCodec.encode(px(4096, _ => 128), 64, 64, "png")),
+      ("corrupt", "not an image".getBytes("UTF-8"))
+    ).toDF("image_id", "bytes")
+    val out = MultimodalOps.imageQualityFilter(imgs).collect()
+      .map(r => r.getAs[String]("image_id") -> r).toMap
+    assert(out("good").getAs[Boolean]("keep"))
+    assert(!out("tiny").getAs[Boolean]("keep") &&
+      out("tiny").getAs[Boolean]("decoded"))
+    assert(!out("stretched").getAs[Boolean]("keep") &&
+      out("stretched").getAs[Boolean]("decoded"))
+    assert(!out("flat").getAs[Boolean]("keep") &&
+      out("flat").getAs[Double]("px_std") === 0.0)
+    assert(!out("corrupt").getAs[Boolean]("keep") &&
+      !out("corrupt").getAs[Boolean]("decoded"))
+  }
+
   test("decontamination: planted benchmark 5-gram is flagged, clean and short docs are not") {
     import spark.implicits._
     val bench = Seq(
