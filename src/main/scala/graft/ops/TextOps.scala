@@ -190,6 +190,44 @@ object TextOps {
       regexp_replace(c, lit(EmailPattern), lit("[EMAIL]")),
       lit(PhonePattern), lit("[PHONE]"))
 
+  // ---- C4-style line-level cleaning ------------------------------------
+
+  /** C4's line-level cleaning rule (Raffel et al. arXiv:1910.10683
+    * §2.2: "retained lines that ended in a terminal punctuation mark"
+    * and dropped too-short lines): keep a line iff it ends in
+    * `.`/`!`/`?` and has at least `minWords` whitespace words, then
+    * re-join. Pure array expressions (`split`/`filter`/`array_join`)
+    * — whole-stage codegen, map-side, zero shuffles: the shape of a
+    * 100 TB cleaning pass. */
+  def c4CleanLines(c: Column, minWords: Int = 3): Column =
+    array_join(
+      filter(split(c, "\n"), l =>
+        l.rlike("[.!?]$") && size(split(l, " ")) >= minWords),
+      "\n")
+
+  /** Number of lines a [[c4CleanLines]] pass would keep (same
+    * predicate, count instead of re-join). */
+  def c4KeptLineCount(c: Column, minWords: Int = 3): Column =
+    size(filter(split(c, "\n"), l =>
+      l.rlike("[.!?]$") && size(split(l, " ")) >= minWords))
+
+  // ---- per-group quota capping -----------------------------------------
+
+  /** Per-source quota cap — the crawl-curation rule that bounds any
+    * single domain's contribution to the corpus: keep at most `n`
+    * documents per group, preferring longer documents with doc_id as
+    * the deterministic tie-break. One hash exchange on the group
+    * column; `WindowGroupLimit` pushes the rank filter into the sort
+    * at plan level, so no group ever materializes beyond its top-n. */
+  def capPerGroup(docs: org.apache.spark.sql.DataFrame, n: Int,
+      groupCol: String = "source"): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+  }
+
   // ---- benchmark decontamination ---------------------------------------
 
   /** Distinct word n-grams of a text column as an array — pure array

@@ -211,6 +211,39 @@ object TextQueries {
           sum($"n_tokens").as("n_tokens"),
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
         .orderBy($"lang", $"shard")
+    }),
+
+    // ---- C4 line cleaning (Raffel et al. §2.2): multi-line text is
+    //      planted deterministically (the corpus is single-line), then
+    //      the keep-terminal-punctuation + min-words line filter must
+    //      agree with DuckDB byte-for-byte (md5 of the cleaned text).
+    "q54_c4_clean" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val planted = concat($"text",
+        lit("\nThis sentence terminates properly."),
+        lit("\nno terminal punctuation here"),
+        lit("\nTiny."),
+        when($"doc_id" % 4 === 0, lit("\nAnother good kept line!"))
+          .otherwise(lit("\ntrailing junk")))
+      val cleaned = graft.ops.TextOps.c4CleanLines(planted)
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(split(planted, "\n")).cast("long").as("n_lines"),
+          graft.ops.TextOps.c4KeptLineCount(planted).cast("long")
+            .as("n_kept"),
+          md5(cleaned.cast("binary")).as("cleaned_md5"),
+          length(cleaned).cast("long").as("cleaned_len"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- per-source quota cap (domain-contribution bound): top-40
+    //      docs per source by length, doc_id tie-break — WindowGroupLimit
+    //      keeps each group's materialization at its cap (plan-gated).
+    "q55_source_quota" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.ops.TextOps.capPerGroup(t(s, dir, "documents"), 40)
+        .select($"source", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
+        .orderBy($"source", $"rk")
     })
   )
 
@@ -344,6 +377,35 @@ object TextQueries {
         |SELECT lang, shard, count(*) AS n_docs,
         | CAST(sum(nt) AS BIGINT) AS n_tokens,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q54_c4_clean" ->
+      """WITH p AS (SELECT doc_id,
+        |   text || chr(10) || 'This sentence terminates properly.'
+        |        || chr(10) || 'no terminal punctuation here'
+        |        || chr(10) || 'Tiny.'
+        |        || CASE WHEN doc_id % 4 = 0
+        |           THEN chr(10) || 'Another good kept line!'
+        |           ELSE chr(10) || 'trailing junk' END AS pt
+        |  FROM documents),
+        | c AS (SELECT doc_id, pt,
+        |   array_to_string(list_filter(string_split(pt, chr(10)),
+        |     l -> regexp_matches(l, '[.!?]$')
+        |          AND len(string_split(l, ' ')) >= 3), chr(10)) AS cl
+        |  FROM p)
+        |SELECT doc_id,
+        | CAST(len(string_split(pt, chr(10))) AS BIGINT) AS n_lines,
+        | CAST(len(list_filter(string_split(pt, chr(10)),
+        |   l -> regexp_matches(l, '[.!?]$')
+        |        AND len(string_split(l, ' ')) >= 3)) AS BIGINT) AS n_kept,
+        | md5(cl) AS cleaned_md5,
+        | CAST(length(cl) AS BIGINT) AS cleaned_len
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q55_source_quota" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |   CAST(row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 40
+        |ORDER BY source, rk""".stripMargin
   )
 }

@@ -391,6 +391,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_events") === 1L)
   }
 
+  test("c4 line cleaning: terminal-punctuation + min-words rules, order preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A good first sentence.\nshort.\nno punct line\nKeep this one too!\nAnd a third good line?"),
+      (2L, "nothing survives here\nat all"),
+      (3L, "One single proper line.")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextOps.c4CleanLines($"text").as("cl"),
+        TextOps.c4KeptLineCount($"text").as("k"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("cl") ===
+      "A good first sentence.\nKeep this one too!\nAnd a third good line?")
+    assert(out(1L).getAs[Int]("k") === 3)
+    assert(out(2L).getAs[String]("cl") === "" &&
+      out(2L).getAs[Int]("k") === 0)
+    assert(out(3L).getAs[String]("cl") === "One single proper line.")
+  }
+
+  test("per-group quota cap: longest docs kept, doc_id tie-break, groups under the cap intact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", 100L), (2L, "s1", 300L), (3L, "s1", 300L), (4L, "s1", 50L),
+      (5L, "s2", 10L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = TextOps.capPerGroup(df, 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rk"))).toSet
+    // s1 cap 2: the two 300-char docs win, doc_id 2 ranks before 3
+    assert(out === Set(("s1", 2L, 1), ("s1", 3L, 2), ("s2", 5L, 1)))
+  }
+
   test("image quality filter: each planted defect rejected for its own rule, good image kept, corrupt survives") {
     import spark.implicits._
     def px(n: Int, f: Int => Int): Array[Byte] =

@@ -201,6 +201,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads more than (doc_id, lang): $readSchema")
   }
 
+  test("c4 cleaning is map-side: no exchange beyond the caller's orderBy, no UDF") {
+    val p = plan("q54_c4_clean")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"c4 cleaning shuffles:\n$p")
+    assert(!p.contains("ScalaUDF"),
+      s"c4 cleaning fell back to a UDF:\n$p")
+  }
+
+  test("source quota cap: WindowGroupLimit bounds each group's materialization") {
+    val p = plan("q55_source_quota")
+    // the rank<=n filter must push into the window sort so no source
+    // ever materializes beyond its cap — the 100 TB skew guard
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window:\n$p")
+  }
+
   test("shard packing: windows partition by lang — never a global single-partition window") {
     val p = plan("q53_shard_pack")
     assert(!p.contains("SinglePartition"),
