@@ -244,6 +244,53 @@ object TextQueries {
       graft.ops.TextOps.capPerGroup(t(s, dir, "documents"), 40)
         .select($"source", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
         .orderBy($"source", $"rk")
+    }),
+
+    // ---- the FULL pre-training curation pipeline as ONE declarative
+    //      plan, end-to-end DuckDB-oracle-checked: plant PII +
+    //      multi-line noise → C4 line cleaning → PII redaction →
+    //      min-token gate → exact dedup (keep-first) → per-source
+    //      quota cap → stratified language sampling → token-budget
+    //      shard packing → per-shard rollup. Every stage is one of the
+    //      library's curation operators; Catalyst fuses the map-side
+    //      stages (plant/clean/redact/gate) into one codegen'd
+    //      projection, and the whole chain carries exactly four
+    //      exchanges (md5 dedup window, source cap window, lang pack
+    //      window, final rollup) — the 100 TB shape.
+    "q56_full_pipeline" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ops = graft.ops.TextOps
+      val planted = concat($"text", lit(" properly ends."),
+        lit("\nReach admin"), ($"doc_id" % 50).cast("string"),
+        lit("@ex.com right now."),
+        lit("\nno terminal punctuation here"),
+        lit("\nCall +1-555-"),
+        lpad(($"doc_id" * 37 % 10000).cast("string"), 4, "0"),
+        lit(" today!"),
+        when($"doc_id" % 4 === 0,
+          lit("\nAn extra quality sentence appears here."))
+          .otherwise(lit("\nshort.")))
+      val red = ops.piiRedact(ops.c4CleanLines(planted))
+      val gated = t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source", red.as("text"))
+        .filter(size(split($"text", " ")) >= 20)
+      val dw = Window.partitionBy(md5($"text".cast("binary")))
+        .orderBy($"doc_id")
+      val deduped = gated.withColumn("rn", row_number().over(dw))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang", $"source", $"text",
+          length($"text").as("n_chars"))
+      val capped = ops.capPerGroup(deduped, 40).drop("rk", "n_chars")
+      val sampled = ops.sampleStratified(capped,
+        Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.75, "fr" -> 0.1,
+          "zh" -> 0.9)).drop("u")
+      ops.packShards(sampled, 1000L)
+        .groupBy($"lang", $"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          sum($"doc_id").as("sum_doc"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"lang", $"shard")
     })
   )
 
@@ -406,6 +453,51 @@ object TextQueries {
         |     ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
         |  FROM documents)
         |SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 40
-        |ORDER BY source, rk""".stripMargin
+        |ORDER BY source, rk""".stripMargin,
+    "q56_full_pipeline" ->
+      """WITH p AS (SELECT doc_id, lang, source,
+        |   text || ' properly ends.'
+        |    || chr(10) || 'Reach admin' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '@ex.com right now.'
+        |    || chr(10) || 'no terminal punctuation here'
+        |    || chr(10) || 'Call +1-555-'
+        |    || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0')
+        |    || ' today!'
+        |    || CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || 'An extra quality sentence appears here.'
+        |       ELSE chr(10) || 'short.' END AS pt
+        |  FROM documents),
+        | cl AS (SELECT doc_id, lang, source,
+        |   array_to_string(list_filter(string_split(pt, chr(10)),
+        |     l -> regexp_matches(l, '[.!?]$')
+        |          AND len(string_split(l, ' ')) >= 3), chr(10)) AS t
+        |  FROM p),
+        | red AS (SELECT doc_id, lang, source,
+        |   regexp_replace(regexp_replace(t,
+        |     '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |     '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS t
+        |  FROM cl),
+        | gate AS (SELECT * FROM red WHERE len(string_split(t, ' ')) >= 20),
+        | ded AS (SELECT *, row_number() OVER (PARTITION BY md5(t)
+        |     ORDER BY doc_id) AS rn FROM gate),
+        | ded2 AS (SELECT doc_id, lang, source, t, length(t) AS n_chars
+        |  FROM ded WHERE rn = 1),
+        | cap AS (SELECT *, row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id ASC) AS rk FROM ded2),
+        | cap2 AS (SELECT * FROM cap WHERE rk <= 40),
+        | samp AS (SELECT * FROM cap2
+        |  WHERE (doc_id * 2654435761 + 40503) % 1048576 / 1048576.0 <
+        |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |      WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.9
+        |      ELSE 0.0 END),
+        | tok AS (SELECT *, len(string_split(t, ' ')) AS nt FROM samp),
+        | sh AS (SELECT *, CAST(floor((sum(nt) OVER (PARTITION BY lang
+        |     ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt) / 1000)
+        |   AS BIGINT) AS shard FROM tok)
+        |SELECT lang, shard, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM sh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

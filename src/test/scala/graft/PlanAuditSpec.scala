@@ -217,6 +217,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank filter not pushed into the window:\n$p")
   }
 
+  test("full pipeline: four exchanges total — map stages fuse, rollup reuses the pack partitioning") {
+    val p = plan("q56_full_pipeline")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // allowed: md5 dedup window, source cap window, lang pack window,
+    // and at most one more for the rollup; the plant/clean/redact/gate
+    // stages must all fuse map-side (no exchange of their own)
+    assert(hashEx.size <= 4,
+      s"expected <=4 hash exchanges, got ${hashEx.size}:\n$p")
+    assert(!p.contains("ScalaUDF"),
+      s"pipeline fell back to a UDF:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"pipeline collapsed to a single partition:\n$p")
+  }
+
   test("shard packing: windows partition by lang — never a global single-partition window") {
     val p = plan("q53_shard_pack")
     assert(!p.contains("SinglePartition"),
