@@ -199,31 +199,41 @@ object TextOps {
     * re-join. Pure array expressions (`split`/`filter`/`array_join`)
     * — whole-stage codegen, map-side, zero shuffles: the shape of a
     * 100 TB cleaning pass. */
+  /** Split on `\r?\n` (not bare `\n`): real crawl text mixes CRLF and
+    * LF, a bare-`\n` split leaves a trailing `\r` on every line —
+    * which Java's `$` (match-before-final-line-terminator) would then
+    * still accept while RE2-family engines reject, AND which would
+    * leak into the "cleaned" output. Splitting both variants
+    * normalizes line endings to LF as a side effect. */
+  private val LineSplit = "\r?\n"
+
   def c4CleanLines(c: Column, minWords: Int = 3): Column =
     array_join(
-      filter(split(c, "\n"), l =>
+      filter(split(c, LineSplit), l =>
         l.rlike("[.!?]$") && size(split(l, " ")) >= minWords),
       "\n")
 
   /** Number of lines a [[c4CleanLines]] pass would keep (same
     * predicate, count instead of re-join). */
   def c4KeptLineCount(c: Column, minWords: Int = 3): Column =
-    size(filter(split(c, "\n"), l =>
+    size(filter(split(c, LineSplit), l =>
       l.rlike("[.!?]$") && size(split(l, " ")) >= minWords))
 
   // ---- per-group quota capping -----------------------------------------
 
   /** Per-source quota cap — the crawl-curation rule that bounds any
     * single domain's contribution to the corpus: keep at most `n`
-    * documents per group, preferring longer documents with doc_id as
-    * the deterministic tie-break. One hash exchange on the group
-    * column; `WindowGroupLimit` pushes the rank filter into the sort
-    * at plan level, so no group ever materializes beyond its top-n. */
+    * documents per group, preferring the highest `orderCol` (document
+    * length by default) with doc_id as the deterministic tie-break.
+    * One hash exchange on the group column; `WindowGroupLimit` pushes
+    * the rank filter into the sort at plan level, so no group ever
+    * materializes beyond its top-n. */
   def capPerGroup(docs: org.apache.spark.sql.DataFrame, n: Int,
-      groupCol: String = "source"): org.apache.spark.sql.DataFrame = {
+      groupCol: String = "source",
+      orderCol: String = "n_chars"): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .orderBy(col(orderCol).desc, col("doc_id").asc)
     docs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= n)
   }
@@ -277,15 +287,23 @@ object TextOps {
 
   // ---- deterministic stratified sampling -------------------------------
 
-  /** Uniform-in-[0,1) draw derived from an id column by pure 64-bit
-    * integer arithmetic (multiplicative hash into a 2^20 bucket, so
-    * the quotient is an exact binary fraction both engines represent
-    * identically). A production pipeline would plug the native
-    * xxhash64 here; the arithmetic form keeps the DuckDB oracle
-    * bit-exact without porting xxHash to SQL. */
+  /** Uniform-in-[0,1) draw derived from a NON-NEGATIVE id column by
+    * pure 64-bit integer arithmetic (two 20-bit lanes of the id, each
+    * multiplicatively mixed, folded into a 2^20 bucket — the quotient
+    * is an exact binary fraction both engines represent identically).
+    * Both lanes are masked to 20 bits BEFORE multiplying, so the
+    * largest intermediate is ~2^52 — no Int64 overflow for any id up
+    * to 2^63-1 in either engine (ANSI Spark and DuckDB both THROW on
+    * overflow; a naive `id * K` form dies at ids >= ~3.5e9, i.e.
+    * exactly at web-corpus scale). A production pipeline would plug
+    * the native xxhash64 here; the arithmetic form keeps the DuckDB
+    * oracle bit-exact without porting xxHash to SQL. */
   def uniformFromId(id: Column): Column =
-    pmod(id * lit(2654435761L) + lit(40503L), lit(1048576L))
-      .cast("double") / lit(1048576.0)
+    pmod(
+      id.bitwiseAND(lit(1048575L)) * lit(2654435761L) +
+        shiftright(id, 20).bitwiseAND(lit(1048575L)) * lit(998244353L) +
+        lit(40503L),
+      lit(1048576L)).cast("double") / lit(1048576.0)
 
   /** Deterministic stratified sampling for training-mixture
     * construction: keep a document iff its id-derived uniform draw

