@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over link-shaped edge tables. The
+  * connected-components family lives in [[DedupOps]] (dedup cluster
+  * resolution); this object holds rank-style iteration — the frontier
+  * prioritization signal a crawl scheduler feeds on (PageRank; Page et
+  * al. 1999, "The PageRank Citation Ranking").
+  */
+object GraphOps {
+
+  /** PageRank in FIXED-POINT integer arithmetic: ranks are `scale`-
+    * denominated micro-units (BIGINT), per-edge contributions are
+    * `floor(pr·d/(100·outdeg))` with damping `d`/100, and the damping
+    * base is `floor(scale·(100-d)/(100·n))`. Exact integer summation
+    * makes every iteration ORDER-INDEPENDENT — the result is
+    * bit-identical under any partitioning, shuffle order, or engine
+    * (a float PageRank's `sum(double)` drifts with aggregation order,
+    * which breaks cross-engine value oracles and run-to-run
+    * reproducibility at scale). Nodes without in-links settle at the
+    * damping base; dangling mass (nodes without out-links) is dropped,
+    * not redistributed — callers wanting the redistribution variant
+    * add a sink edge per dangling node.
+    *
+    * Scale shape: the per-iteration dataflow is one join of the
+    * (src, dst, outdeg) edge table against the rank vector plus one
+    * hash aggregation on dst — both shuffle on node id, so a
+    * pre-partitioned/bucketed edge table makes every iteration
+    * exchange-free on the edge side. The edge table is materialized
+    * ONCE up front (it is read `iters` times); ranks are O(nodes),
+    * never collected to the driver.
+    *
+    * `nodes` must carry an `id` column, `edges` must carry `src`/`dst`
+    * (self-loops and duplicate edges should be pre-filtered). Returns
+    * (id, pr) with `pr` in micro-units of `scale`. */
+  def pageRankFixedPoint(nodes: DataFrame, edges: DataFrame, iters: Int,
+      nNodes: Long, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && nNodes >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = DedupOps.materialize(
+      edges.join(outdeg, "src").select(col("src"), col("dst"), col("outdeg")))
+    val base = math.floor(
+      scale.toDouble * (100 - dampingPct) / (100.0 * nNodes)).toLong
+    var pr = nodes.select(col("id"),
+      lit(math.floor(scale.toDouble / nNodes).toLong).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("pid"), col("pr")),
+          col("src") === col("pid"))
+        .select(col("dst"),
+          floor(col("pr") * lit(dampingPct.toDouble) /
+            (lit(100.0) * col("outdeg"))).cast("long").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      pr = nodes.select(col("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("pr"))
+    }
+    pr
+  }
+
+  /** Deterministic web-shaped edge list derived from consecutive node
+    * ids `[0, n)` by pure integer arithmetic (the sandbox stand-in for
+    * a harvested link graph — no external data): 2-4 out-links per
+    * node plus a 10-hub backbone, self-loops and duplicates removed.
+    * Expressible identically in any SQL engine, so a value oracle can
+    * rebuild the exact same edge set. */
+  def syntheticEdges(nodes: DataFrame, n: Long,
+      idCol: String = "id"): DataFrame = {
+    val id = col(idCol)
+    val cand = array(
+      (id * 7 + 3) % n,
+      when(id % 2 === 0, (id * 13 + 5) % n),
+      when(id % 5 === 0, (id * 31 + 11) % n),
+      id % 10)
+    nodes.select(id.as("src"),
+      explode(filter(array_distinct(cand),
+        d => d.isNotNull && d =!= id)).as("dst"))
+  }
+}

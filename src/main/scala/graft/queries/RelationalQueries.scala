@@ -418,6 +418,21 @@ object RelationalQueries {
           max(unix_micros($"ts".cast("timestamp"))).as("end_us"),
           round(sum($"value"), 2).as("total_value"))
         .orderBy($"user_id", $"sess")
+    }),
+
+    // ---- fixed-point PageRank (5 iterations) over a deterministic
+    //      web-shaped link graph derived from the documents table:
+    //      exact integer micro-units make every iteration order-
+    //      independent, so DuckDB re-derives the full rank vector
+    //      bit-for-bit through five unrolled CTE iterations.
+    "q57_pagerank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val edges = graft.ops.GraphOps.syntheticEdges(docs, n)
+      graft.ops.GraphOps.pageRankFixedPoint(docs, edges, 5, n)
+        .select($"id".as("doc_id"), $"pr")
+        .orderBy($"doc_id")
     })
   )
 
@@ -622,6 +637,58 @@ object RelationalQueries {
         | CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
         | CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
         | round(sum(value), 2) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q57_pagerank" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | raw AS (SELECT id,
+        |   unnest(list_filter(list_distinct([
+        |     (id*7+3) % (SELECT n FROM nn),
+        |     CASE WHEN id % 2 = 0 THEN (id*13+5) % (SELECT n FROM nn) END,
+        |     CASE WHEN id % 5 = 0 THEN (id*31+11) % (SELECT n FROM nn) END,
+        |     id % 10]),
+        |    d -> d IS NOT NULL AND d <> id)) AS dst
+        |  FROM nodes),
+        | od AS (SELECT id AS src, count(*) AS outdeg FROM raw GROUP BY 1),
+        | e AS (SELECT raw.id AS src, raw.dst, od.outdeg
+        |   FROM raw JOIN od ON raw.id = od.src),
+        | p0 AS (SELECT id, CAST(floor(1000000000000.0 /
+        |     (SELECT n FROM nn)) AS BIGINT) AS pr FROM nodes),
+        | i1 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN p0 p ON e.src = p.id GROUP BY 1),
+        | p1 AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+        |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+        |     + coalesce(i1.inflow, 0) AS pr
+        |   FROM nodes LEFT JOIN i1 ON nodes.id = i1.dst),
+        | i2 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN p1 p ON e.src = p.id GROUP BY 1),
+        | p2 AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+        |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+        |     + coalesce(i2.inflow, 0) AS pr
+        |   FROM nodes LEFT JOIN i2 ON nodes.id = i2.dst),
+        | i3 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN p2 p ON e.src = p.id GROUP BY 1),
+        | p3 AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+        |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+        |     + coalesce(i3.inflow, 0) AS pr
+        |   FROM nodes LEFT JOIN i3 ON nodes.id = i3.dst),
+        | i4 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN p3 p ON e.src = p.id GROUP BY 1),
+        | p4 AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+        |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+        |     + coalesce(i4.inflow, 0) AS pr
+        |   FROM nodes LEFT JOIN i4 ON nodes.id = i4.dst),
+        | i5 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN p4 p ON e.src = p.id GROUP BY 1),
+        | p5 AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+        |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+        |     + coalesce(i5.inflow, 0) AS pr
+        |   FROM nodes LEFT JOIN i5 ON nodes.id = i5.dst)
+        |SELECT id AS doc_id, pr FROM p5 ORDER BY doc_id""".stripMargin
   )
 }

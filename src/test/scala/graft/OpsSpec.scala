@@ -501,6 +501,38 @@ class OpsSpec extends AnyFunSuite {
       s"en realized rate ${enKept / en} far from 0.5")
   }
 
+  test("fixed-point pagerank: 3-cycle fixed point exact, hubs dominate, partition-invariant") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // 0→1→2→0, outdeg 1 each: pr0 = floor(1e12/3) = 333333333333;
+    // contribution = floor(pr·85/100) = 283333333333; base =
+    // floor(1e12·15/300) = 50000000000 → pr stays 333333333333 forever
+    val cyc = Seq(0L, 1L, 2L).toDF("id")
+    val cycE = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val fixed = GraphOps.pageRankFixedPoint(cyc, cycE, 3, 3L).collect()
+    assert(fixed.forall(_.getAs[Long]("pr") === 333333333333L),
+      s"3-cycle fixed point broken: ${fixed.toSeq}")
+    // synthetic web graph: the 10 hub nodes out-rank the field, and
+    // the rank vector is bit-identical under a different partitioning
+    val nodes = spark.range(200).toDF("id")
+    val edges = GraphOps.syntheticEdges(nodes, 200L)
+    val pr1 = GraphOps.pageRankFixedPoint(nodes, edges, 5, 200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr2 = GraphOps.pageRankFixedPoint(
+        nodes.repartition(7, col("id")),
+        edges.repartition(5, col("dst")), 5, 200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr1 === pr2, "rank vector not partition-invariant")
+    val hubAvg = (0L until 10L).map(pr1).sum / 10.0
+    val fieldAvg = (10L until 200L).map(pr1).sum / 190.0
+    assert(hubAvg > 2 * fieldAvg,
+      s"hub backbone not dominant: $hubAvg vs $fieldAvg")
+    // mass is conserved up to per-edge floor loss: never above scale,
+    // never below the pure-damping floor
+    val total = pr1.values.sum
+    assert(total <= 1000000000000L && total >= 150000000000L)
+  }
+
   test("uniform draw: web-scale ids neither overflow nor collide across 2^20 strides") {
     import spark.implicits._
     // ids past 3.5e9 overflow a naive id*K mixer under ANSI; the
