@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnOps, DedupOps, MultimodalOps, TextOps}
+import graft.ops.{AnnOps, DedupOps, MultimodalOps, SemDedup, SubstringDedup, TextOps}
 
 /** Training-data pipeline queries (dedup / ANN / text analysis /
   * multimodal). Hash-based signatures are not SQL-expressible in
@@ -71,6 +71,31 @@ object OpsQueries {
       graft.fetch.ImageCodec.encode(out, iw, ih, "jpeg")
     } catch { case _: Exception => null }
   })
+
+  /** Ten artificial tokens no natural document contains — the planted
+    * paragraph of the exact-substring gates. Boundary windows (mixing
+    * a doc's own tail tokens with the paragraph's head) stay unique
+    * across the planted docs because the 8 lowest doc_ids carry
+    * distinct 7-token tails at every SF (verified in TESTDATA). */
+  private val substrPara: String =
+    (0 until 10).map(i => s"graftdup$i").mkString(" ")
+
+  /** The corpus with ` uqq<doc_id> ` + `substrPara` appended to the 8
+    * lowest doc_ids — a known duplicated region of exactly 10 tokens
+    * whose char offset DuckDB re-derives from the raw table. The
+    * per-doc `uqq<doc_id>` buffer token makes every LEFT-boundary
+    * window (doc tail tokens + paragraph head) unique per doc: without
+    * it, two planted docs sharing even their single last word would
+    * extend the merged span before the paragraph and break the
+    * recovery gate's literal offsets (observed at sf0.001/sf0.1). */
+  private def withPlantedPara(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val low = d.orderBy("doc_id").limit(8)
+      .withColumn("text", concat(col("text"), lit(" uqq"),
+        col("doc_id").cast("string"), lit(" " + substrPara)))
+    d.join(low.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(low)
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -764,6 +789,89 @@ object OpsQueries {
       s.read.parquet(path)
         .select(col("image_id"), col("fmt"), col("decoded"), col("keep"))
         .orderBy(col("image_id"))
+    }),
+
+    // SemDeDup (ops/SemDedup.scala) precision gate — the emb_prec
+    // pattern: 10 planted exact copies guarantee a non-empty pair set
+    // (identical vectors share a k-means cell under ANY centroid
+    // outcome), and DuckDB re-scores EVERY emitted pair's cosine from
+    // the raw embeddings — a false pair, a wrong cell-join, or a wrong
+    // dot kernel all fail the row compare.
+    "semdedup_precision" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val copies = e.orderBy("vec_id").limit(10)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val pairs = SemDedup.semanticPairs(e.unionByName(copies),
+        "vec_id", "embedding", threshold = 0.999, nlist = 16)
+      val nVecs = e.count()
+      val path = s"$gateFxBase/semdedup_prec/sf_$nVecs"
+      pairs.withColumn("n_vecs", lit(nVecs))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          round(col("cosine") * 1e6).cast("long").as("cos_x1e6"))
+        .withColumn("ge_threshold", lit(true))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup end to end on a CONSTRUCTED corpus whose ground truth
+    // is centroid-independent (SemDedupSpec proves why): 4 orthogonal
+    // direction groups of 3 exact copies plus 4 singletons — survivors
+    // are each group's lowest id + every singleton, a pure literal for
+    // DuckDB. Pins quantizer → cell join → pairs → connected
+    // components → keep-first survivors in one row compare.
+    "semdedup_planted_survivors" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val rows = (for { g <- 0 until 4; c <- 0 until 3 } yield {
+        val v = Array.fill(8)(0f); v(g) = 1f + g * 0.25f
+        (g * 10L + c, v.toSeq)
+      }) ++ (for (k <- 0 until 4) yield {
+        val v = Array.fill(8)(0.1f * (k + 1)); v(4 + k) = 2f
+        (100L + k, v.toSeq)
+      })
+      val corpus = rows.toDF("id", "vec")
+      SemDedup.semanticDedup(corpus.select("id"), "id",
+          corpus, "id", "vec", threshold = 0.999, nlist = 4)
+        .select(col("id")).orderBy("id")
+    }),
+
+    // Exact-substring dedup (ops/SubstringDedup.scala) as a ROW-WISE
+    // parity gate: every duplicated-window occurrence Spark emits is
+    // re-derived by DuckDB — it rebuilds the planted corpus, extracts
+    // each claimed window's text by the claimed offsets with substr,
+    // regroups by that text, and recomputes n_occ and the keep-first
+    // flag. A wrong offset changes the extracted text and breaks the
+    // regrouping; a missed or phantom occurrence breaks the counts.
+    "substring_spans_parity" -> ((s: SparkSession, dir: String) => {
+      val planted = withPlantedPara(s, dir)
+      val nDocs = docs(s, dir).count()
+      val path = s"$gateFxBase/substr_windows/sf_$nDocs"
+      SubstringDedup.duplicateWindows(planted, "doc_id", "text", w = 8)
+        .withColumn("n_docs", lit(nDocs))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("id"), col("start"), col("stop"), col("n_occ"),
+          col("keep"))
+        .orderBy("id", "start")
+    }),
+
+    // Exact-substring RECALL as a fully independent oracle: the merged
+    // remove-spans inside the planted region must be exactly one span
+    // per non-keeper planted doc covering the whole paragraph — DuckDB
+    // derives the expected rows from the raw documents table alone
+    // (offset = length(text)+1), never looking at Spark's output.
+    "substring_planted_recovery" -> ((s: SparkSession, dir: String) => {
+      val planted = withPlantedPara(s, dir)
+      val spans = SubstringDedup.duplicateSpans(planted, "doc_id",
+        "text", w = 8)
+      val lens = docs(s, dir).select(col("doc_id").as("id"),
+        length(col("text")).as("orig_len"))
+      spans.join(lens, Seq("id"))
+        .filter(col("start") >= col("orig_len"))
+        .select(col("id"), col("start").cast("long").as("start"),
+          col("stop").cast("long").as("stop"))
+        .orderBy("id")
     })
   )
 
@@ -1133,6 +1241,75 @@ object OpsQueries {
         |   greatest(dec_w, dec_h) * 1.0 / least(dec_w, dec_h) <= 3.0 AND
         |   px_std >= 5.0, false) AS keep
         |FROM '/tmp/graft_gate_fx/imgqual/*.parquet'
-        |ORDER BY image_id""".stripMargin
+        |ORDER BY image_id""".stripMargin,
+    // re-scores every SemDeDup pair by exact double cosine from the
+    // raw embeddings (planted copies map back to their source vector)
+    "semdedup_precision" ->
+      """WITH p AS (SELECT id_a, id_b
+        |  FROM '/tmp/graft_gate_fx/semdedup_prec/*/*.parquet'
+        |  WHERE n_vecs = (SELECT count(*) FROM embeddings)),
+        | e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | scored AS (SELECT p.id_a, p.id_b,
+        |   round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0
+        |     ELSE list_dot_product(a.v, b.v) /
+        |       (sqrt(list_dot_product(a.v, a.v)) *
+        |        sqrt(list_dot_product(b.v, b.v))) END, 6) AS cosine
+        |  FROM p
+        |  JOIN e a ON a.vec_id = CASE WHEN p.id_a >= 1000000
+        |    THEN p.id_a - 1000000 ELSE p.id_a END
+        |  JOIN e b ON b.vec_id = CASE WHEN p.id_b >= 1000000
+        |    THEN p.id_b - 1000000 ELSE p.id_b END)
+        |SELECT id_a, id_b,
+        | CAST(round(cosine * 1e6) AS BIGINT) AS cos_x1e6,
+        | CAST(round(cosine * 1e6) AS BIGINT) >= 999000 AS ge_threshold
+        |FROM scored ORDER BY id_a, id_b""".stripMargin,
+    // the constructed-corpus survivor set is a pure literal: each
+    // exact-copy group's lowest id plus the four singletons
+    "semdedup_planted_survivors" ->
+      """SELECT CAST(id AS BIGINT) AS id FROM (VALUES
+        | (0), (10), (20), (30), (100), (101), (102), (103)) t(id)
+        |ORDER BY id""".stripMargin,
+    // rebuilds the planted corpus, extracts every claimed window by
+    // its claimed offsets, regroups by the extracted TEXT, and
+    // recomputes occurrence counts and keep-first flags — the staged
+    // n_occ/keep columns themselves are NOT read
+    "substring_spans_parity" ->
+      ("""WITH low AS (SELECT doc_id FROM documents
+        |  ORDER BY doc_id LIMIT 8),
+        | d AS (SELECT doc_id, CASE WHEN doc_id IN
+        |    (SELECT doc_id FROM low)
+        |   THEN text || ' uqq' || CAST(doc_id AS VARCHAR) || ' """ +
+        (0 until 10).map(i => s"graftdup$i").mkString(" ") +
+        """' ELSE text END AS text FROM documents),
+        | st AS (SELECT id, start, stop
+        |  FROM '/tmp/graft_gate_fx/substr_windows/*/*.parquet'
+        |  WHERE n_docs = (SELECT count(*) FROM documents)),
+        | j AS (SELECT st.id, st.start, st.stop,
+        |   substr(d.text, st.start + 1, st.stop - st.start) AS sub
+        |  FROM st JOIN d ON d.doc_id = st.id),
+        | g AS (SELECT id, start, stop,
+        |   count(*) OVER (PARTITION BY sub) AS n_occ,
+        |   (row_number() OVER (PARTITION BY sub ORDER BY id, start) = 1)
+        |     AS keep
+        |  FROM j)
+        |SELECT id, start, stop, CAST(n_occ AS BIGINT) AS n_occ, keep
+        |FROM g ORDER BY id, start""").stripMargin,
+    // fully independent recall ground truth: one span per non-keeper
+    // planted doc, covering exactly the appended paragraph — derived
+    // from the raw documents table alone (never from Spark's output)
+    "substring_planted_recovery" ->
+      ("""WITH low AS (SELECT doc_id,
+        |   length(text || ' uqq' || CAST(doc_id AS VARCHAR) || ' ')
+        |     AS pfx
+        |  FROM documents ORDER BY doc_id LIMIT 8)
+        |SELECT doc_id AS id, CAST(pfx AS BIGINT) AS start,
+        | CAST(pfx + length('""" +
+        (0 until 10).map(i => s"graftdup$i").mkString(" ") +
+        """') AS BIGINT) AS stop
+        |FROM low WHERE doc_id > (SELECT min(doc_id) FROM low)
+        |ORDER BY id""").stripMargin
   )
 }
