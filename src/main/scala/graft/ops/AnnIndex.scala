@@ -191,4 +191,66 @@ object AnnIndex {
       .reduce(_.unionByName(_))
     AnnOps.topKByCell(qs, index.filter(col("cl").isin(cells: _*)), k)
   }
+
+  /** Incremental SemDeDup probe — the semantic complement of
+    * [[DedupIndex.probePairs]]: near-dup pairs `(id_a, id_b, cl,
+    * cosine)` with cosine ≥ threshold and a shared FROZEN-quantizer
+    * cell, between the batch and EVERYTHING indexed plus within the
+    * batch itself — without re-clustering or re-scoring the settled
+    * corpus. The batch's cell set is collected (≤ nlist values), so
+    * only those cells' partition directories are ever read (the same
+    * static pruning [[topK]] proves in its plan); per-pair scoring is
+    * the codegen cosine over the index's PRECOMPUTED norms — a settled
+    * vector's norm is computed once at append time, ever.
+    *
+    * Bit-identical to [[SemDedup.semanticPairsFrozen]] on the same
+    * frozen centroids over indexed ∪ batch restricted to
+    * batch-touching pairs (cosine symmetry makes pair orientation
+    * score-stable) — the parity the `semdedup_index_parity` oracle
+    * gate replays. Batch ids must be disjoint from indexed ids, the
+    * table contract shared by every index here. Read-only: the caller
+    * decides when to [[append]] the batch (runId-guarded). */
+  def probePairs(batch: DataFrame, dir: String,
+      threshold: Double = 0.95): DataFrame = {
+    val m = readMeta(dir).getOrElse(throw new IllegalStateException(
+      s"no ANN index at $dir"))
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val centroids = readCentroids(spark, dir)
+    val b = DedupOps.materialize(batch.select(col("cid"), col("cv"))
+      .withColumn("cl", AnnOps.assignCell(batch, "cv", centroids))
+      .withColumn("cnorm",
+        graft.functions.VecExpressions.vec_norm($"cv")))
+    def scored(j: DataFrame): DataFrame = j
+      .withColumn("cosine",
+        round(graft.functions.VecExpressions.vec_cosine(
+          $"va", $"vb", $"na", $"nb"), 6))
+      .filter($"cosine" >= threshold)
+      .select($"id_a", $"id_b", $"cl", $"cosine")
+    val within = scored(
+      b.select($"cid".as("id_a"), $"cv".as("va"), $"cnorm".as("na"),
+          $"cl")
+        .join(b.select($"cid".as("id_b"), $"cv".as("vb"),
+          $"cnorm".as("nb"), $"cl"), Seq("cl"))
+        .filter($"id_a" < $"id_b"))
+    if (m.deltas.isEmpty) return within
+    val cells = b.select("cl").distinct().collect()
+      .map(r => Int.box(r.getInt(0))).toSeq
+    val idx = m.deltas
+      .map(d => spark.read.option("basePath", s"$dir/$d")
+        .parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+      .filter(col("cl").isin(cells: _*))
+    // cross pairs: orientation by id (cosine is symmetric — dot and
+    // norm products commute bit-exactly, so flipping sides never
+    // changes the rounded score)
+    val cross = scored(
+      idx.select($"cid".as("iid"), $"cv".as("va"), $"cnorm".as("na"),
+          $"cl")
+        .join(b.select($"cid".as("bid"), $"cv".as("vb"),
+          $"cnorm".as("nb"), $"cl"), Seq("cl"))
+        .withColumn("id_a", least($"iid", $"bid"))
+        .withColumn("id_b", greatest($"iid", $"bid")))
+    cross.unionByName(within)
+  }
 }

@@ -49,10 +49,20 @@ object SemDedup {
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 16,
       iters: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val cands = df.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val centroids = AnnOps.trainCentroids(cands, nlist, iters)
+    semanticPairsFrozen(cands,
+      AnnOps.trainCentroids(cands, nlist, iters), threshold)
+  }
+
+  /** [[semanticPairs]] against an ALREADY-TRAINED quantizer — the
+    * shared core for the per-call form above and the persisted-index
+    * incremental probe ([[AnnIndex.probePairs]], which must reproduce
+    * this exactly on the frozen centroids for its parity oracle).
+    * `cands` carries (cid, cv). */
+  private[graft] def semanticPairsFrozen(cands: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
     // norms once per row map-side; the per-pair verify below is then a
     // single native codegen dot product
     val cells = cands

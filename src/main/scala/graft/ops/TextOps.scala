@@ -352,4 +352,91 @@ object TextOps {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget)
           .cast("long"))
   }
+
+  // ---- Gopher document-level quality rules ------------------------------
+
+  /** The Gopher stop-word set (Rae et al., arXiv:2112.11446, A1.1):
+    * a document must contain at least two of these. */
+  private[graft] val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher document-level quality-rule battery (Rae et al.,
+    * arXiv:2112.11446, Appendix A1.1) as ONE map-side pass of pure
+    * array/string expressions — no UDF, whole-stage codegen, nothing
+    * shuffles. Seven rules, each evaluated by INTEGER comparison so
+    * the booleans are bit-exact across engines (no float thresholds):
+    *
+    *   r_word_count     minWords ≤ words ≤ maxWords
+    *   r_mean_word_len  3 ≤ Σlen/words ≤ 10     ⟺ 3n ≤ Σlen ≤ 10n
+    *   r_symbol_ratio   (#'#' + #'...' + #'…')/words ≤ 0.1
+    *                                             ⟺ 10·symbols ≤ n
+    *   r_bullet         lines starting with a bullet ≤ 90 %
+    *                                             ⟺ 10·bullets ≤ 9·lines
+    *   r_ellipsis       lines ending with an ellipsis ≤ 30 %
+    *                                             ⟺ 10·ell ≤ 3·lines
+    *   r_alpha          words containing [A-Za-z] ≥ 80 %
+    *                                             ⟺ 5·alpha ≥ 4·words
+    *   r_stop           ≥ 2 DISTINCT [[gopherStopWords]] present
+    *
+    * Words are maximal non-empty whitespace-split runs (empties from
+    * leading/trailing whitespace dropped on both engines identically).
+    * Emits the raw integer counts alongside the rule booleans and the
+    * conjunction `keep`, so an oracle can re-derive every decision
+    * from the text alone. Documents with zero words fail every
+    * ratio rule by definition (guarded denominators). */
+  def gopherQualityRules(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val lines = split(t, "\n")
+    def occurrences(needle: String, len: Int): Column =
+      ((length(t) - length(regexp_replace(t,
+        java.util.regex.Pattern.quote(needle), ""))) / len).cast("long")
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(words, lit(0L), (a, w) => a + length(w)))
+      .withColumn("n_symbols",
+        occurrences("#", 1) + occurrences("...", 3) + occurrences("…", 1))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+          .cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stop_words",
+        size(array_intersect(
+          array_distinct(transform(words, w => lower(w))),
+          array(gopherStopWords.map(lit): _*))).cast("long"))
+      .withColumn("r_word_count",
+        col("n_words").between(minWords.toLong, maxWords.toLong))
+      .withColumn("r_mean_word_len",
+        col("n_words") > 0 &&
+          col("sum_word_len") >= col("n_words") * 3 &&
+          col("sum_word_len") <= col("n_words") * 10)
+      .withColumn("r_symbol_ratio",
+        col("n_words") > 0 && col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("r_bullet",
+        col("n_bullet_lines") * 10 <= col("n_lines") * 9)
+      .withColumn("r_ellipsis",
+        col("n_ellipsis_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("r_alpha",
+        col("n_words") > 0 &&
+          col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("n_stop_words") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet") &&
+          col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+      .select(col(idCol), col("n_words"), col("sum_word_len"),
+        col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("n_alpha_words"),
+        col("n_stop_words"), col("r_word_count"),
+        col("r_mean_word_len"), col("r_symbol_ratio"), col("r_bullet"),
+        col("r_ellipsis"), col("r_alpha"), col("r_stop"), col("keep"))
+  }
 }

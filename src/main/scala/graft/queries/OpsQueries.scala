@@ -72,6 +72,26 @@ object OpsQueries {
     } catch { case _: Exception => null }
   })
 
+  /** Planted Gopher-rule probes: one doc per rule, each violating
+    * exactly the failure mode its comment names (several also trip
+    * secondary rules — irrelevant: the gate checks row-wise parity of
+    * every count and flag, not keep rates). Defined ONCE here; the
+    * oracle SQL's VALUES clause is generated from this same Seq, so
+    * Spark and DuckDB derive their answers from identical text. */
+  private[graft] val gopherPlanted: Seq[(Long, String)] = {
+    val good = Seq.fill(4)("the quick brown fox jumps over that lazy " +
+      "dog with some vigor and speed").mkString(" ")
+    Seq(
+      9000001L -> good, // passes all seven rules
+      9000002L -> "the word list is here the word list is here", // <50 words
+      9000003L -> "### of the data ### with more #", // symbol ratio
+      9000004L -> "- the item one\n- the item two\n- the item three", // bullets
+      9000005L -> "the end...\nthe wait…\nall of that is done", // ellipsis
+      9000006L -> "111 222 333 444 555 666 777 888", // no alpha words
+      9000007L -> ("extraordinarily sophisticated implementations " +
+        "notwithstanding incomprehensibilities")) // mean word len > 10
+  }
+
   /** Ten artificial tokens no natural document contains — the planted
     * paragraph of the exact-substring gates. Boundary windows (mixing
     * a doc's own tail tokens with the paragraph's head) stay unique
@@ -872,6 +892,57 @@ object OpsQueries {
         .select(col("id"), col("start").cast("long").as("start"),
           col("stop").cast("long").as("stop"))
         .orderBy("id")
+    }),
+
+    // Incremental SemDeDup (AnnIndex.probePairs) parity gate, the
+    // ann_index_parity pattern: build the index on the settled 80%,
+    // probe the remaining 20% plus planted copies (two copies of five
+    // base vectors — guaranteed cross-index AND within-batch pairs at
+    // cosine 1.0 in the copies' frozen cells); the STAGED side is the
+    // full SemDeDup recompute on the SAME frozen quantizer over
+    // base ∪ batch restricted to batch-touching pairs, which DuckDB
+    // replays — any probe/recompute divergence (assignment, pruning,
+    // stored-norm drift, orientation) fails the row compare.
+    "semdedup_index_parity" -> ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id").as("cid"),
+        col("embedding").as("cv"))
+      val base = e.filter(col("cid") % 5 =!= 0)
+      val copies1 = base.orderBy("cid").limit(5)
+        .withColumn("cid", col("cid") + lit(1000000L))
+      val copies2 = base.orderBy("cid").limit(5)
+        .withColumn("cid", col("cid") + lit(2000000L))
+      val batch = e.filter(col("cid") % 5 === 0)
+        .unionByName(copies1).unionByName(copies2)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-semidx-gate").toString
+      graft.ops.AnnIndex.build(base, idxDir, nlist = 16, iters = 2)
+      val frozen = graft.ops.AnnIndex.readCentroids(s, idxDir)
+      val full = SemDedup.semanticPairsFrozen(
+          base.unionByName(batch), frozen, threshold = 0.999)
+        .join(batch.select(col("cid").as("bid")),
+          col("id_a") === col("bid") || col("id_b") === col("bid"),
+          "left_semi")
+      val nVecs = emb(s, dir).count()
+      val path = s"$gateFxBase/semidx/sf_$nVecs"
+      full.withColumn("n_vecs", lit(nVecs))
+        .write.mode("overwrite").parquet(path)
+      graft.ops.AnnIndex.probePairs(batch, idxDir, threshold = 0.999)
+        .select(col("id_a"), col("id_b"), col("cl"),
+          round(col("cosine") * 1e6).cast("long").as("cos_x1e6"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // The full Gopher quality-rule battery (TextOps.gopherQualityRules)
+    // as a two-sided exact derivation: no staging — DuckDB recomputes
+    // every count and every rule boolean from the text itself (all
+    // rules are integer comparisons, so cross-engine equality is
+    // structural, not float-lucky). The planted probes (one per rule)
+    // guarantee each failure mode appears at every SF.
+    "q58_gopher_rules" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(gopherPlanted.toDF("doc_id", "text"))
+      TextOps.gopherQualityRules(corpus).orderBy("doc_id")
     })
   )
 
@@ -1310,6 +1381,67 @@ object OpsQueries {
         (0 until 10).map(i => s"graftdup$i").mkString(" ") +
         """') AS BIGINT) AS stop
         |FROM low WHERE doc_id > (SELECT min(doc_id) FROM low)
-        |ORDER BY id""").stripMargin
+        |ORDER BY id""").stripMargin,
+    // replays the staged frozen-quantizer full recompute — the
+    // incremental probe must match it pair-for-pair, cosines included
+    "semdedup_index_parity" ->
+      """SELECT id_a, id_b, cl,
+        | CAST(round(cosine * 1e6) AS BIGINT) AS cos_x1e6
+        |FROM '/tmp/graft_gate_fx/semidx/*/*.parquet'
+        |WHERE n_vecs = (SELECT count(*) FROM embeddings)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // two-sided exact derivation: DuckDB rebuilds the corpus (same
+    // planted literals — generated from the same Seq) and recomputes
+    // every count and integer-comparison rule from the text alone
+    "q58_gopher_rules" -> {
+      val values = gopherPlanted
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      (s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES $values) pl(doc_id, text)),
+        | feat AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '\\s+'),
+        |     w -> len(w) > 0) AS words,
+        |   string_split(text, chr(10)) AS lines,
+        |   (len(text) - len(replace(text, '#', ''))) +
+        |    (len(text) - len(replace(text, '...', ''))) // 3 +
+        |    (len(text) - len(replace(text, '…', ''))) AS n_symbols
+        |  FROM corpus),
+        | cnt AS (SELECT doc_id,
+        |   CAST(len(words) AS BIGINT) AS n_words,
+        |   CAST(coalesce(list_sum(list_transform(words,
+        |     w -> len(w))), 0) AS BIGINT) AS sum_word_len,
+        |   CAST(n_symbols AS BIGINT) AS n_symbols,
+        |   CAST(len(lines) AS BIGINT) AS n_lines,
+        |   CAST(len(list_filter(lines, l ->
+        |     regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT)
+        |     AS n_bullet_lines,
+        |   CAST(len(list_filter(lines, l ->
+        |     regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT)
+        |     AS n_ellipsis_lines,
+        |   CAST(len(list_filter(words, w ->
+        |     regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |   CAST(len(list_intersect(list_distinct(list_transform(words,
+        |     w -> lower(w))), ['the','be','to','of','and','that',
+        |     'have','with'])) AS BIGINT) AS n_stop_words
+        |  FROM feat),
+        | rules AS (SELECT *,
+        |   n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |   n_words > 0 AND sum_word_len >= n_words * 3 AND
+        |     sum_word_len <= n_words * 10 AS r_mean_word_len,
+        |   n_words > 0 AND n_symbols * 10 <= n_words AS r_symbol_ratio,
+        |   n_bullet_lines * 10 <= n_lines * 9 AS r_bullet,
+        |   n_ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis,
+        |   n_words > 0 AND n_alpha_words * 5 >= n_words * 4 AS r_alpha,
+        |   n_stop_words >= 2 AS r_stop
+        |  FROM cnt)
+        |SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines,
+        | n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_words,
+        | r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet,
+        | r_ellipsis, r_alpha, r_stop,
+        | r_word_count AND r_mean_word_len AND r_symbol_ratio AND
+        |  r_bullet AND r_ellipsis AND r_alpha AND r_stop AS keep
+        |FROM rules ORDER BY doc_id""").stripMargin
+    }
   )
 }

@@ -336,6 +336,55 @@ object StreamingCrawl {
     } finally cached.unpersist()
   }
 
+  /** Streaming SEMANTIC curation over an embedding stream, backed by
+    * the persisted IVF index ([[graft.ops.AnnIndex]] — `build()` it on
+    * the settled corpus before starting): per micro-batch,
+    *
+    *   1. probe the frozen-quantizer index — cross-batch AND
+    *      within-batch semantic near-dup pairs
+    *      ([[graft.ops.AnnIndex.probePairs]]);
+    *   2. write the pairs under the batch's own dir (Overwrite → a
+    *      replayed batch rewrites identical content, idempotent;
+    *      pairs land BEFORE the append commits, so a crash between
+    *      the two replays the whole batch rather than losing pairs);
+    *   3. append the batch's vectors, runId-guarded (a replayed
+    *      foreachBatch must not re-append — self-pairing);
+    *   4. when `compactEvery > 0` and the delta chain reaches it,
+    *      [[graft.ops.AnnIndex.compact]] folds it (probe results are
+    *      bit-identical — the frozen centroids never move).
+    *
+    * Unlike [[dedupIndexBatch]] there is NO side corpus to maintain:
+    * the index itself carries the vectors with their append-time
+    * norms, so a settled embedding is never re-read, re-assigned or
+    * re-normed by any future batch. State is bounded by index bytes
+    * (vector + norm per doc) — the semantic complement of the
+    * signature sink above. Every intermediate the probe pins is
+    * released per invocation ([[graft.ops.DedupOps
+    * .withMaterializeScope]]). Batch schema: (cid, cv). Use as
+    * `.foreachBatch(semanticIndexBatch(idx, pairs, "run") _)`. */
+  def semanticIndexBatch(indexDir: String, pairsDir: String,
+      runTag: String, threshold: Double = 0.95, compactEvery: Int = 0)(
+      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val runId = s"$runTag-batch-$batchId"
+    val m = graft.ops.AnnIndex.readMeta(indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no ANN index at $indexDir — AnnIndex.build() it before " +
+          "starting"))
+    if (m.committedRunIds.contains(runId)) return // full replay
+    val cached = batch.persist()
+    try graft.ops.DedupOps.withMaterializeScope {
+      if (!cached.isEmpty) {
+        graft.ops.AnnIndex.probePairs(cached, indexDir, threshold)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$pairsDir/batch-$batchId")
+        graft.ops.AnnIndex.append(cached, indexDir, runId)
+        if (compactEvery > 0 && graft.ops.AnnIndex.readMeta(indexDir)
+            .exists(_.deltas.size >= compactEvery))
+          graft.ops.AnnIndex.compact(indexDir)
+      }
+    } finally cached.unpersist()
+  }
+
   /** Streaming keep-first URL dedup with BOUNDED state:
     * `dropDuplicatesWithinWatermark` on the canonical urlHash keeps
     * the first outcome per hash among events within the watermark
