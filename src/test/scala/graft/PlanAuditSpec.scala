@@ -19,6 +19,18 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(name: String): String =
     formatted(SparkEntry.queries(name)(spark, sf))
 
+  /** Hash-exchange nodes of a plan string, robust to BOTH explain
+    * shapes: `toString` puts "Exchange hashpartitioning(...)" on one
+    * line; `formatted` (AQE) prints a bare "Exchange (n)" node with
+    * its keys on a separate "Arguments: hashpartitioning(...)" line —
+    * a filter on the former alone silently matches NOTHING there,
+    * turning the count assertions vacuous (found when the
+    * duplicateWindows exactly-1 gate read zero). */
+  private def hashExchanges(p: String): Seq[String] =
+    p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.trim.startsWith("Arguments: hashpartitioning")).toSeq
+
   test("q06: filters are pushed into the parquet scan; scan reads only needed columns") {
     val p = plan("q06_filtered_revenue")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
@@ -140,7 +152,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q49_pii_scrub")
     // the scrub itself must not shuffle — the only allowed exchange is
     // the caller-requested final orderBy (rangepartitioning)
-    assert(!p.contains("Exchange hashpartitioning"),
+    assert(hashExchanges(p).isEmpty,
       s"pii scrub shuffles:\n$p")
     // the detection/redaction must be native regexp expressions in one
     // Project (codegen'd), never a UDF
@@ -157,8 +169,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("repetition stats: the per-doc rollup reuses the window's doc_id partitioning") {
     val p = plan("q48_repetition_stats")
-    val hashEx = p.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    val hashEx = hashExchanges(p)
     // allowed: (doc_id, bg) for the bigram count + (doc_id) for the
     // rank window; the final groupBy(doc_id) must NOT add a third
     assert(hashEx.size <= 2,
@@ -167,8 +178,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("sessionization: one user_id exchange feeds window and rollup") {
     val p = plan("q50_event_sessions")
-    val hashEx = p.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    val hashEx = hashExchanges(p)
     // allowed: user_id for the lag/running-sum windows, plus the
     // (user_id, sess) agg exchange; never a third
     assert(hashEx.size <= 2,
@@ -190,7 +200,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("stratified sample is a map-side filter: no exchange, no UDF, pruned scan") {
     val p = plan("q52_stratified_sample")
     // sampling must not shuffle — only the caller's final orderBy
-    assert(!p.contains("Exchange hashpartitioning"),
+    assert(hashExchanges(p).isEmpty,
       s"stratified sample shuffles:\n$p")
     assert(!p.contains("ScalaUDF"),
       s"sampling draw fell back to a UDF:\n$p")
@@ -203,7 +213,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("c4 cleaning is map-side: no exchange beyond the caller's orderBy, no UDF") {
     val p = plan("q54_c4_clean")
-    assert(!p.contains("Exchange hashpartitioning"),
+    assert(hashExchanges(p).isEmpty,
       s"c4 cleaning shuffles:\n$p")
     assert(!p.contains("ScalaUDF"),
       s"c4 cleaning fell back to a UDF:\n$p")
@@ -219,8 +229,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("full pipeline: four exchanges total — map stages fuse, rollup reuses the pack partitioning") {
     val p = plan("q56_full_pipeline")
-    val hashEx = p.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    val hashEx = hashExchanges(p)
     // allowed: md5 dedup window, source cap window, lang pack window,
     // and at most one more for the rollup; the plant/clean/redact/gate
     // stages must all fuse map-side (no exchange of their own)
@@ -236,10 +245,42 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q53_shard_pack")
     assert(!p.contains("SinglePartition"),
       s"shard packing collapsed to a single partition:\n$p")
-    val hashEx = p.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    val hashEx = hashExchanges(p)
     // one lang exchange feeds both the window and the rollup
     assert(hashEx.size <= 2,
       s"expected <=2 hash exchanges, got ${hashEx.size}:\n$p")
+  }
+
+  test("substring dedup: one hash exchange finds duplicates; the merge reuses the doc partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = formatted(graft.ops.SubstringDedup
+      .duplicateWindows(docs, "doc_id", "text", 8))
+    val wEx = hashExchanges(w)
+    // count + keep-first rank share the single window-hash exchange
+    assert(wEx.size == 1,
+      s"expected exactly 1 hash exchange in duplicateWindows:\n$w")
+    // the window TEXT never shuffles — only its 16-byte hash + offsets
+    assert(!wEx.head.contains("sub"),
+      s"window text entered the exchange:\n${wEx.head}")
+    val s = formatted(graft.ops.SubstringDedup
+      .duplicateSpans(docs, "doc_id", "text", 8))
+    val sEx = hashExchanges(s)
+    // allowed: (h) for dup detection + (id) for the interval merge;
+    // the final groupBy(id, grp) must reuse the id partitioning
+    assert(sEx.size <= 2,
+      s"expected <=2 hash exchanges in duplicateSpans:\n$s")
+  }
+
+  test("semantic index probe: the index scan is partition-pruned to the batch's cells") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semidx-plan").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cid"),
+        org.apache.spark.sql.functions.col("embedding").as("cv"))
+    graft.ops.AnnIndex.build(e.limit(400), dir, nlist = 16, iters = 2)
+    val p = formatted(graft.ops.AnnIndex.probePairs(
+      e.orderBy("cid").limit(5), dir, threshold = 0.9))
+    assert(p.contains("PartitionFilters: [cl"),
+      s"no partition filter on the semantic probe's index scan:\n$p")
   }
 }
