@@ -42,6 +42,21 @@ object FrontierQueries {
     uf = "MG", municipality = Some(MunicipalitySelector.All))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Freshness-driven recrawl scheduling (frontier/RecrawlSchedule
+    // .scala) as a two-sided exact derivation: both engines derive the
+    // same fetch history from the events table (user_id as the url
+    // key, epoch-micros fetch times, event_type as the content hash),
+    // run the integer-arithmetic Cho-style estimator independently,
+    // and compare every interval and next-fetch time exactly.
+    "q60_recrawl_schedule" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val h = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("url"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type").as("ch"))
+      graft.frontier.RecrawlSchedule.schedule(h, "url", "ts_us", "ch")
+        .orderBy("url")
+    }),
     "q29_municipality_expansion" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       s.createDataset(SeedExpansion.expand(expansionConfig))
@@ -91,6 +106,28 @@ object FrontierQueries {
     uf = "MG", municipality = Some(MunicipalitySelector.All))
 
   val oracleSql: Map[String, String] = Map(
+    // the same integer estimator re-derived end to end: lag-based
+    // change detection, span // (changes+1), clamp, next-fetch time
+    "q60_recrawl_schedule" ->
+      """WITH h AS (SELECT user_id AS url, epoch_us(ts) AS ts_us,
+        |   event_type AS ch FROM events),
+        | g AS (SELECT *, lag(ch) OVER (PARTITION BY url
+        |   ORDER BY ts_us, ch) AS prev FROM h),
+        | c AS (SELECT url, count(*) AS n_fetches,
+        |   CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> ch
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |   min(ts_us) AS first_us, max(ts_us) AS last_us
+        |  FROM g GROUP BY url),
+        | i AS (SELECT *, CASE WHEN n_fetches <= 1 THEN 604800000000
+        |   ELSE greatest(3600000000, least(604800000000,
+        |     (last_us - first_us) // (n_changes + 1))) END
+        |   AS interval_us FROM c)
+        |SELECT url, CAST(n_fetches AS BIGINT) AS n_fetches, n_changes,
+        | CAST(first_us AS BIGINT) AS first_us,
+        | CAST(last_us AS BIGINT) AS last_us,
+        | CAST(interval_us AS BIGINT) AS interval_us,
+        | CAST(last_us + interval_us AS BIGINT) AS next_fetch_us
+        |FROM i ORDER BY url""".stripMargin,
     // MG: ordinal 12 → 5 + (12*7+3)%9 = 11 municipalities, dropdown
     // value (12+11)*100000 + 97*i; enumeration order year, month,
     // municipality with the P5 future guard (now = 2024-06)

@@ -72,6 +72,11 @@ object OpsQueries {
     } catch { case _: Exception => null }
   })
 
+  /** The planted boilerplate paragraph of the paragraph-dedup gate —
+    * artificial tokens so it can never occur naturally. */
+  private[graft] val boilerPara: String =
+    "graftpara cookie banner legal footer navigation menu"
+
   /** Planted Gopher-rule probes: one doc per rule, each violating
     * exactly the failure mode its comment names (several also trip
     * secondary rules — irrelevant: the gate checks row-wise parity of
@@ -932,6 +937,31 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Paragraph-level exact dedup (ops/ParagraphDedup.scala) as a
+    // two-sided exact derivation: both engines build the SAME
+    // synthetic multi-paragraph corpus (doc triples joined by the
+    // separator — the flat testdata docs carry no newlines — plus a
+    // boilerplate paragraph planted on the four lowest synth ids),
+    // run the keep-first paragraph dedup independently, and compare
+    // md5(clean_text) byte-for-byte plus the paragraph counts.
+    "q59_paragraph_dedup" -> ((s: SparkSession, dir: String) => {
+      val synth = docs(s, dir)
+        .groupBy(expr("doc_id div 3").as("id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "\n\n").as("text"))
+        .withColumn("text", when(col("id") < 4,
+          concat(col("text"), lit("\n\n" + boilerPara)))
+          .otherwise(col("text")))
+      graft.ops.ParagraphDedup.paragraphDedup(synth, "id", "text")
+        .select(col("id"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"),
+          col("n_paras"), col("n_kept"))
+        .orderBy("id")
+    }),
+
     // The full Gopher quality-rule battery (TextOps.gopherQualityRules)
     // as a two-sided exact derivation: no staging — DuckDB recomputes
     // every count and every rule boolean from the text itself (all
@@ -1390,6 +1420,34 @@ object OpsQueries {
         |FROM '/tmp/graft_gate_fx/semidx/*/*.parquet'
         |WHERE n_vecs = (SELECT count(*) FROM embeddings)
         |ORDER BY id_a, id_b""".stripMargin,
+    // two-sided exact paragraph dedup: DuckDB rebuilds the identical
+    // synthetic corpus, runs its own keep-first over (paragraph text,
+    // doc id, position), reassembles, and compares md5 + counts
+    "q59_paragraph_dedup" ->
+      ("""WITH synth0 AS (
+        |  SELECT doc_id // 3 AS id,
+        |   string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY doc_id // 3),
+        | synth AS (SELECT id, CASE WHEN id < 4
+        |   THEN text || chr(10) || chr(10) || '""" + boilerPara +
+        """' ELSE text END AS text FROM synth0),
+        | p AS (SELECT id, unnest(list_transform(
+        |    string_split(text, chr(10) || chr(10)),
+        |    (x, i) -> struct_pack(idx := i, para := x))) AS u
+        |  FROM synth),
+        | q AS (SELECT id, u.idx AS idx, u.para AS para FROM p),
+        | k AS (SELECT id, idx, para,
+        |   (row_number() OVER (PARTITION BY para ORDER BY id, idx) = 1)
+        |     AS keep
+        |  FROM q),
+        | r AS (SELECT id,
+        |   CAST(count(*) AS BIGINT) AS n_paras,
+        |   CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+        |   coalesce(string_agg(para, chr(10) || chr(10)
+        |     ORDER BY idx) FILTER (keep), '') AS clean_text
+        |  FROM k GROUP BY id)
+        |SELECT id, md5(clean_text) AS clean_md5, n_paras, n_kept
+        |FROM r ORDER BY id""").stripMargin,
     // two-sided exact derivation: DuckDB rebuilds the corpus (same
     // planted literals — generated from the same Seq) and recomputes
     // every count and integer-comparison rule from the text alone
