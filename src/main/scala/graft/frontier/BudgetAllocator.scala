@@ -1,0 +1,74 @@
+package graft.frontier
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-level crawl-budget apportionment by the largest-remainder
+  * (Hamilton) method, in pure INTEGER arithmetic so the allocation is
+  * bit-identical across engines and partitionings: each host's base
+  * share is `budget * weight div totalWeight`, and the leftover
+  * `budget - sum(base)` seats go one each to the hosts with the
+  * largest division remainders (ties broken by ascending host key).
+  * This is the step between [[RecrawlSchedule]]'s per-URL freshness
+  * intervals and [[graft.politeness.HostScheduler]]'s per-host pacing:
+  * a 10^10-URL frontier cannot fetch everything every cycle, so the
+  * global fetch budget must be split across hosts proportionally to
+  * observed value — exactly (sum of allocations == budget, no float
+  * drift deciding who gets the marginal fetch). The reference crawler
+  * needs no such step (it enumerates a fixed site list exhaustively,
+  * src/main.py:60); a web-scale frontier lives or dies by it.
+  *
+  * Scale shape: two bounded driver scalars (the weight total and the
+  * leftover count — single-row aggregates), one map-side projection
+  * computing base/remainder per host, and a top-L selection over the
+  * narrow (remainder, key) projection only — the winner set joins
+  * back as a broadcast semi-join. No global shuffle of the host table
+  * itself; the only sort carries 16 bytes per host and L is
+  * budget - sum(base) < #hosts by construction. */
+object BudgetAllocator {
+
+  /** Apportion `budget` units across the rows of `weights`:
+    * returns `(key, weight, alloc)` with one row per input row,
+    * `sum(alloc) == budget` whenever the positive-weight total is
+    * nonzero. Non-positive weights get `alloc = 0` and take no part
+    * in the apportionment. Requires `budget * totalWeight` to fit a
+    * signed 64-bit integer (checked). */
+  def apportion(weights: DataFrame, keyCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    require(budget >= 0, s"negative budget $budget")
+    val w = weights.select(col(keyCol).as("key"),
+      col(weightCol).cast("long").as("weight"))
+    // bounded driver scalar #1: the positive-weight total (one row)
+    val total = w.filter($"weight" > 0)
+      .agg(coalesce(sum($"weight"), lit(0L))).as[Long].head()
+    if (total == 0L || budget == 0L)
+      return w.select($"key", $"weight", lit(0L).as("alloc"))
+    require(budget <= Long.MaxValue / total,
+      s"budget * totalWeight overflows 64 bits ($budget * $total)")
+    val based = w.withColumn("base",
+        when($"weight" > 0, expr(s"($budget * weight) div $total"))
+          .otherwise(lit(0L)))
+      .withColumn("rem",
+        when($"weight" > 0, expr(s"($budget * weight) % $total"))
+          .otherwise(lit(-1L)))
+    // bounded driver scalar #2: the leftover seat count (one row)
+    val leftover = budget - based.agg(sum($"base")).as[Long].head()
+    require(leftover >= 0 && leftover <= Int.MaxValue,
+      s"leftover $leftover out of range")
+    val winners =
+      if (leftover == 0L)
+        based.select($"key").limit(0).withColumn("bonus", lit(1L))
+      else based.filter($"weight" > 0)
+        .select($"rem", $"key")                  // 16-byte projection
+        .orderBy($"rem".desc, $"key".asc)
+        .limit(leftover.toInt)
+        .select($"key")
+        .withColumn("bonus", lit(1L))
+    based
+      .join(broadcast(winners), Seq("key"), "left")
+      .select($"key", $"weight",
+        ($"base" + coalesce(col("bonus"), lit(0L))).as("alloc"))
+  }
+}

@@ -42,6 +42,21 @@ object FrontierQueries {
     uf = "MG", municipality = Some(MunicipalitySelector.All))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hamilton largest-remainder crawl-budget apportionment
+    // (frontier/BudgetAllocator.scala) as a two-sided exact
+    // derivation: both engines weight hosts (user_id) by event count
+    // and apportion a prime budget (997 — guarantees nontrivial
+    // remainders) independently; every base share, remainder seat,
+    // and tie-break is integer-exact, so rows compare bit-for-bit.
+    "q62_crawl_budget" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val w = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id").as("host"))
+        .agg(count(lit(1)).as("w"))
+      graft.frontier.BudgetAllocator.apportion(w, "host", "w", 997L)
+        .select(col("key").as("host"), col("weight"), col("alloc"))
+        .orderBy("host")
+    }),
     // Freshness-driven recrawl scheduling (frontier/RecrawlSchedule
     // .scala) as a two-sided exact derivation: both engines derive the
     // same fetch history from the events table (user_id as the url
@@ -106,6 +121,27 @@ object FrontierQueries {
     uf = "MG", municipality = Some(MunicipalitySelector.All))
 
   val oracleSql: Map[String, String] = Map(
+    // the same Hamilton apportionment re-derived end to end: integer
+    // base shares, leftover count, largest-remainder seats with the
+    // ascending-host tie-break
+    "q62_crawl_budget" ->
+      """WITH w AS (SELECT user_id AS host,
+        |   CAST(count(*) AS BIGINT) AS weight FROM events
+        |  GROUP BY user_id),
+        | t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w
+        |  WHERE weight > 0),
+        | b AS (SELECT host, weight,
+        |   CASE WHEN weight > 0 THEN (997 * weight) // tot
+        |     ELSE 0 END AS base,
+        |   CASE WHEN weight > 0 THEN (997 * weight) % tot
+        |     ELSE -1 END AS rem FROM w, t),
+        | l AS (SELECT 997 - sum(base) AS lcnt FROM b),
+        | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+        |   host ASC) AS rk FROM b)
+        |SELECT host, weight, CAST(base + CASE WHEN weight > 0
+        |  AND rk <= (SELECT lcnt FROM l) THEN 1 ELSE 0 END
+        |  AS BIGINT) AS alloc
+        |FROM r ORDER BY host""".stripMargin,
     // the same integer estimator re-derived end to end: lag-based
     // change detection, span // (changes+1), clamp, next-fetch time
     "q60_recrawl_schedule" ->

@@ -937,6 +937,16 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Inverted-index dictionary build (ops/InvertedIndex.scala) as a
+    // two-sided exact derivation: both engines tokenize the documents
+    // table, aggregate per-term document frequency, corpus-wide
+    // occurrence count, and the 10 lowest containing doc ids, and
+    // compare every dictionary row bit-for-bit.
+    "q61_inverted_index" -> ((s: SparkSession, dir: String) => {
+      graft.ops.InvertedIndex.dictionary(docs(s, dir), "doc_id", "text")
+        .orderBy("term")
+    }),
+
     // Paragraph-level exact dedup (ops/ParagraphDedup.scala) as a
     // two-sided exact derivation: both engines build the SAME
     // synthetic multi-paragraph corpus (doc triples joined by the
@@ -1420,6 +1430,21 @@ object OpsQueries {
         |FROM '/tmp/graft_gate_fx/semidx/*/*.parquet'
         |WHERE n_vecs = (SELECT count(*) FROM embeddings)
         |ORDER BY id_a, id_b""".stripMargin,
+    // two-sided exact dictionary: DuckDB tokenizes, builds the same
+    // per-(term, doc) postings, ranks by doc id, and re-derives df,
+    // tf_total, and the capped lowest-id sample
+    "q61_inverted_index" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |   AS term FROM documents),
+        | g AS (SELECT term, doc_id, count(*) AS tf FROM p
+        |  GROUP BY term, doc_id),
+        | r AS (SELECT term, doc_id, tf, row_number() OVER
+        |   (PARTITION BY term ORDER BY doc_id) AS rk FROM g)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        | CAST(sum(tf) AS BIGINT) AS tf_total,
+        | array_to_string(list_sort(list(doc_id) FILTER (rk <= 10)),
+        |   ',') AS sample_docs
+        |FROM r GROUP BY term ORDER BY term""".stripMargin,
     // two-sided exact paragraph dedup: DuckDB rebuilds the identical
     // synthetic corpus, runs its own keep-first over (paragraph text,
     // doc id, position), reassembles, and compares md5 + counts

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.BudgetAllocator
+
+/** Crawl-budget apportionment (frontier/BudgetAllocator.scala): the
+  * Hamilton largest-remainder method on hand-computed examples —
+  * exact shares, remainder seats, tie-breaks, degenerate weights, and
+  * the sum invariant. */
+class BudgetAllocatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def run(budget: Long, rows: (Long, Long)*) = {
+    val sess = spark
+    import sess.implicits._
+    BudgetAllocator.apportion(rows.toSeq.toDF("host", "w"),
+        "host", "w", budget)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("textbook Hamilton example: bases by integer division, seat to the largest remainder") {
+    // W=10, budget 7: bases 3/2/1 (remainders 5/1/4), one leftover
+    // seat -> host 1 (remainder 5)
+    val out = run(7L, (1L, 5L), (2L, 3L), (3L, 2L))
+    assert(out === Map(1L -> ((5L, 4L)), 2L -> ((3L, 2L)),
+      3L -> ((2L, 1L))))
+  }
+
+  test("remainder ties break by ascending host key") {
+    // three equal weights, budget 4: bases 1 each, remainders all
+    // equal -> the single extra seat goes to the smallest key
+    val out = run(4L, (3L, 1L), (1L, 1L), (2L, 1L))
+    assert(out === Map(1L -> ((1L, 2L)), 2L -> ((1L, 1L)),
+      3L -> ((1L, 1L))))
+  }
+
+  test("non-positive weights stay in the output with zero allocation") {
+    val out = run(3L, (1L, 0L), (2L, -2L), (3L, 5L))
+    assert(out === Map(1L -> ((0L, 0L)), 2L -> ((-2L, 0L)),
+      3L -> ((5L, 3L))))
+  }
+
+  test("zero positive total allocates nothing") {
+    val out = run(9L, (1L, 0L), (2L, 0L))
+    assert(out === Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
+  }
+
+  test("sum of allocations equals the budget exactly (skewed weights)") {
+    val rows = (0L until 100L).map(i => (i, i * i % 83 + 1))
+    val out = run(997L, rows: _*)
+    assert(out.values.map(_._2).sum === 997L)
+    // proportionality sanity: every allocation within 1 of the real
+    // share (the Hamilton method's defining property)
+    val tot = rows.map(_._2).sum.toDouble
+    out.foreach { case (h, (w, a)) =>
+      val exact = 997L * w / tot
+      assert(math.abs(a - exact) <= 1.0, s"host $h: $a vs $exact")
+    }
+  }
+}

@@ -283,4 +283,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [cl"),
       s"no partition filter on the semantic probe's index scan:\n$p")
   }
+
+  test("crawl budget: the winner set joins back broadcast, never sort-merge") {
+    val p = plan("q62_crawl_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"winner join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"apportionment must never sort-merge-join the host table:\n$p")
+  }
+
+  test("inverted index: rank window and dictionary agg share the term exchange") {
+    val p = plan("q61_inverted_index")
+    val hashEx = hashExchanges(p)
+    // allowed: (term, doc_id) for the postings agg + (term) feeding
+    // BOTH the rank window and the final dictionary agg; a third hash
+    // exchange would mean the agg re-shuffled what the window keyed
+    assert(hashEx.size <= 2,
+      s"expected <=2 hash exchanges, got ${hashEx.size}:\n$p")
+  }
 }
