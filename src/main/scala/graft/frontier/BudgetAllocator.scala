@@ -1,6 +1,7 @@
 package graft.frontier
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Host-level crawl-budget apportionment by the largest-remainder
@@ -70,5 +71,28 @@ object BudgetAllocator {
       .join(broadcast(winners), Seq("key"), "left")
       .select($"key", $"weight",
         ($"base" + coalesce(col("bonus"), lit(0L))).as("alloc"))
+  }
+
+  /** Enforce an allocation on a frontier: keeps, per host, the first
+    * `alloc` rows by `ordCol` ascending (the crawl-priority order) and
+    * drops the rest — the step that turns [[apportion]]'s numbers into
+    * the actual fetch list. `alloc` must be `(key, …, alloc)` as
+    * returned by [[apportion]]; hosts absent from it are dropped
+    * entirely (no allocation, no fetches).
+    *
+    * Scale shape: the rank window shuffles the frontier by host ONCE;
+    * the allocation join lands on that same host partitioning (AQE
+    * broadcasts it when small). No global ordering anywhere. */
+  def capPerHost(frontier: DataFrame, hostCol: String, ordCol: String,
+      alloc: DataFrame): DataFrame = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val grp = Window.partitionBy(col(hostCol)).orderBy(col(ordCol))
+    frontier
+      .withColumn("__rk", row_number().over(grp))
+      .join(alloc.select(col("key").as(hostCol),
+        col("alloc").as("__cap")), Seq(hostCol))
+      .filter($"__rk" <= $"__cap")
+      .drop("__rk", "__cap")
   }
 }

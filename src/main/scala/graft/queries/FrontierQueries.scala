@@ -57,6 +57,25 @@ object FrontierQueries {
         .select(col("key").as("host"), col("weight"), col("alloc"))
         .orderBy("host")
     }),
+    // Budget-capped frontier (BudgetAllocator.capPerHost composed on
+    // apportion) as a two-sided exact derivation: each host keeps its
+    // first alloc(host) URLs (event_ids) in priority order. The gate
+    // pins the per-host kept COUNT and the rank boundary itself (the
+    // highest kept url), so membership — not just cardinality — must
+    // match.
+    "q63_budgeted_frontier" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("host"), col("event_id").as("url"))
+      val w = ev.groupBy(col("host")).agg(count(lit(1)).as("w"))
+      val alloc = graft.frontier.BudgetAllocator
+        .apportion(w, "host", "w", 997L)
+      graft.frontier.BudgetAllocator
+        .capPerHost(ev, "host", "url", alloc)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_kept"), max(col("url")).as("max_url"))
+        .orderBy("host")
+    }),
     // Freshness-driven recrawl scheduling (frontier/RecrawlSchedule
     // .scala) as a two-sided exact derivation: both engines derive the
     // same fetch history from the events table (user_id as the url
@@ -142,6 +161,32 @@ object FrontierQueries {
         |  AND rk <= (SELECT lcnt FROM l) THEN 1 ELSE 0 END
         |  AS BIGINT) AS alloc
         |FROM r ORDER BY host""".stripMargin,
+    // the same apportionment re-derived, then the same per-host
+    // keep-first-alloc cap: counts and the exact rank boundary
+    "q63_budgeted_frontier" ->
+      """WITH ev AS (SELECT user_id AS host, event_id AS url
+        |  FROM events),
+        | w AS (SELECT host, CAST(count(*) AS BIGINT) AS weight
+        |  FROM ev GROUP BY host),
+        | t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w
+        |  WHERE weight > 0),
+        | b AS (SELECT host, weight,
+        |   CASE WHEN weight > 0 THEN (997 * weight) // tot
+        |     ELSE 0 END AS base,
+        |   CASE WHEN weight > 0 THEN (997 * weight) % tot
+        |     ELSE -1 END AS rem FROM w, t),
+        | l AS (SELECT 997 - sum(base) AS lcnt FROM b),
+        | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+        |   host ASC) AS rk FROM b),
+        | a AS (SELECT host, base + CASE WHEN weight > 0
+        |   AND rk <= (SELECT lcnt FROM l) THEN 1 ELSE 0 END
+        |   AS alloc FROM r),
+        | f AS (SELECT ev.host, ev.url, row_number() OVER
+        |   (PARTITION BY ev.host ORDER BY ev.url) AS urk, a.alloc
+        |  FROM ev JOIN a ON ev.host = a.host)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_kept,
+        | max(url) AS max_url
+        |FROM f WHERE urk <= alloc GROUP BY host ORDER BY host""".stripMargin,
     // the same integer estimator re-derived end to end: lag-based
     // change detection, span // (changes+1), clamp, next-fetch time
     "q60_recrawl_schedule" ->

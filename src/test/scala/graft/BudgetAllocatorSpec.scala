@@ -47,6 +47,20 @@ class BudgetAllocatorSpec extends AnyFunSuite {
     assert(out === Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
   }
 
+  test("capPerHost keeps exactly the first alloc rows per host in priority order") {
+    val sess = spark
+    import sess.implicits._
+    val frontier = Seq((1L, 30L), (1L, 10L), (1L, 20L),
+      (2L, 5L), (2L, 6L), (3L, 7L)).toDF("host", "url")
+    val alloc = Seq((1L, 9L, 2L), (2L, 1L, 0L), (3L, 1L, 5L))
+      .toDF("key", "weight", "alloc")
+    val kept = BudgetAllocator.capPerHost(frontier, "host", "url", alloc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // host 1: two lowest urls; host 2: alloc 0 -> nothing; host 3:
+    // alloc exceeds supply -> everything
+    assert(kept === Set((1L, 10L), (1L, 20L), (3L, 7L)))
+  }
+
   test("sum of allocations equals the budget exactly (skewed weights)") {
     val rows = (0L until 100L).map(i => (i, i * i % 83 + 1))
     val out = run(997L, rows: _*)
