@@ -62,6 +62,68 @@ object GraphOps {
     pr
   }
 
+  /** HITS hubs-and-authorities in FIXED-POINT integer arithmetic
+    * (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
+    * Environment") — the second classic frontier-prioritization
+    * signal next to [[pageRankFixedPoint]]: authorities are the
+    * fetch-worthy pages, hubs the link pages worth re-parsing. Scores
+    * are `scale`-denominated micro-units; each half-iteration sums
+    * exact integers and then renormalizes by the L1 total with floor
+    * division (`a = a'·scale div sum(a')`), so every iteration is
+    * order-independent and the result bit-identical across engines
+    * and partitionings — same rationale as the PageRank fixed point.
+    * Nodes never linked to (from) settle at authority (hub) 0.
+    *
+    * Overflow headroom at the default `scale` 1e6: a raw authority is
+    * ≤ indeg·scale and the normalization multiplies it by `scale` —
+    * safe in int64 to indeg ≈ 9e6 within one normalization group; a
+    * 10^10-page deployment shards the graph (e.g. by host) and runs
+    * per-shard, which also keeps the L1-sum scalar cheap.
+    *
+    * Scale shape: each half-iteration is one node-keyed join of the
+    * edge table against the current score vector plus one hash
+    * aggregation on the opposite endpoint — shuffle on node id both
+    * times, so bucketed edges make iterations exchange-free on the
+    * edge side; the L1 total is a scalar aggregate broadcast back
+    * (never a driver collect of the vector). The edge table is
+    * materialized once (read `2·iters` times). Returns
+    * (id, auth_u, hub_u). */
+  def hitsFixedPoint(nodes: DataFrame, edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = DedupOps.materialize(edges.select(col("src"), col("dst")))
+    val ids = nodes.select(col("id"))
+    var hub = ids.select(col("id"), lit(scale).as("h"))
+    var auth = ids.select(col("id"), lit(scale).as("a"))
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      // L1-normalize in exact integers: x·scale div sum — the sum is
+      // a one-row aggregate, cross-joined broadcast, never collected
+      val tot = raw.agg(sum(col(c)).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("id"),
+          expr(s"CASE WHEN tot > 0 THEN $c * ${scale}L div tot " +
+            s"ELSE 0 END").as(c))
+    }
+    for (_ <- 1 to iters) {
+      val rawA = ids
+        .join(e.join(hub.select(col("id").as("hid"), col("h")),
+          col("src") === col("hid"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a")),
+          col("id") === col("dst"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      auth = renorm(rawA, "a")
+      val rawH = ids
+        .join(e.join(auth.select(col("id").as("aid"), col("a")),
+          col("dst") === col("aid"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h")),
+          col("id") === col("src"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+      hub = renorm(rawH, "h")
+    }
+    auth.join(hub, "id")
+      .select(col("id"), col("a").as("auth_u"), col("h").as("hub_u"))
+  }
+
   /** Deterministic web-shaped edge list derived from consecutive node
     * ids `[0, n)` by pure integer arithmetic (the sandbox stand-in for
     * a harvested link graph — no external data): 2-4 out-links per

@@ -43,6 +43,79 @@ object InvertedIndex {
         min($"pos").cast("long").as("first_pos"))
   }
 
+  /** BM25 top-k retrieval in FIXED-POINT integer arithmetic — the
+    * retrieval query the [[postings]] table exists to serve, scored
+    * with Robertson's Okapi tf-saturation (Robertson & Zaragoza 2009,
+    * "The Probabilistic Relevance Framework: BM25 and Beyond") but
+    * with the transcendental `log`-idf replaced by the exact rational
+    * `(N - df + 1)/(df + 1)` in `scale`-denominated micro-units: every
+    * multiply/divide is BIGINT with floor division, so the score — and
+    * therefore the ranking, tie-broken by ascending doc id — is
+    * bit-identical under any partitioning, shuffle order, or engine
+    * (a float BM25's sum drifts with aggregation order, which breaks
+    * cross-engine value oracles and run-to-run reproducibility).
+    *
+    * Fixed-point chain (all BIGINT, all quantities positive):
+    * {{{
+    *   lenr  = (dl * N * scale) div total_len            // len/avgdl
+    *   norm  = (scale - b) + (b * lenr) div scale
+    *   denom = tf * scale + (k1 * norm) div scale
+    *   tfsat = (tf * (k1 + scale) * scale) div denom
+    *   idf   = ((N - df + 1) * scale) div (df + 1)
+    *   score = sum over matched query terms of (idf * tfsat) div scale
+    * }}}
+    * Overflow headroom at the default `scale` 1e6: `idf·tfsat ≤
+    * N·scale · (k1+scale) ≈ N·2.2e12` — safe in int64 to N ≈ 4e6 docs
+    * per retrieval SHARD; for larger corpora lower `scale` (1e4 buys
+    * N ≈ 4e8) or shard the corpus and merge the per-shard top-k,
+    * which is how a 10^10-doc deployment runs this anyway.
+    *
+    * Scale shape: the postings build's (term, doc) exchange carries
+    * ONLY the query terms (the `isin` filter sits on a grouping key,
+    * so Catalyst pushes it below the aggregation into the explode);
+    * the matched-postings side of the doc-length join is a few rows
+    * per query term and broadcasts under AQE; the final top-k is
+    * `orderBy().limit(k)` — Spark plans TakeOrderedAndProject
+    * (per-partition heaps + driver merge), never a global sort. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1Micro: Long = 1200000L,
+      bMicro: Long = 750000L, scale: Long = 1000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k > 0 && queryTerms.nonEmpty && scale > 0)
+    require(bMicro >= 0 && bMicro <= scale && k1Micro >= 0)
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("total_len"))
+    val p = postings(docs, idCol, textCol)
+      .where($"term".isin(queryTerms: _*))
+    val dfr = p.groupBy($"term").agg(count(lit(1)).as("df"))
+    p.join(broadcast(dfr), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_u",
+        expr(s"(n_docs - df + 1) * ${scale}L div (df + 1)"))
+      .withColumn("lenr_u",
+        expr(s"dl * n_docs * ${scale}L div total_len"))
+      .withColumn("norm_u",
+        expr(s"(${scale}L - ${bMicro}L) + " +
+          s"(${bMicro}L * lenr_u) div ${scale}L"))
+      .withColumn("denom_u",
+        expr(s"tf * ${scale}L + (${k1Micro}L * norm_u) div ${scale}L"))
+      .withColumn("contrib_u",
+        expr(s"(idf_u * ((tf * (${k1Micro}L + ${scale}L) * ${scale}L)" +
+          s" div denom_u)) div ${scale}L"))
+      .groupBy($"doc_id")
+      .agg(sum($"contrib_u").as("score_u"), max($"dl").as("dl"))
+      .orderBy($"score_u".desc, $"doc_id")
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"score_u".desc, $"doc_id")))
+      .select($"rk", $"doc_id", $"score_u", $"dl")
+  }
+
   /** The dictionary view `(term, df, tf_total, sample_docs)`: per
     * term, its document frequency, corpus-wide occurrence count, and
     * the `cap` LOWEST doc ids containing it as a comma-joined string

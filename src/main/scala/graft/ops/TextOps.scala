@@ -439,4 +439,48 @@ object TextOps {
         col("r_mean_word_len"), col("r_symbol_ratio"), col("r_bullet"),
         col("r_ellipsis"), col("r_alpha"), col("r_stop"), col("keep"))
   }
+
+  /** Unigram rarity score — the integer-exact stand-in for the LM
+    * perplexity filter of CCNet (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): a document whose tokens are corpus-common scores low, a
+    * document full of corpus-rare tokens scores high — the same
+    * band-filtering signal CCNet draws from a KenLM, derivable from
+    * the corpus itself with no model artifact. Per token the rarity
+    * is the exact rational `n_docs·scale div df(token)` in
+    * micro-units (floor division, all BIGINT); the document score is
+    * the mean over token OCCURRENCES, `sum(tf·rarity) div n_tokens`
+    * — so the score, like the BM25 and PageRank fixed points, is
+    * bit-identical across engines and partitionings. Returns
+    * `(doc_id, n_tokens, rarity_u)`.
+    *
+    * Overflow headroom: `tf·rarity ≤ n_tokens(doc)·n_docs·scale`; at
+    * the default 1e6 scale a 1e4-token document is safe to ~9e8 docs
+    * per scoring shard — larger corpora lower `scale` or shard.
+    *
+    * Scale shape: one (term, doc) exchange to build per-doc term
+    * frequencies, one term-keyed aggregate for df (both partial-agg
+    * friendly, no stopword posting list ever in one task), a df
+    * lookup join keyed on term, then one doc-keyed aggregation. */
+  def rarityScore(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(scale > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfr, "term")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"tf",
+        expr(s"n_docs * ${scale}L div df").as("rarity_u"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"),
+        expr(s"sum(tf * rarity_u) div sum(tf)").as("rarity_u"))
+  }
 }

@@ -91,6 +91,67 @@ object FrontierQueries {
       graft.frontier.RecrawlSchedule.schedule(h, "url", "ts_us", "ch")
         .orderBy("url")
     }),
+    // DUST parameter-rule mining (frontier/DustDetect.paramAliasRules)
+    // as a two-sided exact derivation: both engines synthesize the
+    // same URL universe from the documents table — canonical URLs,
+    // same-content ?session= aliases (a true DUST family),
+    // different-content ?ref= variants (must NOT become rules), and
+    // two-parameter session+lang URLs (the lang deletion aliases only
+    // when the session URL was itself crawled with equal content) —
+    // mine single-parameter deletion rules independently, and compare
+    // every (host, param, n_pairs) row exactly.
+    "q66_dust_rules" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("http://h"), (col("doc_id") % 37).cast("string"),
+            lit(".test/d/"), col("doc_id").cast("string")).as("u"),
+          md5(col("text").cast("binary")).as("ch"),
+          md5(concat(col("text"), lit("x")).cast("binary")).as("chx"))
+      val pages = d
+        .select(col("u").as("url"), col("ch").as("content_hash"))
+        .unionByName(d.where(col("doc_id") % 3 === 0)
+          .select(concat(col("u"), lit("?session=s"),
+            col("doc_id").cast("string")).as("url"),
+            col("ch").as("content_hash")))
+        .unionByName(d.where(col("doc_id") % 5 === 0)
+          .select(concat(col("u"), lit("?ref=r"),
+            col("doc_id").cast("string")).as("url"),
+            col("chx").as("content_hash")))
+        .unionByName(d.where(col("doc_id") % 11 === 0)
+          .select(concat(col("u"), lit("?session=s"),
+            col("doc_id").cast("string"), lit("&lang=en")).as("url"),
+            col("ch").as("content_hash")))
+      graft.frontier.DustDetect.paramAliasRules(pages)
+        .orderBy("host", "param")
+    }),
+
+    // Crawl-trap host detection (frontier/DustDetect.trapHosts) as a
+    // two-sided exact derivation: hosts 0-2 of the synthetic URL
+    // universe serve only two distinct contents across all their
+    // URLs (a planted trap at every SF), the rest one distinct
+    // content per URL; both engines aggregate and flag independently
+    // and every count, depth, and flag compares exactly.
+    "q67_trap_hosts" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+            lit(".test"),
+            expr("repeat('/seg', CAST(doc_id % 8 AS INT) + 1)"),
+            lit("/doc"), col("doc_id").cast("string")).as("url"),
+          when(col("doc_id") % 20 < 3,
+            md5(concat(lit("trap"), (col("doc_id") % 20).cast("string"),
+              lit("_"), (col("doc_id") % 2).cast("string"))
+              .cast("binary")))
+            .otherwise(md5(concat(lit("u"),
+              col("doc_id").cast("string")).cast("binary")))
+            .as("content_hash"))
+      graft.frontier.DustDetect
+        .trapHosts(pages, minUrls = 3L, dupFactor = 2L)
+        .orderBy("host")
+    }),
+
     "q29_municipality_expansion" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       s.createDataset(SeedExpansion.expand(expansionConfig))
@@ -187,6 +248,71 @@ object FrontierQueries {
         |SELECT host, CAST(count(*) AS BIGINT) AS n_kept,
         | max(url) AS max_url
         |FROM f WHERE urk <= alloc GROUP BY host ORDER BY host""".stripMargin,
+    // the same DUST mining re-derived end to end: identical synthetic
+    // URL universe, single-parameter deletions (1-based lambda index
+    // in DuckDB vs 0-based in Spark — each engine is internally
+    // consistent, which is all the semantics need), witness join on
+    // (stripped url, content hash), rule aggregation
+    "q66_dust_rules" ->
+      """WITH b AS (SELECT doc_id,
+        |   'http://h' || CAST(doc_id % 37 AS VARCHAR) || '.test/d/' ||
+        |     CAST(doc_id AS VARCHAR) AS u,
+        |   md5(text) AS ch, md5(text || 'x') AS chx FROM documents),
+        | pages AS (
+        |  SELECT u AS url, ch AS content_hash FROM b
+        |  UNION ALL SELECT u || '?session=s' || CAST(doc_id AS VARCHAR),
+        |   ch FROM b WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT u || '?ref=r' || CAST(doc_id AS VARCHAR),
+        |   chx FROM b WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT u || '?session=s' || CAST(doc_id AS VARCHAR)
+        |   || '&lang=en', ch FROM b WHERE doc_id % 11 = 0),
+        | withq AS (SELECT url, content_hash,
+        |   regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |   substr(url, 1, instr(url, '?') - 1) AS base,
+        |   string_split(substr(url, instr(url, '?') + 1), '&') AS params
+        |  FROM pages WHERE instr(url, '?') > 0),
+        | cand0 AS (SELECT url, content_hash, host, base, params,
+        |   unnest(list_transform(params,
+        |     (x, i) -> struct_pack(i := i, p := x))) AS pp
+        |  FROM withq),
+        | cand AS (SELECT url, content_hash, host,
+        |   string_split(pp.p, '=')[1] AS pname,
+        |   CASE WHEN len(params) = 1 THEN base
+        |     ELSE base || '?' || array_to_string(
+        |       list_filter(params, (x, j) -> j <> pp.i), '&') END
+        |     AS stripped
+        |  FROM cand0),
+        | hits AS (SELECT c.host, c.pname FROM cand c JOIN pages p2
+        |   ON c.stripped = p2.url AND c.content_hash = p2.content_hash
+        |     AND c.url <> p2.url)
+        |SELECT host, pname AS param, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM hits GROUP BY 1, 2 ORDER BY host, param""".stripMargin,
+    // the same trap detection re-derived: identical URL universe,
+    // host/depth extraction, per-host counts, integer flag
+    "q67_trap_hosts" ->
+      """WITH pages AS (SELECT
+        |   'http://h' || CAST(doc_id % 20 AS VARCHAR) || '.test' ||
+        |     repeat('/seg', CAST(doc_id % 8 AS INT) + 1) || '/doc' ||
+        |     CAST(doc_id AS VARCHAR) AS url,
+        |   CASE WHEN doc_id % 20 < 3
+        |     THEN md5('trap' || CAST(doc_id % 20 AS VARCHAR) || '_' ||
+        |       CAST(doc_id % 2 AS VARCHAR))
+        |     ELSE md5('u' || CAST(doc_id AS VARCHAR)) END
+        |     AS content_hash
+        |  FROM documents),
+        | s AS (SELECT
+        |   regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |   content_hash,
+        |   CAST(len(string_split(string_split(
+        |     regexp_replace(url, '^[a-z]+://[^/]+', ''), '?')[1], '/'))
+        |     - 1 AS BIGINT) AS depth
+        |  FROM pages)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        | CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct,
+        | max(depth) AS max_depth,
+        | (count(*) >= 3 AND count(DISTINCT content_hash) * 2
+        |   <= count(*)) AS is_trap
+        |FROM s GROUP BY host ORDER BY host""".stripMargin,
     // the same integer estimator re-derived end to end: lag-based
     // change detection, span // (changes+1), clamp, next-fetch time
     "q60_recrawl_schedule" ->

@@ -983,6 +983,27 @@ object OpsQueries {
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
         .unionByName(gopherPlanted.toDF("doc_id", "text"))
       TextOps.gopherQualityRules(corpus).orderBy("doc_id")
+    }),
+
+    // BM25 top-k retrieval (InvertedIndex.bm25TopK) as a two-sided
+    // exact derivation: both engines tokenize, build postings for the
+    // three query terms, and walk the identical fixed-point integer
+    // chain (rational idf, Okapi tf-saturation, floor division
+    // end-to-end) — every score micro-unit, and therefore the ranking
+    // with its ascending-doc-id tie-break, compares bit-for-bit.
+    "q64_bm25_topk" -> ((s: SparkSession, dir: String) => {
+      graft.ops.InvertedIndex.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "merge"), 20)
+        .orderBy("rk")
+    }),
+
+    // Unigram rarity scoring (TextOps.rarityScore — the integer-exact
+    // CCNet perplexity-filter stand-in) as a two-sided exact
+    // derivation: DuckDB recomputes every token's document frequency,
+    // the micro-unit rarity, and the per-document occurrence-weighted
+    // mean with the same floor divisions.
+    "q68_rarity_score" -> ((s: SparkSession, dir: String) => {
+      graft.ops.TextOps.rarityScore(docs(s, dir)).orderBy("doc_id")
     })
   )
 
@@ -1445,6 +1466,59 @@ object OpsQueries {
         | array_to_string(list_sort(list(doc_id) FILTER (rk <= 10)),
         |   ',') AS sample_docs
         |FROM r GROUP BY term ORDER BY term""".stripMargin,
+    // two-sided exact BM25: DuckDB rebuilds the filtered postings and
+    // replays the identical fixed-point chain (rational idf, Okapi
+    // tf-saturation) in BIGINT floor division; `//` on positive
+    // BIGINTs matches Spark's `div` exactly
+    "q64_bm25_topk" ->
+      """WITH lens AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(dl) AS BIGINT) AS total_len FROM lens),
+        | p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        | p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p0 WHERE term IN ('spark', 'vector', 'merge')
+        |  GROUP BY 1, 2),
+        | d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM p GROUP BY 1),
+        | c AS (SELECT p.doc_id, lens.dl, p.tf,
+        |   ((n_docs - df + 1) * 1000000) // (df + 1) AS idf_u,
+        |   (lens.dl * n_docs * 1000000) // total_len AS lenr_u
+        |  FROM p JOIN d USING (term)
+        |  JOIN lens ON p.doc_id = lens.doc_id, tot),
+        | c2 AS (SELECT doc_id, dl, tf, idf_u,
+        |   (1000000 - 750000) + (750000 * lenr_u) // 1000000 AS norm_u
+        |  FROM c),
+        | c3 AS (SELECT doc_id, dl, tf, idf_u,
+        |   tf * 1000000 + (1200000 * norm_u) // 1000000 AS denom_u
+        |  FROM c2),
+        | c4 AS (SELECT doc_id, dl,
+        |   (idf_u * ((tf * (1200000 + 1000000) * 1000000) // denom_u))
+        |     // 1000000 AS contrib_u
+        |  FROM c3),
+        | sc AS (SELECT doc_id, CAST(sum(contrib_u) AS BIGINT) AS score_u,
+        |   max(dl) AS dl FROM c4 GROUP BY 1),
+        | top AS (SELECT * FROM sc ORDER BY score_u DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+        |   AS INT) AS rk, doc_id, score_u, dl
+        |FROM top ORDER BY rk""".stripMargin,
+    // two-sided exact rarity scoring: DuckDB re-derives df, the
+    // micro-unit rarity, and the occurrence-weighted floor-mean
+    "q68_rarity_score" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |   AS term FROM documents),
+        | tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p GROUP BY 1, 2),
+        | d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        | n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        | c AS (SELECT doc_id, tf, (n_docs * 1000000) // df AS rarity_u
+        |  FROM tf JOIN d USING (term), n)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        | CAST(sum(tf * rarity_u) // sum(tf) AS BIGINT) AS rarity_u
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // two-sided exact paragraph dedup: DuckDB rebuilds the identical
     // synthetic corpus, runs its own keep-first over (paragraph text,
     // doc id, position), reassembles, and compares md5 + counts

@@ -433,11 +433,66 @@ object RelationalQueries {
       graft.ops.GraphOps.pageRankFixedPoint(docs, edges, 5, n)
         .select($"id".as("doc_id"), $"pr")
         .orderBy($"doc_id")
+    }),
+
+    // ---- fixed-point HITS (3 iterations) over the same synthetic
+    //      link graph as q57: exact integer micro-units with L1
+    //      renormalization each half-step, so DuckDB re-derives both
+    //      score vectors bit-for-bit through unrolled CTEs.
+    "q65_hits" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val edges = graft.ops.GraphOps.syntheticEdges(docs, n)
+      graft.ops.GraphOps.hitsFixedPoint(docs, edges, 3)
+        .select($"id".as("doc_id"), $"auth_u", $"hub_u")
+        .orderBy($"doc_id")
     })
   )
 
+  /** q65's oracle: 3 unrolled HITS iterations (auth half-step, L1
+    * renormalize, hub half-step, renormalize — mirroring
+    * GraphOps.hitsFixedPoint's exact integer chain), generated by a
+    * loop so the per-iteration CTE block is stated once. */
+  private def hitsOracleSql(iters: Int): String = {
+    val body = (1 to iters).map { i =>
+      s"""| ra$i AS (SELECT e.dst AS id, CAST(sum(p.h) AS BIGINT) AS v
+          |  FROM e JOIN h${i - 1} p ON e.src = p.id GROUP BY 1),
+          | ar$i AS (SELECT nodes.id, coalesce(ra$i.v, 0) AS v
+          |  FROM nodes LEFT JOIN ra$i ON nodes.id = ra$i.id),
+          | asum$i AS (SELECT CAST(sum(v) AS BIGINT) AS tot FROM ar$i),
+          | a$i AS (SELECT id, CASE WHEN tot > 0
+          |   THEN v * 1000000 // tot ELSE 0 END AS a FROM ar$i, asum$i),
+          | rh$i AS (SELECT e.src AS id, CAST(sum(p.a) AS BIGINT) AS v
+          |  FROM e JOIN a$i p ON e.dst = p.id GROUP BY 1),
+          | hr$i AS (SELECT nodes.id, coalesce(rh$i.v, 0) AS v
+          |  FROM nodes LEFT JOIN rh$i ON nodes.id = rh$i.id),
+          | hsum$i AS (SELECT CAST(sum(v) AS BIGINT) AS tot FROM hr$i),
+          | h$i AS (SELECT id, CASE WHEN tot > 0
+          |   THEN v * 1000000 // tot ELSE 0 END AS h FROM hr$i, hsum$i),""".stripMargin
+    }.mkString("\n")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       | nn AS (SELECT count(*) AS n FROM nodes),
+       | e AS (SELECT id AS src,
+       |   unnest(list_filter(list_distinct([
+       |     (id*7+3) % (SELECT n FROM nn),
+       |     CASE WHEN id % 2 = 0 THEN (id*13+5) % (SELECT n FROM nn) END,
+       |     CASE WHEN id % 5 = 0 THEN (id*31+11) % (SELECT n FROM nn) END,
+       |     id % 10]),
+       |    d -> d IS NOT NULL AND d <> id)) AS dst
+       |  FROM nodes),
+       | h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$body
+       | fin AS (SELECT nodes.id, a$iters.a, h$iters.h FROM nodes
+       |  JOIN a$iters ON nodes.id = a$iters.id
+       |  JOIN h$iters ON nodes.id = h$iters.id)
+       |SELECT id AS doc_id, a AS auth_u, h AS hub_u
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB-runnable oracle SQL; column aliases match the Spark side. */
   val oracleSql: Map[String, String] = Map(
+    "q65_hits" -> hitsOracleSql(3),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base,

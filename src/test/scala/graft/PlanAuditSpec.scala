@@ -301,4 +301,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx.size <= 2,
       s"expected <=2 hash exchanges, got ${hashEx.size}:\n$p")
   }
+
+  test("bm25: top-k plans as TakeOrderedAndProject, query-term filter below the postings agg, df side broadcast") {
+    val p = plan("q64_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a per-partition heap merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"df/corpus-stat sides not broadcast:\n$p")
+    // the isin filter sits on a grouping key, so Catalyst must push
+    // it below the postings aggregation into the exploded stream —
+    // the (term, doc_id) exchange then carries ONLY query-term rows
+    val gen = "(?s)\\(\\d+\\) Generate.*?(?=\\(\\d+\\) Exchange)".r
+      .findFirstIn(p).getOrElse("")
+    assert(gen.contains("Filter"),
+      s"query-term filter not pushed below the postings agg:\n$p")
+  }
+
+  test("dust rules: witness check is one equi-join, never cartesian") {
+    val p = plan("q66_dust_rules")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"DUST witness join degenerated:\n$p")
+  }
+
+  test("hits: per-half-step L1 totals are broadcast scalars, never a driver collect") {
+    // 3 iterations × 2 half-steps = 6 L1 normalizations, each a
+    // one-row aggregate crossed back in as a BroadcastNestedLoopJoin
+    // over a single-row build side (the only NLJ shape allowed here)
+    val p = plan("q65_hits")
+    assert(p.contains("BroadcastExchange"), s"L1 total not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
+  }
 }
