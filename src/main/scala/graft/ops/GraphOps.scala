@@ -124,6 +124,32 @@ object GraphOps {
       .select(col("id"), col("a").as("auth_u"), col("h").as("hub_u"))
   }
 
+  /** Anchor-text aggregation — the relevance signal a link graph
+    * carries about its TARGETS (how the web describes a page is often
+    * a better retrieval key than the page's own text; classic use in
+    * web search since Brin & Page 1998 §2.2). `links` carries one row
+    * per harvested link: `dst` (target key) and `anchor` (the link's
+    * anchor text, pre-normalized by the caller). Returns the top-`k`
+    * anchors per target by count — `(dst, anchor, n, rk)` — with the
+    * deterministic (count DESC, anchor ASC) tie-break.
+    *
+    * Scale shape: one (dst, anchor) exchange for the count, then the
+    * dst-keyed rank window; the `rk <= k` filter is a rank-limit
+    * predicate Spark pushes INTO the window (WindowGroupLimit), so no
+    * task ever materializes a popular target's full anchor list
+    * beyond k — the same bounded-state argument as the dictionary's
+    * capped sample. */
+  def topAnchors(links: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(col("dst"))
+      .orderBy(col("n").desc, col("anchor"))
+    links.groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(grp))
+      .where(col("rk") <= k)
+  }
+
   /** Deterministic web-shaped edge list derived from consecutive node
     * ids `[0, n)` by pure integer arithmetic (the sandbox stand-in for
     * a harvested link graph — no external data): 2-4 out-links per

@@ -133,22 +133,36 @@ object FrontierQueries {
     // content per URL; both engines aggregate and flag independently
     // and every count, depth, and flag compares exactly.
     "q67_trap_hosts" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.functions._
-      val pages = s.read.parquet(s"$dir/documents.parquet")
-        .select(
-          concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
-            lit(".test"),
-            expr("repeat('/seg', CAST(doc_id % 8 AS INT) + 1)"),
-            lit("/doc"), col("doc_id").cast("string")).as("url"),
-          when(col("doc_id") % 20 < 3,
-            md5(concat(lit("trap"), (col("doc_id") % 20).cast("string"),
-              lit("_"), (col("doc_id") % 2).cast("string"))
-              .cast("binary")))
-            .otherwise(md5(concat(lit("u"),
-              col("doc_id").cast("string")).cast("binary")))
-            .as("content_hash"))
       graft.frontier.DustDetect
-        .trapHosts(pages, minUrls = 3L, dupFactor = 2L)
+        .trapHosts(trapUniverse(s, dir), minUrls = 3L, dupFactor = 2L)
+        .orderBy("host")
+    }),
+
+    // The closed frontier-policy loop — trap exclusion → budget
+    // apportionment → per-host enforcement composed into ONE plan —
+    // as a two-sided exact derivation: hosts flagged by trapHosts
+    // over the q67 universe are anti-joined out of the event-derived
+    // frontier, the (prime) budget 499 is re-apportioned over the
+    // SURVIVING hosts only, and each keeps its first alloc(host) URLs.
+    // The gate pins per-host kept counts AND the rank boundary, so a
+    // regression in any stage (a trap leaking through, one seat
+    // misassigned, an off-by-one cap) shifts a row.
+    "q70_frontier_policy" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(concat(lit("h"), (col("user_id") % 20).cast("string"),
+          lit(".test")).as("host"), col("event_id").as("url"))
+      val traps = graft.frontier.DustDetect
+        .trapHosts(trapUniverse(s, dir), minUrls = 3L, dupFactor = 2L)
+        .where(col("is_trap")).select(col("host"))
+      val clean = ev.join(broadcast(traps), Seq("host"), "left_anti")
+      val w = clean.groupBy(col("host")).agg(count(lit(1)).as("w"))
+      val alloc = graft.frontier.BudgetAllocator
+        .apportion(w, "host", "w", 499L)
+      graft.frontier.BudgetAllocator
+        .capPerHost(clean, "host", "url", alloc)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_kept"), max(col("url")).as("max_url"))
         .orderBy("host")
     }),
 
@@ -190,6 +204,27 @@ object FrontierQueries {
         .orderBy(col("year"), col("month"), col("municipality"))
     })
   )
+
+  /** q67/q70's synthetic fetched-page universe: 20 hosts keyed off
+    * doc_id, hosts 0-2 serving only two distinct contents (planted
+    * traps at every SF), integer-derived path depths — regenerable
+    * exactly by any SQL engine. */
+  private def trapUniverse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(
+        concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+          lit(".test"),
+          expr("repeat('/seg', CAST(doc_id % 8 AS INT) + 1)"),
+          lit("/doc"), col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 20 < 3,
+          md5(concat(lit("trap"), (col("doc_id") % 20).cast("string"),
+            lit("_"), (col("doc_id") % 2).cast("string"))
+            .cast("binary")))
+          .otherwise(md5(concat(lit("u"),
+            col("doc_id").cast("string")).cast("binary")))
+          .as("content_hash"))
+  }
 
   /** All-municipality crawl over a fixture period set with NO empty
     * (year, month, municipality) — see q46's oracle note. */
@@ -313,6 +348,46 @@ object FrontierQueries {
         | (count(*) >= 3 AND count(DISTINCT content_hash) * 2
         |   <= count(*)) AS is_trap
         |FROM s GROUP BY host ORDER BY host""".stripMargin,
+    // the whole policy loop re-derived end to end: trap flags from the
+    // q67 universe, anti-join, Hamilton apportionment of 499 over the
+    // survivors, per-host keep-first cap, counts + rank boundary
+    "q70_frontier_policy" ->
+      """WITH tp AS (SELECT
+        |   CASE WHEN doc_id % 20 < 3
+        |     THEN md5('trap' || CAST(doc_id % 20 AS VARCHAR) || '_' ||
+        |       CAST(doc_id % 2 AS VARCHAR))
+        |     ELSE md5('u' || CAST(doc_id AS VARCHAR)) END
+        |     AS content_hash,
+        |   'h' || CAST(doc_id % 20 AS VARCHAR) || '.test' AS host
+        |  FROM documents),
+        | traps AS (SELECT host FROM tp GROUP BY host
+        |  HAVING count(*) >= 3
+        |   AND count(DISTINCT content_hash) * 2 <= count(*)),
+        | ev AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.test'
+        |   AS host, event_id AS url FROM events),
+        | clean AS (SELECT ev.host, ev.url FROM ev
+        |  ANTI JOIN traps USING (host)),
+        | w AS (SELECT host, CAST(count(*) AS BIGINT) AS weight
+        |  FROM clean GROUP BY host),
+        | t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w
+        |  WHERE weight > 0),
+        | b AS (SELECT host, weight,
+        |   CASE WHEN weight > 0 THEN (499 * weight) // tot
+        |     ELSE 0 END AS base,
+        |   CASE WHEN weight > 0 THEN (499 * weight) % tot
+        |     ELSE -1 END AS rem FROM w, t),
+        | l AS (SELECT 499 - sum(base) AS lcnt FROM b),
+        | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+        |   host ASC) AS rk FROM b),
+        | a AS (SELECT host, base + CASE WHEN weight > 0
+        |   AND rk <= (SELECT lcnt FROM l) THEN 1 ELSE 0 END
+        |   AS alloc FROM r),
+        | f AS (SELECT clean.host, clean.url, row_number() OVER
+        |   (PARTITION BY clean.host ORDER BY clean.url) AS urk, a.alloc
+        |  FROM clean JOIN a ON clean.host = a.host)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_kept,
+        | max(url) AS max_url
+        |FROM f WHERE urk <= alloc GROUP BY host ORDER BY host""".stripMargin,
     // the same integer estimator re-derived end to end: lag-based
     // change detection, span // (changes+1), clamp, next-fetch time
     "q60_recrawl_schedule" ->

@@ -447,6 +447,22 @@ object RelationalQueries {
       graft.ops.GraphOps.hitsFixedPoint(docs, edges, 3)
         .select($"id".as("doc_id"), $"auth_u", $"hub_u")
         .orderBy($"doc_id")
+    }),
+
+    // ---- anchor-text aggregation over the same synthetic link graph:
+    //      per-target top-3 anchors by count with the deterministic
+    //      (count DESC, anchor ASC) tie-break — the rank filter is a
+    //      WindowGroupLimit, plan-gated. Anchors are pure integer
+    //      arithmetic on (src, dst) so DuckDB regenerates them exactly.
+    "q69_anchor_texts" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val links = graft.ops.GraphOps.syntheticEdges(docs, n)
+        .withColumn("anchor", concat(lit("w"),
+          (($"src" * 31 + $"dst" * 7) % 11).cast("string")))
+      graft.ops.GraphOps.topAnchors(links, 3)
+        .orderBy($"dst", $"rk")
     })
   )
 
@@ -493,6 +509,29 @@ object RelationalQueries {
   /** DuckDB-runnable oracle SQL; column aliases match the Spark side. */
   val oracleSql: Map[String, String] = Map(
     "q65_hits" -> hitsOracleSql(3),
+    // the same link graph + integer anchor labels, re-aggregated and
+    // re-ranked with the identical tie-break
+    "q69_anchor_texts" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | e AS (SELECT id AS src,
+        |   unnest(list_filter(list_distinct([
+        |     (id*7+3) % (SELECT n FROM nn),
+        |     CASE WHEN id % 2 = 0 THEN (id*13+5) % (SELECT n FROM nn) END,
+        |     CASE WHEN id % 5 = 0 THEN (id*31+11) % (SELECT n FROM nn) END,
+        |     id % 10]),
+        |    d -> d IS NOT NULL AND d <> id)) AS dst
+        |  FROM nodes),
+        | links AS (SELECT src, dst,
+        |   'w' || CAST((src*31 + dst*7) % 11 AS VARCHAR) AS anchor
+        |  FROM e),
+        | g AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+        |  FROM links GROUP BY 1, 2),
+        | r AS (SELECT dst, anchor, n, CAST(row_number() OVER
+        |   (PARTITION BY dst ORDER BY n DESC, anchor) AS INT) AS rk
+        |  FROM g)
+        |SELECT dst, anchor, n, rk FROM r WHERE rk <= 3
+        |ORDER BY dst, rk""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base,

@@ -325,6 +325,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"DUST witness join degenerated:\n$p")
   }
 
+  test("anchor texts: rank filter pushes into the window as WindowGroupLimit") {
+    val p = plan("q69_anchor_texts")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-target anchor list not bounded by the rank limit:\n$p")
+  }
+
+  test("frontier policy: trap exclusion broadcasts, apportionment never sort-merges") {
+    val p = plan("q70_frontier_policy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"trap anti-join / alloc join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"policy-loop joins must stay broadcast at host cardinality:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
+  }
+
   test("hits: per-half-step L1 totals are broadcast scalars, never a driver collect") {
     // 3 iterations × 2 half-steps = 6 L1 normalizations, each a
     // one-row aggregate crossed back in as a BroadcastNestedLoopJoin

@@ -133,6 +133,25 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(r("ok.test") == ((6L, 6L, 1L, false)))
   }
 
+  // ---- anchor text ---------------------------------------------------
+
+  test("top anchors: per-target count ranking with (count DESC, anchor ASC) tie-break, capped at k") {
+    val links = Seq(
+      (1L, 9L, "home"), (2L, 9L, "home"), (3L, 9L, "start"),
+      (4L, 9L, "begin"), (5L, 9L, "alpha"), // 4 distinct anchors on 9
+      (6L, 7L, "solo")
+    ).toDF("src", "dst", "anchor")
+    val r = GraphOps.topAnchors(links, 3)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getInt(3)))
+      .toSet
+    // target 9: "home"(2) first, then alphabetical among the 1-counts;
+    // "start" (4th) is cut by k=3
+    assert(r == Set(
+      (9L, "home", 2L, 1), (9L, "alpha", 1L, 2), (9L, "begin", 1L, 3),
+      (7L, "solo", 1L, 1)))
+  }
+
   // ---- rarity --------------------------------------------------------
 
   test("rarity score: hand-computed fixed point on a three-doc corpus") {
