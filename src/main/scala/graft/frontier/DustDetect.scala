@@ -103,4 +103,40 @@ object DustDetect {
         $"n_urls" >= minUrls &&
           $"n_distinct" * dupFactor <= $"n_urls")
   }
+
+  /** Apply mined DUST rules to a URL set — the enforcement half of
+    * [[paramAliasRules]]: every query parameter named by a `(host,
+    * param)` rule is stripped from URLs on that host, yielding a
+    * `canonical` column the frontier dedups on BEFORE fetching (the
+    * collapse is where the crawl budget is actually saved; mining
+    * without application is a report, not an operator). URLs on hosts
+    * with no rule, and URLs without a query string, canonicalize to
+    * themselves; a URL whose every parameter is stripped canonicalizes
+    * to its bare base. Input needs a `url` column (other columns pass
+    * through); `rules` needs `(host, param)`. Returns the input plus
+    * `host` and `canonical`.
+    *
+    * Scale shape: the rule table is tiny by construction (one row per
+    * (host, param) — bounded by hosts, not URLs), so the join is an
+    * explicit broadcast and the rewrite is pure map-side built-in
+    * string/array surgery (split / filter / array_join — no UDF, fully
+    * codegen): canonicalizing a 10^10-row frontier costs one scan and
+    * zero shuffles. */
+  def applyParamRules(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val perHost = rules.groupBy($"host")
+      .agg(collect_set($"param").as("strip_set"))
+    val base = substring_index($"url", "?", 1)
+    val kept = filter(split(substring_index($"url", "?", -1), "&"),
+      p => !array_contains($"strip_set", substring_index(p, "=", 1)))
+    urls
+      .withColumn("host", regexp_extract($"url", hostRe, 1))
+      .join(broadcast(perHost), Seq("host"), "left")
+      .withColumn("canonical",
+        when($"strip_set".isNull || instr($"url", "?") === 0, $"url")
+          .otherwise(when(size(kept) === 0, base)
+            .otherwise(concat(base, lit("?"), array_join(kept, "&")))))
+      .drop("strip_set")
+  }
 }

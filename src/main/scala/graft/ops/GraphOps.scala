@@ -150,6 +150,47 @@ object GraphOps {
       .where(col("rk") <= k)
   }
 
+  /** Bounded-depth BFS reachability from a seed set — the crawl's
+    * discovery footprint question ("what does depth-k from these seeds
+    * reach?") asked of a harvested link graph; reference analog: the
+    * reference's crawl IS a k-bounded frontier expansion from its seed
+    * portals (its max-depth cap), here re-expressed over an edge table.
+    * Returns `(id, depth)` with `depth` the BFS level (= minimum hop
+    * count from any seed; seeds are depth 0). Nodes unreachable within
+    * `k` hops are absent.
+    *
+    * Scale shape: frontier-DELTA iteration — each hop joins only the
+    * newly-discovered frontier (not the whole reached set) against the
+    * edge table, then anti-joins the accumulated reach to keep first
+    * discoveries; both are node-id-keyed shuffles, so bucketed edges
+    * make the probe side exchange-free. The edge table is materialized
+    * once (read `k` times), each frontier is materialized to truncate
+    * lineage (the reach union otherwise re-derives every level per
+    * action), and nothing is ever collected to the driver. The
+    * monotone-frontier argument is the same one Kiveris et al. make
+    * for large-star/small-star rounds: work per hop is proportional to
+    * NEW discoveries, so the total is O(edges within k hops), not
+    * O(k · reached). */
+  def kHopReachable(seeds: DataFrame, edges: DataFrame, k: Int)
+      : DataFrame = {
+    require(k >= 0)
+    val e = DedupOps.materialize(edges.select(col("src"), col("dst")))
+    var reach = DedupOps.materialize(
+      seeds.select(col("id")).distinct()
+        .select(col("id"), lit(0).as("depth")))
+    var frontier = reach.select(col("id"))
+    for (d <- 1 to k) {
+      val nxt = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(reach.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(d).as("depth"))
+      val level = DedupOps.materialize(nxt)
+      reach = reach.unionByName(level)
+      frontier = level.select(col("id"))
+    }
+    reach
+  }
+
   /** Deterministic web-shaped edge list derived from consecutive node
     * ids `[0, n)` by pure integer arithmetic (the sandbox stand-in for
     * a harvested link graph — no external data): 2-4 out-links per

@@ -116,6 +116,48 @@ object InvertedIndex {
       .select($"rk", $"doc_id", $"score_u", $"dl")
   }
 
+  /** Exact-phrase retrieval over positional postings: documents are
+    * ranked by their count of EXACT consecutive occurrences of
+    * `phrase` (whitespace tokens), ties broken by ascending doc id —
+    * the positional-index query a [[postings]]-style catalog exists to
+    * answer beyond bag-of-words (decontamination audits ask precisely
+    * this: "which documents contain this benchmark sentence verbatim").
+    * Returns `(rk, doc_id, n_matches)`, top `k` only.
+    *
+    * Matching is the classic positional-intersection: term `i` of the
+    * phrase at token position `p` witnesses a candidate start `p - i`,
+    * and a full match is one `(doc_id, start)` key present in ALL
+    * `phrase.length` witness sets — so repeated terms in the phrase
+    * ("a a") need no special casing, each offset filters independently.
+    *
+    * Scale shape: each witness set is the token explode FILTERED to
+    * one term before any exchange (the filter sits under the join, so
+    * only phrase-term tokens — a vanishing fraction of the corpus —
+    * ever shuffle); the intersection is `phrase.length - 1` equi-joins
+    * all keyed on the same `(doc_id, start)`, which AQE plans as
+    * broadcasts when the rarest term is small; the final top-k is
+    * `orderBy().limit(k)` — TakeOrderedAndProject (per-partition heaps
+    * + driver merge), never a global sort. */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(phrase.nonEmpty && k > 0)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    val witnesses = phrase.zipWithIndex.map { case (t, i) =>
+      toks.where($"term" === t)
+        .select($"doc_id", ($"pos" - i).cast("long").as("start"))
+    }
+    witnesses.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy($"n_matches".desc, $"doc_id")
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n_matches".desc, $"doc_id")))
+      .select($"rk", $"doc_id", $"n_matches")
+  }
+
   /** The dictionary view `(term, df, tf_total, sample_docs)`: per
     * term, its document frequency, corpus-wide occurrence count, and
     * the `cap` LOWEST doc ids containing it as a comma-joined string

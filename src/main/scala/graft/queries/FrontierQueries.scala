@@ -101,29 +101,29 @@ object FrontierQueries {
     // mine single-parameter deletion rules independently, and compare
     // every (host, param, n_pairs) row exactly.
     "q66_dust_rules" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.functions._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          concat(lit("http://h"), (col("doc_id") % 37).cast("string"),
-            lit(".test/d/"), col("doc_id").cast("string")).as("u"),
-          md5(col("text").cast("binary")).as("ch"),
-          md5(concat(col("text"), lit("x")).cast("binary")).as("chx"))
-      val pages = d
-        .select(col("u").as("url"), col("ch").as("content_hash"))
-        .unionByName(d.where(col("doc_id") % 3 === 0)
-          .select(concat(col("u"), lit("?session=s"),
-            col("doc_id").cast("string")).as("url"),
-            col("ch").as("content_hash")))
-        .unionByName(d.where(col("doc_id") % 5 === 0)
-          .select(concat(col("u"), lit("?ref=r"),
-            col("doc_id").cast("string")).as("url"),
-            col("chx").as("content_hash")))
-        .unionByName(d.where(col("doc_id") % 11 === 0)
-          .select(concat(col("u"), lit("?session=s"),
-            col("doc_id").cast("string"), lit("&lang=en")).as("url"),
-            col("ch").as("content_hash")))
-      graft.frontier.DustDetect.paramAliasRules(pages)
+      graft.frontier.DustDetect.paramAliasRules(dustUniverse(s, dir))
         .orderBy("host", "param")
+    }),
+
+    // The mine→apply DUST loop closed (frontier/DustDetect
+    // .applyParamRules): the rules q66 mines are broadcast back over
+    // the SAME fetched-URL universe and every query parameter they
+    // name is stripped map-side; the gate pins, per host, the URL
+    // count and the count of DISTINCT canonical forms — so a rule
+    // that over-strips (collapsing distinct content), under-strips
+    // (missing an alias family), or leaks across hosts shifts a row.
+    // DuckDB re-mines and re-applies the rules from raw data.
+    "q71_dust_apply" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val pages = dustUniverse(s, dir)
+      val rules = graft.frontier.DustDetect.paramAliasRules(pages)
+        .select(col("host"), col("param"))
+      graft.frontier.DustDetect
+        .applyParamRules(pages.select(col("url")), rules)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical")).as("n_canonical"))
+        .orderBy("host")
     }),
 
     // Crawl-trap host detection (frontier/DustDetect.trapHosts) as a
@@ -204,6 +204,36 @@ object FrontierQueries {
         .orderBy(col("year"), col("month"), col("municipality"))
     })
   )
+
+  /** q66/q71's synthetic fetched-URL universe: 37 hosts keyed off
+    * doc_id, every base URL fetched once, plus three deterministic
+    * query-string families — `?session=sN` (same content as the base:
+    * a strippable alias), `?ref=rN` (DIFFERENT content: must survive),
+    * and `?session=sN&lang=en` (same content; stripping `lang` lands
+    * on the fetched session URL) — regenerable exactly by any SQL
+    * engine. */
+  private def dustUniverse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") % 37).cast("string"),
+          lit(".test/d/"), col("doc_id").cast("string")).as("u"),
+        md5(col("text").cast("binary")).as("ch"),
+        md5(concat(col("text"), lit("x")).cast("binary")).as("chx"))
+    d.select(col("u").as("url"), col("ch").as("content_hash"))
+      .unionByName(d.where(col("doc_id") % 3 === 0)
+        .select(concat(col("u"), lit("?session=s"),
+          col("doc_id").cast("string")).as("url"),
+          col("ch").as("content_hash")))
+      .unionByName(d.where(col("doc_id") % 5 === 0)
+        .select(concat(col("u"), lit("?ref=r"),
+          col("doc_id").cast("string")).as("url"),
+          col("chx").as("content_hash")))
+      .unionByName(d.where(col("doc_id") % 11 === 0)
+        .select(concat(col("u"), lit("?session=s"),
+          col("doc_id").cast("string"), lit("&lang=en")).as("url"),
+          col("ch").as("content_hash")))
+  }
 
   /** q67/q70's synthetic fetched-page universe: 20 hosts keyed off
     * doc_id, hosts 0-2 serving only two distinct contents (planted
@@ -322,6 +352,64 @@ object FrontierQueries {
         |     AND c.url <> p2.url)
         |SELECT host, pname AS param, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM hits GROUP BY 1, 2 ORDER BY host, param""".stripMargin,
+    // q66's mining chain verbatim, then the application re-derived:
+    // per-host strip list, map-side parameter filter, per-host
+    // distinct-canonical counts
+    "q71_dust_apply" ->
+      """WITH b AS (SELECT doc_id,
+        |   'http://h' || CAST(doc_id % 37 AS VARCHAR) || '.test/d/' ||
+        |     CAST(doc_id AS VARCHAR) AS u,
+        |   md5(text) AS ch, md5(text || 'x') AS chx FROM documents),
+        | pages AS (
+        |  SELECT u AS url, ch AS content_hash FROM b
+        |  UNION ALL SELECT u || '?session=s' || CAST(doc_id AS VARCHAR),
+        |   ch FROM b WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT u || '?ref=r' || CAST(doc_id AS VARCHAR),
+        |   chx FROM b WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT u || '?session=s' || CAST(doc_id AS VARCHAR)
+        |   || '&lang=en', ch FROM b WHERE doc_id % 11 = 0),
+        | withq AS (SELECT url, content_hash,
+        |   regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |   substr(url, 1, instr(url, '?') - 1) AS base,
+        |   string_split(substr(url, instr(url, '?') + 1), '&') AS params
+        |  FROM pages WHERE instr(url, '?') > 0),
+        | cand0 AS (SELECT url, content_hash, host, base, params,
+        |   unnest(list_transform(params,
+        |     (x, i) -> struct_pack(i := i, p := x))) AS pp
+        |  FROM withq),
+        | cand AS (SELECT url, content_hash, host,
+        |   string_split(pp.p, '=')[1] AS pname,
+        |   CASE WHEN len(params) = 1 THEN base
+        |     ELSE base || '?' || array_to_string(
+        |       list_filter(params, (x, j) -> j <> pp.i), '&') END
+        |     AS stripped
+        |  FROM cand0),
+        | hits AS (SELECT c.host, c.pname FROM cand c JOIN pages p2
+        |   ON c.stripped = p2.url AND c.content_hash = p2.content_hash
+        |     AND c.url <> p2.url),
+        | sp AS (SELECT host, list(DISTINCT pname) AS strip_set
+        |  FROM hits GROUP BY host),
+        | u AS (SELECT url,
+        |   regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+        |  FROM pages),
+        | c1 AS (SELECT u.url, u.host, sp.strip_set,
+        |   string_split(u.url, '?')[1] AS base,
+        |   CASE WHEN instr(u.url, '?') > 0 THEN
+        |     list_filter(string_split(substr(u.url,
+        |       instr(u.url, '?') + 1), '&'),
+        |      p -> NOT list_contains(sp.strip_set,
+        |        string_split(p, '=')[1]))
+        |   END AS kept
+        |  FROM u LEFT JOIN sp ON u.host = sp.host),
+        | c AS (SELECT host,
+        |   CASE WHEN strip_set IS NULL OR instr(url, '?') = 0 THEN url
+        |     WHEN len(kept) = 0 THEN base
+        |     ELSE base || '?' || array_to_string(kept, '&') END
+        |     AS canonical
+        |  FROM c1)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        | CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical
+        |FROM c GROUP BY host ORDER BY host""".stripMargin,
     // the same trap detection re-derived: identical URL universe,
     // host/depth extraction, per-host counts, integer flag
     "q67_trap_hosts" ->

@@ -1004,6 +1004,18 @@ object OpsQueries {
     // mean with the same floor divisions.
     "q68_rarity_score" -> ((s: SparkSession, dir: String) => {
       graft.ops.TextOps.rarityScore(docs(s, dir)).orderBy("doc_id")
+    }),
+
+    // Exact-phrase retrieval (InvertedIndex.phraseTopK) as a
+    // two-sided exact derivation: DuckDB re-derives every token
+    // position, intersects the two witness sets on (doc, start), and
+    // re-ranks by match count with the ascending-doc-id tie-break —
+    // a positional off-by-one, a lost duplicate occurrence, or a
+    // broken tie-break shifts a row.
+    "q73_phrase_topk" -> ((s: SparkSession, dir: String) => {
+      graft.ops.InvertedIndex.phraseTopK(docs(s, dir), "doc_id",
+        "text", Seq("table", "hash"), 10)
+        .orderBy("rk")
     })
   )
 
@@ -1519,6 +1531,27 @@ object OpsQueries {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
         | CAST(sum(tf * rarity_u) // sum(tf) AS BIGINT) AS rarity_u
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // positional intersection re-derived: token positions via
+    // generate_subscripts, witness starts per phrase term, (doc,
+    // start) equi-intersection, count-desc/doc-asc re-rank
+    "q73_phrase_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |   AS term,
+        |   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        | s0 AS (SELECT doc_id, CAST(pos AS BIGINT) AS start FROM t
+        |  WHERE term = 'table'),
+        | s1 AS (SELECT doc_id, CAST(pos - 1 AS BIGINT) AS start FROM t
+        |  WHERE term = 'hash'),
+        | m AS (SELECT s0.doc_id, s0.start FROM s0
+        |  JOIN s1 USING (doc_id, start)),
+        | g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |  FROM m GROUP BY doc_id),
+        | top AS (SELECT * FROM g ORDER BY n_matches DESC, doc_id
+        |  LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id)
+        |   AS INT) AS rk, doc_id, n_matches
+        |FROM top ORDER BY rk""".stripMargin,
     // two-sided exact paragraph dedup: DuckDB rebuilds the identical
     // synthetic corpus, runs its own keep-first over (paragraph text,
     // doc id, position), reassembles, and compares md5 + counts

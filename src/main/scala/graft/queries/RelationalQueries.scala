@@ -463,6 +463,21 @@ object RelationalQueries {
           (($"src" * 31 + $"dst" * 7) % 11).cast("string")))
       graft.ops.GraphOps.topAnchors(links, 3)
         .orderBy($"dst", $"rk")
+    }),
+
+    // ---- bounded-depth BFS from a sparse seed set over the same
+    //      synthetic link graph: every (node, BFS level) within 3 hops
+    //      compares exactly against DuckDB's recursive-CTE min-depth
+    //      derivation — a wrong frontier delta, a missed dedup, or a
+    //      level leak shifts a row.
+    "q72_khop" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val edges = graft.ops.GraphOps.syntheticEdges(docs, n)
+      val seeds = docs.where($"id" % 97 === 0)
+      graft.ops.GraphOps.kHopReachable(seeds, edges, 3)
+        .orderBy($"id")
     })
   )
 
@@ -532,6 +547,27 @@ object RelationalQueries {
         |  FROM g)
         |SELECT dst, anchor, n, rk FROM r WHERE rk <= 3
         |ORDER BY dst, rk""".stripMargin,
+    // the same graph walked by a recursive CTE: UNION-distinct
+    // recursion bounded at depth 3, then min-depth per node — the
+    // declarative twin of the frontier-delta BFS
+    "q72_khop" ->
+      """WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | e AS (SELECT id AS src,
+        |   unnest(list_filter(list_distinct([
+        |     (id*7+3) % (SELECT n FROM nn),
+        |     CASE WHEN id % 2 = 0 THEN (id*13+5) % (SELECT n FROM nn) END,
+        |     CASE WHEN id % 5 = 0 THEN (id*31+11) % (SELECT n FROM nn) END,
+        |     id % 10]),
+        |    d -> d IS NOT NULL AND d <> id)) AS dst
+        |  FROM nodes),
+        | reach(id, depth) AS (
+        |  SELECT id, 0 FROM nodes WHERE id % 97 = 0
+        |  UNION
+        |  SELECT e.dst, r.depth + 1 FROM reach r
+        |   JOIN e ON e.src = r.id WHERE r.depth < 3)
+        |SELECT id, CAST(min(depth) AS INT) AS depth
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base,

@@ -48,4 +48,31 @@ class InvertedIndexSpec extends AnyFunSuite {
     val out = dicts(10, (1L, "w w w"), (2L, "w"))
     assert(out("w") === ((2L, 4L, "1,2")))
   }
+
+  test("phrase top-k: consecutive positions only, every occurrence counted, count-desc/doc-asc rank") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "x table hash y table hash"), // 2 matches
+      (2L, "table y hash"), // not consecutive → 0
+      (3L, "table hash"), // 1 match
+      (4L, "hash table") // wrong order → 0
+    ).toDF("doc_id", "text")
+    val r = InvertedIndex
+      .phraseTopK(docs, "doc_id", "text", Seq("table", "hash"), 10)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1, 1L, 2L), (2, 3L, 1L)))
+  }
+
+  test("phrase top-k: a repeated phrase term matches overlapping occurrences") {
+    val sess = spark
+    import sess.implicits._
+    // "a a a" contains "a a" at starts 0 and 1 — each offset filters
+    // independently, so repeats need no special casing
+    val docs = Seq((9L, "a a a")).toDF("doc_id", "text")
+    val r = InvertedIndex
+      .phraseTopK(docs, "doc_id", "text", Seq("a", "a"), 5)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1, 9L, 2L)))
+  }
 }

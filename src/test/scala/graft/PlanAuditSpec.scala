@@ -325,6 +325,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"DUST witness join degenerated:\n$p")
   }
 
+  test("dust apply: the rule join is an explicit broadcast — canonicalizing never shuffles the frontier") {
+    val p = plan("q71_dust_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-host strip-set join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rule application degenerated:\n$p")
+  }
+
+  test("k-hop: every BFS level is materialized — the final plan unions level scans, re-deriving nothing") {
+    val p = plan("q72_khop")
+    // each hop's join+anti-join ran INSIDE the loop against a
+    // materialized level; if lineage leaked, the final plan would
+    // re-derive the joins per action (and k-fold per level)
+    assert(p.contains("Union"), s"reach is not a union of levels:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan")
+      || p.contains("TableCacheQueryStage"),
+      s"levels not materialized — lineage re-derives every hop:\n$p")
+    assert(!p.contains("Join"),
+      s"final reach plan re-derives per-hop joins (lineage leak):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
+  }
+
+  test("phrase: term filters sit below the position joins, top-k is a heap merge") {
+    val p = plan("q73_phrase_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a per-partition heap merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
+  }
+
   test("anchor texts: rank filter pushes into the window as WindowGroupLimit") {
     val p = plan("q69_anchor_texts")
     assert(p.contains("WindowGroupLimit"),

@@ -117,6 +117,46 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(rules == Set(("a.test", "sid", 1L), ("b.test", "lang", 1L)))
   }
 
+  test("dust apply: rule params stripped, other hosts/params/bare urls untouched") {
+    val rules = Seq(("a.test", "sid"), ("a.test", "utm"),
+      ("b.test", "lang")).toDF("host", "param")
+    val urls = Seq(
+      "http://a.test/p?sid=1", // whole query stripped → bare base
+      "http://a.test/p?sid=1&x=2", // x survives
+      "http://a.test/p?utm=z&sid=1", // both rules fire
+      "http://a.test/plain", // no query
+      "http://b.test/r?sid=2", // sid is not a rule on b.test
+      "http://c.test/s?sid=3" // no rules on c.test at all
+    ).toDF("url")
+    val r = DustDetect.applyParamRules(urls, rules)
+      .collect()
+      .map(x => x.getAs[String]("url") -> x.getAs[String]("canonical"))
+      .toMap
+    assert(r("http://a.test/p?sid=1") == "http://a.test/p")
+    assert(r("http://a.test/p?sid=1&x=2") == "http://a.test/p?x=2")
+    assert(r("http://a.test/p?utm=z&sid=1") == "http://a.test/p")
+    assert(r("http://a.test/plain") == "http://a.test/plain")
+    assert(r("http://b.test/r?sid=2") == "http://b.test/r?sid=2")
+    assert(r("http://c.test/s?sid=3") == "http://c.test/s?sid=3")
+  }
+
+  // ---- k-hop BFS -------------------------------------------------------
+
+  test("k-hop reachability: depths are minimum hop counts, bounded at k, seeds at 0") {
+    // chain 0→1→2→3→4 plus shortcut 0→3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val r = GraphOps.kHopReachable(seeds, edges, 2)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // the shortcut puts 3 at depth 1, so 4 is reachable at depth 2;
+    // the 3-hop chain path to 3 never surfaces
+    assert(r == Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2))
+    val r0 = GraphOps.kHopReachable(seeds, edges, 0)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r0 == Map(0L -> 0))
+  }
+
   test("trap hosts: low content diversity flags, diverse host does not, depth counted") {
     val trap = (0 until 6).map(i =>
       (s"http://trap.test/cal/2024/$i", "same"))

@@ -56,4 +56,36 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(want.forall(_._3.contains("[PHONE]")))
     assert(want.forall(!_._3.contains("+1-555")))
   }
+
+  test("dust canonicalization streams unchanged: stream-static broadcast join per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    // mined rules are a STATIC table; the frontier is the stream —
+    // applyParamRules' broadcast join is exactly the stream-static
+    // join Structured Streaming executes per micro-batch, so frontier
+    // canonicalization needs no stateful operator at all
+    val rules = Seq(("a.test", "sid")).toDF("host", "param")
+    val urls = Seq(
+      "http://a.test/p?sid=1", "http://a.test/p?sid=2&x=1",
+      "http://b.test/q?sid=3", "http://a.test/bare")
+    val ms = MemoryStream[String]
+    val q = graft.frontier.DustDetect
+      .applyParamRules(ms.toDF.toDF("url"), rules)
+      .select($"url", $"canonical")
+      .writeStream.format("memory").queryName("canon")
+      .outputMode("append").start()
+    ms.addData(urls.take(2): _*); q.processAllAvailable()
+    ms.addData(urls.drop(2): _*); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("canon")
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "http://a.test/p?sid=1" -> "http://a.test/p",
+      "http://a.test/p?sid=2&x=1" -> "http://a.test/p?x=1",
+      "http://b.test/q?sid=3" -> "http://b.test/q?sid=3",
+      "http://a.test/bare" -> "http://a.test/bare"))
+  }
 }
