@@ -478,6 +478,31 @@ object RelationalQueries {
       val seeds = docs.where($"id" % 97 === 0)
       graft.ops.GraphOps.kHopReachable(seeds, edges, 3)
         .orderBy($"id")
+    }),
+
+    // ---- the ranking→budget loop at HOST grain: the page graph is
+    //      projected onto hosts (distinct host pairs, self-loops
+    //      dropped), host PageRank runs 3 fixed-point iterations, and
+    //      the crawl budget 997 is Hamilton-apportioned by rank — so a
+    //      wrong projection, one drifted rank micro-unit, or one
+    //      misassigned leftover seat shifts a row. This is the domain-
+    //      level scheduling decision a web-scale frontier actually
+    //      makes (hosts, not pages, are the politeness unit).
+    "q74_host_rank_budget" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val edges = graft.ops.GraphOps.syntheticEdges(docs, n)
+      val hostEdges = edges
+        .select(($"src" % 53).as("src"), ($"dst" % 53).as("dst"))
+        .where($"src" =!= $"dst").distinct()
+      val hosts = docs.select(($"id" % 53).as("id")).distinct()
+      val nh = hosts.count()
+      val pr = graft.ops.GraphOps
+        .pageRankFixedPoint(hosts, hostEdges, 3, nh)
+      graft.frontier.BudgetAllocator.apportion(pr, "id", "pr", 997L)
+        .select($"key".as("host_id"), $"weight".as("pr_u"), $"alloc")
+        .orderBy($"host_id")
     })
   )
 
@@ -521,9 +546,70 @@ object RelationalQueries {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** q74's oracle: host projection of the synthetic page graph,
+    * `iters` unrolled fixed-point PageRank iterations (q57's exact
+    * integer chain over the host graph), then the Hamilton
+    * apportionment chain (q70's) of budget 997 by rank. */
+  private def hostRankBudgetOracleSql(iters: Int): String = {
+    val body = (1 to iters).map { i =>
+      s"""| i$i AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+          |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+          |   FROM e JOIN p${i - 1} p ON e.src = p.id GROUP BY 1),
+          | p$i AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+          |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+          |     + coalesce(i$i.inflow, 0) AS pr
+          |   FROM nodes LEFT JOIN i$i ON nodes.id = i$i.dst),""".stripMargin
+    }.mkString("\n")
+    // the edge set is stated as UNION ALL branches + DISTINCT rather
+    // than q57's unnest form: set-identical (list_distinct dedups
+    // within one src exactly like DISTINCT over the union; verified
+    // EXCEPT-empty both ways), and it sidesteps a DuckDB 1.0 binder
+    // fault (INTERNAL "failed to bind column reference") that fires
+    // when arithmetic on the unnest alias feeds a second CTE level
+    s"""WITH base AS (SELECT doc_id AS id FROM documents),
+       | bn AS (SELECT count(*) AS n FROM base),
+       | cand AS (
+       |  SELECT id AS src, (id*7+3) % (SELECT n FROM bn) AS dst
+       |   FROM base
+       |  UNION ALL SELECT id, (id*13+5) % (SELECT n FROM bn)
+       |   FROM base WHERE id % 2 = 0
+       |  UNION ALL SELECT id, (id*31+11) % (SELECT n FROM bn)
+       |   FROM base WHERE id % 5 = 0
+       |  UNION ALL SELECT id, id % 10 FROM base),
+       | edges AS (SELECT DISTINCT src, dst FROM cand WHERE dst <> src),
+       | he AS (SELECT DISTINCT src % 53 AS src, dst % 53 AS dst
+       |  FROM edges WHERE src % 53 <> dst % 53),
+       | nodes AS (SELECT DISTINCT id % 53 AS id FROM base),
+       | nn AS (SELECT count(*) AS n FROM nodes),
+       | od AS (SELECT src, count(*) AS outdeg FROM he GROUP BY 1),
+       | e AS (SELECT he.src, he.dst, od.outdeg
+       |   FROM he JOIN od USING (src)),
+       | p0 AS (SELECT id, CAST(floor(1000000000000.0 /
+       |     (SELECT n FROM nn)) AS BIGINT) AS pr FROM nodes),
+       |$body
+       | w AS (SELECT id AS key, pr AS weight FROM p$iters),
+       | t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w
+       |  WHERE weight > 0),
+       | bsd AS (SELECT key, weight,
+       |   CASE WHEN weight > 0 THEN (997 * weight) // tot
+       |     ELSE 0 END AS base,
+       |   CASE WHEN weight > 0 THEN (997 * weight) % tot
+       |     ELSE -1 END AS rem FROM w, t),
+       | l AS (SELECT 997 - sum(base) AS lcnt FROM bsd),
+       | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+       |   key ASC) AS rk FROM bsd),
+       | a AS (SELECT key, weight, base + CASE WHEN weight > 0
+       |   AND rk <= (SELECT lcnt FROM l) THEN 1 ELSE 0 END
+       |   AS alloc FROM r)
+       |SELECT key AS host_id, CAST(weight AS BIGINT) AS pr_u,
+       | CAST(alloc AS BIGINT) AS alloc
+       |FROM a ORDER BY host_id""".stripMargin
+  }
+
   /** DuckDB-runnable oracle SQL; column aliases match the Spark side. */
   val oracleSql: Map[String, String] = Map(
     "q65_hits" -> hitsOracleSql(3),
+    "q74_host_rank_budget" -> hostRankBudgetOracleSql(3),
     // the same link graph + integer anchor labels, re-aggregated and
     // re-ranked with the identical tie-break
     "q69_anchor_texts" ->
