@@ -62,6 +62,63 @@ object GraphOps {
     pr
   }
 
+  /** TrustRank in FIXED-POINT integer arithmetic (Gyöngyi,
+    * Garcia-Molina & Pedersen, VLDB 2004, "Combating Web Spam with
+    * TrustRank") — the spam-resistance companion to
+    * [[pageRankFixedPoint]]: trust mass originates ONLY at a curated
+    * seed set and decays outward through links, so link farms with no
+    * path from a trusted page settle at exactly 0 and a crawl
+    * scheduler can starve them. Identical integer discipline to the
+    * PageRank fixed point: trust is `scale`-denominated micro-units,
+    * per-edge propagation is `floor(t·d/(100·outdeg))`, and the
+    * teleport base — `floor(scale·(100-d)/(100·nSeeds))` — lands on
+    * SEED rows only (PageRank's uniform base is what lets spam pages
+    * accumulate rank; TrustRank's biased base is the whole point).
+    * Exact integer summation keeps every iteration order-independent
+    * and the result bit-identical under any partitioning or engine.
+    *
+    * Scale shape: the same one-join-one-agg iteration as
+    * [[pageRankFixedPoint]] (edge table materialized once, ranks
+    * O(nodes), nothing collected); the seed membership flag rides a
+    * BROADCAST join — trust seeds are a hand-curated whitelist,
+    * orders of magnitude smaller than the graph by construction.
+    *
+    * `seeds` carries the trusted `id`s (deduplicated here; `nSeeds`
+    * must equal its distinct count). Returns (id, trust_u). */
+  def trustRankFixedPoint(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int, nSeeds: Long, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && nSeeds >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = DedupOps.materialize(
+      edges.join(outdeg, "src").select(col("src"), col("dst"), col("outdeg")))
+    val sd = seeds.select(col("id")).distinct()
+      .withColumn("is_seed", lit(true))
+    val marked = nodes.select(col("id"))
+      .join(broadcast(sd), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    val base = math.floor(
+      scale.toDouble * (100 - dampingPct) / (100.0 * nSeeds)).toLong
+    val init = math.floor(scale.toDouble / nSeeds).toLong
+    var tr = marked.select(col("id"), col("is_seed"),
+      when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("trust_u"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(tr.select(col("id").as("tid"), col("trust_u")),
+          col("src") === col("tid"))
+        .select(col("dst"),
+          floor(col("trust_u") * lit(dampingPct.toDouble) /
+            (lit(100.0) * col("outdeg"))).cast("long").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      tr = marked
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("inflow"), lit(0L))).as("trust_u"))
+    }
+    tr.select(col("id"), col("trust_u"))
+  }
+
   /** HITS hubs-and-authorities in FIXED-POINT integer arithmetic
     * (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
     * Environment") — the second classic frontier-prioritization

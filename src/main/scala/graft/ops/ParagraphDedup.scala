@@ -43,6 +43,84 @@ object ParagraphDedup {
       .select($"id", $"idx", $"para", $"n_occ", ($"rk" === 1).as("keep"))
   }
 
+  /** Every paragraph occurrence with its per-HOST boilerplate verdict:
+    * `(id, host, idx, para, n_docs_host, n_docs_with_para, boiler)`.
+    * A paragraph is boilerplate on host `h` when it appears in at
+    * least `pctThreshold`% of `h`'s documents, in at least TWO of them
+    * (template means repetition — a paragraph seen once is content no
+    * matter how small the host), AND `h` has at least `minHostDocs`
+    * documents — the CCNet/Dolma-style template filter
+    * (navigation bars, cookie banners, legal footers repeat across a
+    * SITE, not the corpus: corpus-wide keep-first dedup keeps exactly
+    * one stray copy of each, this drops them everywhere). The
+    * threshold test is pure integer cross-multiplication
+    * (`n_with·100 >= n_host·pct`), so verdicts are engine-exact.
+    *
+    * Scale shape: host doc totals are a host-keyed aggregate of the
+    * doc table (rows = hosts, tiny); per-(host, paragraph) distinct-doc
+    * counts aggregate the occurrence set AFTER projecting away the
+    * text (only the 128-bit md5 travels); the verdict join back to
+    * full occurrences is keyed (host, hash) — one shuffle of the
+    * occurrence rows, the same key the count was built on. The
+    * host-totals join rides AQE's broadcast pick (an aggregate of
+    * cardinality = distinct hosts). */
+  def hostBoilerplateOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, hostCol: String, pctThreshold: Int = 50,
+      minHostDocs: Int = 2, sep: String = "\n\n"): DataFrame = {
+    require(pctThreshold >= 1 && pctThreshold <= 100 && minHostDocs >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occ = docs
+      .select(col(idCol).as("id"), col(hostCol).as("host"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
+      .withColumn("h", md5($"para".cast("binary")))
+    val hostDocs = docs
+      .groupBy(col(hostCol).as("host"))
+      .agg(countDistinct(col(idCol)).as("n_docs_host"))
+    val paraDocs = occ.select($"host", $"h", $"id").distinct()
+      .groupBy($"host", $"h")
+      .agg(count(lit(1)).as("n_docs_with_para"))
+      .join(hostDocs, Seq("host"))
+    occ.join(paraDocs, Seq("host", "h"))
+      .select($"id", $"host", $"idx", $"para",
+        $"n_docs_host", $"n_docs_with_para",
+        ($"n_docs_host" >= minHostDocs && $"n_docs_with_para" >= 2 &&
+          $"n_docs_with_para" * 100 >= $"n_docs_host" * pctThreshold)
+          .as("boiler"))
+  }
+
+  /** The host-boilerplate-cleaned corpus:
+    * `(id, clean_text, n_paras, n_kept)` — each document rebuilt from
+    * its non-boilerplate paragraphs in original order (every input doc
+    * appears exactly once; empty string when everything was template).
+    * Unlike [[paragraphDedup]] no copy survives: a paragraph judged
+    * site-template is noise in ALL its occurrences. */
+  def hostBoilerplateClean(docs: DataFrame, idCol: String,
+      textCol: String, hostCol: String, pctThreshold: Int = 50,
+      minHostDocs: Int = 2, sep: String = "\n\n"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occ = hostBoilerplateOccurrences(docs, idCol, textCol, hostCol,
+      pctThreshold, minHostDocs, sep)
+    val rebuilt = occ
+      .groupBy($"id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(!$"boiler", 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!$"boiler", struct($"idx", $"para")))),
+            s => s.getField("para")),
+          sep).as("clean_text"))
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select($"id", coalesce($"clean_text", lit("")).as("clean_text"),
+        coalesce($"n_paras", lit(0L)).as("n_paras"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"))
+  }
+
   /** The deduplicated corpus: `(id, clean_text, n_paras, n_kept)` —
     * each document rebuilt from its surviving paragraphs in original
     * order (empty string when every paragraph was a later duplicate;

@@ -972,6 +972,36 @@ object OpsQueries {
         .orderBy("id")
     }),
 
+    // Host-level boilerplate removal (ParagraphDedup
+    // .hostBoilerplateClean) as a two-sided exact derivation: both
+    // engines build the same synthetic multi-paragraph corpus hashed
+    // onto 5 hosts, plant the boilerplate paragraph on ALL of h0's
+    // docs (far past the 50% threshold) and on roughly HALF of h1's
+    // (the integer cross-multiplication boundary), drop site-template
+    // paragraphs in every occurrence, and compare md5(clean_text) +
+    // counts. Distinct from q59's keep-first: no copy survives here.
+    "q76_host_boilerplate" -> ((s: SparkSession, dir: String) => {
+      val synth = docs(s, dir)
+        .groupBy(expr("doc_id div 3").as("id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "\n\n").as("text"))
+        .withColumn("host",
+          concat(lit("h"), (col("id") % 5).cast("string")))
+        .withColumn("text", when(
+          expr("id % 5 = 0 OR (id % 5 = 1 AND (id div 5) % 2 = 0)"),
+          concat(col("text"), lit("\n\n" + boilerPara)))
+          .otherwise(col("text")))
+      graft.ops.ParagraphDedup
+        .hostBoilerplateClean(synth, "id", "text", "host")
+        .select(col("id"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"),
+          col("n_paras"), col("n_kept"))
+        .orderBy("id")
+    }),
+
     // The full Gopher quality-rule battery (TextOps.gopherQualityRules)
     // as a two-sided exact derivation: no staging — DuckDB recomputes
     // every count and every rule boolean from the text itself (all
@@ -1578,6 +1608,41 @@ object OpsQueries {
         |   coalesce(string_agg(para, chr(10) || chr(10)
         |     ORDER BY idx) FILTER (keep), '') AS clean_text
         |  FROM k GROUP BY id)
+        |SELECT id, md5(clean_text) AS clean_md5, n_paras, n_kept
+        |FROM r ORDER BY id""").stripMargin,
+    // two-sided exact host-boilerplate removal: DuckDB rebuilds the
+    // identical hosted corpus, derives per-(host, paragraph) distinct-
+    // doc counts and the integer cross-multiplication verdict itself,
+    // reassembles survivors, and compares md5 + counts
+    "q76_host_boilerplate" ->
+      ("""WITH synth0 AS (
+        |  SELECT doc_id // 3 AS id,
+        |   string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY doc_id // 3),
+        | synth AS (SELECT id, 'h' || CAST(id % 5 AS VARCHAR) AS host,
+        |   CASE WHEN id % 5 = 0 OR (id % 5 = 1 AND (id // 5) % 2 = 0)
+        |   THEN text || chr(10) || chr(10) || '""" + boilerPara +
+        """' ELSE text END AS text FROM synth0),
+        | p AS (SELECT id, host, unnest(list_transform(
+        |    string_split(text, chr(10) || chr(10)),
+        |    (x, i) -> struct_pack(idx := i, para := x))) AS u
+        |  FROM synth),
+        | q AS (SELECT id, host, u.idx AS idx, u.para AS para FROM p),
+        | hd AS (SELECT host, count(DISTINCT id) AS n_docs_host
+        |  FROM synth GROUP BY 1),
+        | pd AS (SELECT host, para, count(DISTINCT id) AS n_with
+        |  FROM q GROUP BY 1, 2),
+        | v AS (SELECT q.id, q.idx, q.para,
+        |   (hd.n_docs_host >= 2 AND pd.n_with >= 2 AND
+        |    pd.n_with * 100 >= hd.n_docs_host * 50) AS boiler
+        |  FROM q JOIN pd ON q.host = pd.host AND q.para = pd.para
+        |   JOIN hd ON q.host = hd.host),
+        | r AS (SELECT id,
+        |   CAST(count(*) AS BIGINT) AS n_paras,
+        |   CAST(count(*) FILTER (NOT boiler) AS BIGINT) AS n_kept,
+        |   coalesce(string_agg(para, chr(10) || chr(10)
+        |     ORDER BY idx) FILTER (NOT boiler), '') AS clean_text
+        |  FROM v GROUP BY id)
         |SELECT id, md5(clean_text) AS clean_md5, n_paras, n_kept
         |FROM r ORDER BY id""").stripMargin,
     // two-sided exact derivation: DuckDB rebuilds the corpus (same

@@ -449,6 +449,23 @@ object RelationalQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- fixed-point TrustRank (3 iterations) over the same
+    //      synthetic link graph, seeded on doc_id % 23 == 0: the
+    //      teleport base lands on SEED rows only, so unseeded spam
+    //      islands settle at exactly 0; integer micro-units make the
+    //      full trust vector bit-identical in DuckDB's unrolled CTEs.
+    "q75_trustrank" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val seeds = docs.where($"id" % 23 === 0)
+      val nSeeds = seeds.count()
+      val edges = graft.ops.GraphOps.syntheticEdges(docs, n)
+      graft.ops.GraphOps.trustRankFixedPoint(docs, edges, seeds, 3, nSeeds)
+        .select($"id".as("doc_id"), $"trust_u")
+        .orderBy($"doc_id")
+    }),
+
     // ---- anchor-text aggregation over the same synthetic link graph:
     //      per-target top-3 anchors by count with the deterministic
     //      (count DESC, anchor ASC) tie-break — the rank filter is a
@@ -905,6 +922,55 @@ object RelationalQueries {
         |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
         |     + coalesce(i5.inflow, 0) AS pr
         |   FROM nodes LEFT JOIN i5 ON nodes.id = i5.dst)
-        |SELECT id AS doc_id, pr FROM p5 ORDER BY doc_id""".stripMargin
+        |SELECT id AS doc_id, pr FROM p5 ORDER BY doc_id""".stripMargin,
+    "q75_trustrank" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | sd AS (SELECT id FROM nodes WHERE id % 23 = 0),
+        | ns AS (SELECT count(*) AS k FROM sd),
+        | raw AS (SELECT id,
+        |   unnest(list_filter(list_distinct([
+        |     (id*7+3) % (SELECT n FROM nn),
+        |     CASE WHEN id % 2 = 0 THEN (id*13+5) % (SELECT n FROM nn) END,
+        |     CASE WHEN id % 5 = 0 THEN (id*31+11) % (SELECT n FROM nn) END,
+        |     id % 10]),
+        |    d -> d IS NOT NULL AND d <> id)) AS dst
+        |  FROM nodes),
+        | od AS (SELECT id AS src, count(*) AS outdeg FROM raw GROUP BY 1),
+        | e AS (SELECT raw.id AS src, raw.dst, od.outdeg
+        |   FROM raw JOIN od ON raw.id = od.src),
+        | t0 AS (SELECT nodes.id, CASE WHEN sd.id IS NOT NULL
+        |     THEN CAST(floor(1000000000000.0 / (SELECT k FROM ns))
+        |       AS BIGINT) ELSE 0 END AS tr
+        |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id),
+        | i1 AS (SELECT e.dst, CAST(sum(CAST(floor(p.tr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN t0 p ON e.src = p.id GROUP BY 1),
+        | t1 AS (SELECT nodes.id, (CASE WHEN sd.id IS NOT NULL
+        |     THEN CAST(floor(1000000000000.0 * 15.0 /
+        |       (100.0 * (SELECT k FROM ns))) AS BIGINT) ELSE 0 END)
+        |     + coalesce(i1.inflow, 0) AS tr
+        |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id
+        |     LEFT JOIN i1 ON nodes.id = i1.dst),
+        | i2 AS (SELECT e.dst, CAST(sum(CAST(floor(p.tr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN t1 p ON e.src = p.id GROUP BY 1),
+        | t2 AS (SELECT nodes.id, (CASE WHEN sd.id IS NOT NULL
+        |     THEN CAST(floor(1000000000000.0 * 15.0 /
+        |       (100.0 * (SELECT k FROM ns))) AS BIGINT) ELSE 0 END)
+        |     + coalesce(i2.inflow, 0) AS tr
+        |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id
+        |     LEFT JOIN i2 ON nodes.id = i2.dst),
+        | i3 AS (SELECT e.dst, CAST(sum(CAST(floor(p.tr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN t2 p ON e.src = p.id GROUP BY 1),
+        | t3 AS (SELECT nodes.id, (CASE WHEN sd.id IS NOT NULL
+        |     THEN CAST(floor(1000000000000.0 * 15.0 /
+        |       (100.0 * (SELECT k FROM ns))) AS BIGINT) ELSE 0 END)
+        |     + coalesce(i3.inflow, 0) AS tr
+        |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id
+        |     LEFT JOIN i3 ON nodes.id = i3.dst)
+        |SELECT id AS doc_id, tr AS trust_u FROM t3
+        |ORDER BY doc_id""".stripMargin
   )
 }

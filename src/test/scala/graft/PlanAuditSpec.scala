@@ -82,6 +82,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"payload bytes cross a shuffle boundary:\n$p")
   }
 
+  test("host boilerplate: the distinct-doc counting exchange carries only the 128-bit hash, never the paragraph text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(200).select($"id",
+      concat_ws("\n\n", (0 until 5).map(i =>
+        xxhash64($"id" * lit(i + 1)).cast("string")): _*).as("text"),
+      ($"id" % 3).cast("string").as("host"))
+    val p = formatted(graft.ops.ParagraphDedup
+      .hostBoilerplateOccurrences(docs, "id", "text", "host"))
+    // the planner partial-aggregates the distinct BELOW the shuffle
+    // and the verdict join back to occurrences is a broadcast of the
+    // (host, h, count) side — so NO exchange in this plan, hash or
+    // broadcast, may materialize the paragraph text at all
+    val sections = "(?s)\\(\\d+\\) (?:Broadcast)?Exchange.*?(?=\\(\\d+\\)|$)".r
+      .findAllIn(p).toSeq
+    assert(sections.nonEmpty, s"expected counting exchanges:\n$p")
+    // bare `para#N` only — n_docs_with_para#N is a count, not text
+    val paraCol = "(?<![a-zA-Z_])para#".r
+    assert(sections.forall(s => paraCol.findFirstIn(s).isEmpty),
+      "paragraph text crosses a shuffle/broadcast boundary:\n" +
+        sections.filter(s => paraCol.findFirstIn(s).isDefined)
+          .mkString("\n----\n"))
+  }
+
+  test("trustrank: seed membership joins broadcast; no cartesian in the iteration") {
+    import spark.implicits._
+    val nodes = spark.range(500).toDF("id")
+    val edges = graft.ops.GraphOps.syntheticEdges(nodes, 500)
+    val seeds = nodes.where($"id" % 23 === 0)
+    val p = formatted(graft.ops.GraphOps.trustRankFixedPoint(
+      nodes, edges, seeds, 2, 22L))
+    assert(p.contains("BroadcastHashJoin"),
+      s"seed whitelist must join broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"trust iteration must never go cartesian:\n$p")
+  }
+
   test("pair emission bakes no global sort (ordering belongs to callers)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

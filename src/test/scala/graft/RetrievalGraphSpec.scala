@@ -97,6 +97,50 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- TrustRank -----------------------------------------------------
+
+  private def trustGraph = {
+    // 0 (seed) → 1 → 2 form a trusted chain; 3 → 4, 4 → 3 is a spam
+    // island with no path from the seed
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    (nodes, edges, seeds)
+  }
+
+  test("trustrank: unseeded spam islands settle at exactly 0; trust decays along the chain") {
+    val (nodes, edges, seeds) = trustGraph
+    val r = GraphOps.trustRankFixedPoint(nodes, edges, seeds, 3, 1L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(3L) == 0L && r(4L) == 0L,
+      "no path from the seed set must mean exactly zero trust")
+    assert(r(0L) > r(1L) && r(1L) > r(2L),
+      "trust must decay with distance from the seed")
+    assert(r(2L) > 0L, "reachable nodes accumulate positive trust")
+  }
+
+  test("trustrank: seed-biased base differs from pagerank's uniform base") {
+    val (nodes, edges, seeds) = trustGraph
+    val pr = GraphOps.pageRankFixedPoint(nodes, edges, 3, 5L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // PageRank gives the spam cycle rank (uniform teleport feeds it)
+    assert(pr(3L) > 0L && pr(4L) > 0L)
+    val tr = GraphOps.trustRankFixedPoint(nodes, edges, seeds, 3, 1L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(tr(3L) == 0L)
+  }
+
+  test("trustrank: fixed point is bit-identical under repartitioning") {
+    val (nodes, edges, seeds) = trustGraph
+    val a = GraphOps.trustRankFixedPoint(nodes, edges, seeds, 3, 1L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val b = GraphOps.trustRankFixedPoint(nodes.repartition(5),
+        edges.repartition(3), seeds.repartition(2), 3, 1L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   // ---- DUST ----------------------------------------------------------
 
   test("dust: same-content param deletion mines a rule; different content and unfetched targets do not") {
