@@ -119,6 +119,38 @@ object GraphOps {
     tr.select(col("id"), col("trust_u"))
   }
 
+  /** Spam-mass estimation (Gyöngyi, Berkhin, Garcia-Molina &
+    * Pedersen, VLDB 2006, "Link Spam Detection Based on Mass
+    * Estimation"): how much of a page's PageRank is NOT explained by
+    * trust flowing from the curated seed set. Composes
+    * [[pageRankFixedPoint]] and [[trustRankFixedPoint]] at the same
+    * damping/scale/iterations — both vectors are integer micro-units
+    * on the same scale, so the mass `max(0, pr − trust)` and the
+    * verdict `mass·100 >= pr·spamPct` (integer cross-multiplication)
+    * are bit-exact on any engine. A link farm with no trusted in-path
+    * has trust exactly 0, hence mass == pr and a certain flag; a
+    * well-linked trusted page's rank is covered by trust and never
+    * flags. Returns `(id, pr, trust_u, mass_u, spam)`.
+    *
+    * Scale shape: two independent one-join-one-agg fixed points over
+    * the same edge table plus ONE id-keyed equi-join of two
+    * O(nodes)-row vectors — nothing new materializes beyond the rank
+    * vectors themselves. */
+  def spamMass(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      iters: Int, nNodes: Long, nSeeds: Long, dampingPct: Int = 85,
+      scale: Long = 1000000000000L, spamPct: Int = 90): DataFrame = {
+    require(spamPct >= 1 && spamPct <= 100)
+    val pr = pageRankFixedPoint(nodes, edges, iters, nNodes, dampingPct,
+      scale)
+    val tr = trustRankFixedPoint(nodes, edges, seeds, iters, nSeeds,
+      dampingPct, scale)
+    pr.join(tr, Seq("id"))
+      .select(col("id"), col("pr"), col("trust_u"),
+        greatest(lit(0L), col("pr") - col("trust_u")).as("mass_u"),
+        (greatest(lit(0L), col("pr") - col("trust_u")) * 100 >=
+          col("pr") * spamPct).as("spam"))
+  }
+
   /** HITS hubs-and-authorities in FIXED-POINT integer arithmetic
     * (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
     * Environment") — the second classic frontier-prioritization

@@ -233,6 +233,131 @@ object MultimodalOps {
       .drop("ft")
   }
 
+  /** The default aspect-ratio bucket ladder, `(bw, bh)` target shapes
+    * (the multi-aspect training trick of NovelAI's public
+    * aspect-ratio-bucketing repo, adopted by SDXL — Podell et al.
+    * arXiv:2307.01952 App. I): nine ratios from 1:3 to 3:1. Order
+    * matters — exact-cost ties resolve to the EARLIEST entry. */
+  val defaultAspectLadder: Seq[(Int, Int)] = Seq(
+    (64, 64), (128, 96), (96, 128), (96, 64), (64, 96),
+    (128, 64), (64, 128), (192, 64), (64, 192))
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** The ladder with each entry's common-denominator multiplier:
+    * `(idx, bw, bh, L/bh)` where `L = lcm(all bh)`. Choosing the
+    * bucket minimizing the TRUE ratio difference `|w/h − bw/bh|`
+    * reduces to an integer argmin: the difference equals
+    * `|w·bh − h·bw| / (h·bh)`, `h` is common across buckets, and
+    * multiplying the per-bucket fraction `|w·bh − h·bw| / bh` by
+    * `L/bh` puts every cost on one shared denominator — so the whole
+    * selection is BIGINT compares, bit-identical on any engine.
+    * Exposed so the DuckDB oracle can embed the SAME table. */
+  def ladderWithMult(ladder: Seq[(Int, Int)] = defaultAspectLadder)
+      : Seq[(Int, Int, Int, Long)] = {
+    require(ladder.nonEmpty && ladder.forall { case (a, b) => a > 0 && b > 0 })
+    val l = ladder.map(_._2.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    ladder.zipWithIndex.map { case ((bw, bh), i) => (i, bw, bh, l / bh) }
+  }
+
+  /** Nearest aspect-ratio bucket per image — the assignment half of
+    * multi-aspect batching. Pure map-side fold over the LITERAL ladder
+    * array (whole-stage codegen, no shuffle, no UDF): for each row the
+    * exact common-denominator cost (see [[ladderWithMult]]) is
+    * minimized with a strict `<`, so ties keep the lowest ladder
+    * index deterministically. Payload bytes are never touched — the
+    * op projects `(id, w, h)` before any work. Returns the projection
+    * plus `(bucket_idx, bucket_w, bucket_h)`. */
+  def aspectBucket(images: DataFrame, idCol: String = "image_id",
+      wCol: String = "w", hCol: String = "h",
+      ladder: Seq[(Int, Int)] = defaultAspectLadder): DataFrame = {
+    val entries = ladderWithMult(ladder).map { case (i, bw, bh, mult) =>
+      struct(lit(i).as("idx"), lit(bw).as("bw"), lit(bh).as("bh"),
+        lit(mult).as("mult"))
+    }
+    val w = col(wCol).cast("long"); val h = col(hCol).cast("long")
+    val best = aggregate(array(entries: _*),
+      struct(lit(-1).as("idx"), lit(Long.MaxValue).as("cost"),
+        lit(0).as("bw"), lit(0).as("bh")),
+      (acc, b) => {
+        val c = abs(w * b.getField("bh") - h * b.getField("bw")) *
+          b.getField("mult")
+        when(c < acc.getField("cost"),
+          struct(b.getField("idx").as("idx"), c.as("cost"),
+            b.getField("bw").as("bw"), b.getField("bh").as("bh")))
+          .otherwise(acc)
+      })
+    images.select(col(idCol), col(wCol), col(hCol))
+      .withColumn("bkt", best)
+      .select(col(idCol), col(wCol), col(hCol),
+        col("bkt.idx").as("bucket_idx"), col("bkt.bw").as("bucket_w"),
+        col("bkt.bh").as("bucket_h"))
+  }
+
+  /** Multi-aspect training batches: every image assigned to its
+    * nearest-ratio bucket ([[aspectBucket]]) and packed, in `idCol`
+    * order within the bucket, into fixed-size batches —
+    * `(id, bucket_idx, bucket_w, bucket_h, batch_idx, slot, full)`
+    * where `full` marks batches that reached `batchSize` (a training
+    * loader drops or pads the ragged tail batch per bucket). Integer
+    * division end to end, so the layout is engine- and
+    * partitioning-exact.
+    *
+    * Scale shape: assignment is map-side; packing shuffles ONLY
+    * `(id, 3 small ints)` rows on the bucket key (the [[TextOps
+    * .packShards]] discipline — both windows share one exchange,
+    * payload bytes stay in their scan partitions and are re-joined by
+    * id downstream). The ladder has ~10 entries, so per-bucket rank is
+    * the one inherently sequential step; at 10^10 rows pack per
+    * (bucket × corpus shard) and offset by broadcast shard counts —
+    * the cumulative formulation here is that same arithmetic. */
+  def aspectBatches(images: DataFrame, idCol: String = "image_id",
+      wCol: String = "w", hCol: String = "h", batchSize: Int = 8,
+      ladder: Seq[(Int, Int)] = defaultAspectLadder): DataFrame = {
+    require(batchSize >= 1)
+    val b = aspectBucket(images, idCol, wCol, hCol, ladder)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_idx")).orderBy(col(idCol))
+    val cnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_idx"))
+    b.withColumn("rn", row_number().over(win))
+      .withColumn("n_bucket", count(lit(1)).over(cnt))
+      .select(col(idCol), col("bucket_idx"), col("bucket_w"),
+        col("bucket_h"),
+        expr(s"CAST((rn - 1) DIV $batchSize AS BIGINT)").as("batch_idx"),
+        expr(s"CAST((rn - 1) % $batchSize AS BIGINT)").as("slot"),
+        expr(s"((rn - 1) DIV $batchSize + 1) * $batchSize <= n_bucket")
+          .as("full"))
+  }
+
+  /** Template/watermark caption filter (the LAION-2B curation step —
+    * Schuhmann et al. arXiv:2210.08402 §2.2 drop exact-duplicate
+    * captions past a frequency bound: "thumbnail", SEO boilerplate and
+    * stock-photo watermarks caption thousands of distinct images and
+    * teach a caption model nothing). A caption is a template when its
+    * whitespace-normalized form captions `>= maxFreq` rows. Returns
+    * `(id, caption_n, template)` — callers anti-join or filter.
+    *
+    * Scale shape: normalization + md5 are map-side; the frequency
+    * count and the verdict join both key on the 16-byte hash, so
+    * caption TEXT (and a fortiori payload bytes) never enters any
+    * exchange — the count side is an aggregate of distinct-caption
+    * cardinality that AQE broadcasts when it fits. The flag is an
+    * integer compare, engine-exact. */
+  def captionTemplateFilter(images: DataFrame, idCol: String = "image_id",
+      captionCol: String = "caption", maxFreq: Int = 3): DataFrame = {
+    require(maxFreq >= 2)
+    val norm = trim(regexp_replace(col(captionCol), "\\s+", " "))
+    val keyed = images.select(col(idCol),
+      md5(norm.cast("binary")).as("ch"))
+    val counts = keyed.groupBy(col("ch"))
+      .agg(count(lit(1)).cast("long").as("caption_n"))
+    keyed.join(counts, Seq("ch"))
+      .select(col(idCol), col("caption_n"),
+        (col("caption_n") >= maxFreq).as("template"))
+  }
+
   /** Feature table for an image table (input_hint schema): dims from
     * the real decode, 16-bin histogram, pixel stats — the canonical
     * multimodal feature-extraction job. One decode per row. */

@@ -1002,6 +1002,68 @@ object OpsQueries {
         .orderBy("id")
     }),
 
+    // Template/watermark caption filter (MultimodalOps
+    // .captionTemplateFilter) over the REAL demo crawl's image+caption
+    // table plus planted boundary rows: three whitespace-variant
+    // copies of one caption (normalize-equal, == maxFreq → template),
+    // an exact-duplicate pair (== maxFreq-1 → kept), and a singleton.
+    // The raw (image_id, caption) rows are staged and DuckDB
+    // re-derives every normalized count and verdict from the TEXT —
+    // the operator's md5 keying must agree with plain string grouping.
+    // The demo crawl's NÃO-INFORMADO sentinel captions are natural
+    // templates, so the gate exercises real repeats too.
+    "q77_caption_template" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val demo = CrawlQueries.demoResult(s).images.toDF()
+        .select(col("image_id"), col("caption"))
+      val planted = Seq(
+        ("planted-t1", "Orçamento  anual\t2024"),
+        ("planted-t2", "Orçamento anual 2024"),
+        ("planted-t3", " Orçamento anual 2024 "),
+        ("planted-p1", "par de legenda rara"),
+        ("planted-p2", "par de legenda rara"),
+        ("planted-s1", "legenda única")
+      ).toDF("image_id", "caption")
+      // unkeyed fixture path: demo crawl + planted literals are
+      // SF-independent, every run writes identical content (mm rule)
+      val path = s"$gateFxBase/captions"
+      demo.unionByName(planted).write.mode("overwrite").parquet(path)
+      graft.ops.MultimodalOps.captionTemplateFilter(
+          s.read.parquet(path), "image_id", "caption", maxFreq = 3)
+        .orderBy("image_id")
+    }),
+
+    // Multi-aspect training batches (MultimodalOps.aspectBatches) over
+    // the demo image table's REAL (w, h) dims plus planted probes: an
+    // exact common-denominator cost TIE (112×64 is equidistant from
+    // 3:2 and 2:1 — the lowest ladder index must win), off-ladder
+    // extremes clamping to 3:1 / 1:3, and a near-square. The raw dims
+    // are staged; DuckDB re-derives bucket argmin (same integer
+    // common-denominator costs, embedded from the SAME ladder), batch
+    // index, slot, and the full-batch flag — layout row-for-row.
+    "q78_aspect_batches" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      // demo image_ids repeat across sites (same portal filename on
+      // different hosts); the packing order contract needs a UNIQUE
+      // key, so the fixture keys on image_id#urlHash (urlHash is
+      // unique by construction — the seen-set dedup guarantees one
+      // committed row per URL)
+      val demo = CrawlQueries.demoResult(s).images.toDF()
+        .select(concat_ws("#", col("image_id"), col("urlHash"))
+          .as("image_id"), col("w"), col("h"))
+      val planted = Seq(
+        ("planted-tie", 112, 64),
+        ("planted-wide", 1000, 10),
+        ("planted-tall", 10, 1000),
+        ("planted-square", 65, 64)
+      ).toDF("image_id", "w", "h")
+      val path = s"$gateFxBase/aspect"
+      demo.unionByName(planted).write.mode("overwrite").parquet(path)
+      graft.ops.MultimodalOps.aspectBatches(
+          s.read.parquet(path), "image_id", "w", "h", batchSize = 8)
+        .orderBy("image_id")
+    }),
+
     // The full Gopher quality-rule battery (TextOps.gopherQualityRules)
     // as a two-sided exact derivation: no staging — DuckDB recomputes
     // every count and every rule boolean from the text itself (all
@@ -1645,6 +1707,43 @@ object OpsQueries {
         |  FROM v GROUP BY id)
         |SELECT id, md5(clean_text) AS clean_md5, n_paras, n_kept
         |FROM r ORDER BY id""").stripMargin,
+    // re-derives every normalized caption count and template verdict
+    // from the staged raw TEXT — plain string grouping must agree
+    // with the operator's md5 keying row for row
+    "q77_caption_template" ->
+      """WITH c AS (SELECT image_id,
+        |   trim(regexp_replace(caption, '\s+', ' ', 'g')) AS n
+        |  FROM '/tmp/graft_gate_fx/captions/*.parquet'),
+        | f AS (SELECT n, CAST(count(*) AS BIGINT) AS caption_n
+        |  FROM c GROUP BY 1)
+        |SELECT c.image_id, f.caption_n, f.caption_n >= 3 AS template
+        |FROM c JOIN f USING (n) ORDER BY image_id""".stripMargin,
+    // re-derives the bucket argmin from the staged raw dims with the
+    // SAME integer common-denominator cost table (embedded from the
+    // SAME ladder Seq), then the batch layout from scratch
+    "q78_aspect_batches" -> {
+      val lad = graft.ops.MultimodalOps.ladderWithMult()
+        .map { case (i, bw, bh, m) => s"($i,$bw,$bh,$m)" }.mkString(",")
+      s"""WITH raw AS (SELECT image_id, w, h
+        |  FROM '/tmp/graft_gate_fx/aspect/*.parquet'),
+        | lad AS (SELECT * FROM (VALUES $lad) t(idx, bw, bh, mult)),
+        | costs AS (SELECT r.image_id, l.idx, l.bw, l.bh,
+        |   abs(CAST(r.w AS BIGINT) * l.bh - CAST(r.h AS BIGINT) * l.bw)
+        |     * l.mult AS cost
+        |  FROM raw r CROSS JOIN lad l),
+        | best AS (SELECT image_id, idx, bw, bh, row_number() OVER
+        |   (PARTITION BY image_id ORDER BY cost, idx) AS rk FROM costs),
+        | b AS (SELECT image_id, idx AS bucket_idx, bw AS bucket_w,
+        |   bh AS bucket_h FROM best WHERE rk = 1),
+        | rn AS (SELECT *, row_number() OVER
+        |   (PARTITION BY bucket_idx ORDER BY image_id) AS rn,
+        |   count(*) OVER (PARTITION BY bucket_idx) AS n_bucket FROM b)
+        |SELECT image_id, bucket_idx, bucket_w, bucket_h,
+        | CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+        | CAST((rn - 1) % 8 AS BIGINT) AS slot,
+        | ((rn - 1) // 8 + 1) * 8 <= n_bucket AS "full"
+        |FROM rn ORDER BY image_id""".stripMargin
+    },
     // two-sided exact derivation: DuckDB rebuilds the corpus (same
     // planted literals — generated from the same Seq) and recomputes
     // every count and integer-comparison rule from the text alone

@@ -466,6 +466,23 @@ object RelationalQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- spam-mass estimation (Gyöngyi et al. VLDB'06) composing the
+    //      two fixed points at the same scale/damping/iterations: the
+    //      unexplained-by-trust share of each page's rank plus the
+    //      integer cross-multiplied >=90% verdict, all micro-unit
+    //      exact — DuckDB re-derives BOTH chains and the composition.
+    "q79_spam_mass" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val seeds = docs.where($"id" % 23 === 0)
+      val nSeeds = seeds.count()
+      val edges = graft.ops.GraphOps.syntheticEdges(docs, n)
+      graft.ops.GraphOps.spamMass(docs, edges, seeds, 3, n, nSeeds)
+        .select($"id".as("doc_id"), $"pr", $"trust_u", $"mass_u", $"spam")
+        .orderBy($"doc_id")
+    }),
+
     // ---- anchor-text aggregation over the same synthetic link graph:
     //      per-target top-3 anchors by count with the deterministic
     //      (count DESC, anchor ASC) tie-break — the rank filter is a
@@ -971,6 +988,81 @@ object RelationalQueries {
         |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id
         |     LEFT JOIN i3 ON nodes.id = i3.dst)
         |SELECT id AS doc_id, tr AS trust_u FROM t3
+        |ORDER BY doc_id""".stripMargin,
+    "q79_spam_mass" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | sd AS (SELECT id FROM nodes WHERE id % 23 = 0),
+        | ns AS (SELECT count(*) AS k FROM sd),
+        | raw AS (SELECT id,
+        |   unnest(list_filter(list_distinct([
+        |     (id*7+3) % (SELECT n FROM nn),
+        |     CASE WHEN id % 2 = 0 THEN (id*13+5) % (SELECT n FROM nn) END,
+        |     CASE WHEN id % 5 = 0 THEN (id*31+11) % (SELECT n FROM nn) END,
+        |     id % 10]),
+        |    d -> d IS NOT NULL AND d <> id)) AS dst
+        |  FROM nodes),
+        | od AS (SELECT id AS src, count(*) AS outdeg FROM raw GROUP BY 1),
+        | e AS (SELECT raw.id AS src, raw.dst, od.outdeg
+        |   FROM raw JOIN od ON raw.id = od.src),
+        | p0 AS (SELECT id, CAST(floor(1000000000000.0 /
+        |     (SELECT n FROM nn)) AS BIGINT) AS pr FROM nodes),
+        | pi1 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN p0 p ON e.src = p.id GROUP BY 1),
+        | p1 AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+        |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+        |     + coalesce(pi1.inflow, 0) AS pr
+        |   FROM nodes LEFT JOIN pi1 ON nodes.id = pi1.dst),
+        | pi2 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN p1 p ON e.src = p.id GROUP BY 1),
+        | p2 AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+        |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+        |     + coalesce(pi2.inflow, 0) AS pr
+        |   FROM nodes LEFT JOIN pi2 ON nodes.id = pi2.dst),
+        | pi3 AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN p2 p ON e.src = p.id GROUP BY 1),
+        | p3 AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+        |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+        |     + coalesce(pi3.inflow, 0) AS pr
+        |   FROM nodes LEFT JOIN pi3 ON nodes.id = pi3.dst),
+        | t0 AS (SELECT nodes.id, CASE WHEN sd.id IS NOT NULL
+        |     THEN CAST(floor(1000000000000.0 / (SELECT k FROM ns))
+        |       AS BIGINT) ELSE 0 END AS tr
+        |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id),
+        | ti1 AS (SELECT e.dst, CAST(sum(CAST(floor(p.tr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN t0 p ON e.src = p.id GROUP BY 1),
+        | t1 AS (SELECT nodes.id, (CASE WHEN sd.id IS NOT NULL
+        |     THEN CAST(floor(1000000000000.0 * 15.0 /
+        |       (100.0 * (SELECT k FROM ns))) AS BIGINT) ELSE 0 END)
+        |     + coalesce(ti1.inflow, 0) AS tr
+        |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id
+        |     LEFT JOIN ti1 ON nodes.id = ti1.dst),
+        | ti2 AS (SELECT e.dst, CAST(sum(CAST(floor(p.tr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN t1 p ON e.src = p.id GROUP BY 1),
+        | t2 AS (SELECT nodes.id, (CASE WHEN sd.id IS NOT NULL
+        |     THEN CAST(floor(1000000000000.0 * 15.0 /
+        |       (100.0 * (SELECT k FROM ns))) AS BIGINT) ELSE 0 END)
+        |     + coalesce(ti2.inflow, 0) AS tr
+        |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id
+        |     LEFT JOIN ti2 ON nodes.id = ti2.dst),
+        | ti3 AS (SELECT e.dst, CAST(sum(CAST(floor(p.tr * 85.0 /
+        |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+        |   FROM e JOIN t2 p ON e.src = p.id GROUP BY 1),
+        | t3 AS (SELECT nodes.id, (CASE WHEN sd.id IS NOT NULL
+        |     THEN CAST(floor(1000000000000.0 * 15.0 /
+        |       (100.0 * (SELECT k FROM ns))) AS BIGINT) ELSE 0 END)
+        |     + coalesce(ti3.inflow, 0) AS tr
+        |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id
+        |     LEFT JOIN ti3 ON nodes.id = ti3.dst)
+        |SELECT p3.id AS doc_id, p3.pr, t3.tr AS trust_u,
+        | greatest(0, p3.pr - t3.tr) AS mass_u,
+        | greatest(0, p3.pr - t3.tr) * 100 >= p3.pr * 90 AS spam
+        |FROM p3 JOIN t3 ON p3.id = t3.id
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -456,6 +456,101 @@ class OpsSpec extends AnyFunSuite {
       !out("corrupt").getAs[Boolean]("decoded"))
   }
 
+  test("aspect buckets: exact rational argmin with lowest-index tie-break") {
+    import spark.implicits._
+    val rows = Seq(
+      ("sq", 100, 100),   // 1:1 exact → idx 0
+      ("w43", 120, 90),   // 4:3 exact → idx 1
+      ("t34", 90, 120),   // 3:4 exact → idx 2
+      // EXACT common-denominator cost tie between idx 3 (3:2, cost
+      // |112·64−64·96|·6 = 6144) and idx 5 (2:1, |112·64−64·128|·6 =
+      // 6144) — the strict < fold must keep the EARLIER ladder entry
+      ("tie", 112, 64),
+      ("wide", 5000, 10), // off-ladder extreme clamps to 3:1 → idx 7
+      ("tall", 10, 5000)  // → 1:3 → idx 8
+    ).toDF("image_id", "w", "h")
+    val out = MultimodalOps.aspectBucket(rows).collect()
+      .map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(out === Map("sq" -> 0, "w43" -> 1, "t34" -> 2, "tie" -> 3,
+      "wide" -> 7, "tall" -> 8))
+  }
+
+  test("aspect buckets: agrees with a from-scratch rational argmin on 200 randomized dims") {
+    import spark.implicits._
+    val lad = MultimodalOps.ladderWithMult()
+    val rnd = new scala.util.Random(42)
+    val dims = (1 to 200).map(i =>
+      (s"r$i", 1 + rnd.nextInt(4000), 1 + rnd.nextInt(4000)))
+    val out = MultimodalOps.aspectBucket(dims.toDF("image_id", "w", "h"))
+      .collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+    dims.foreach { case (id, w, h) =>
+      val exp = lad.minBy { case (i, bw, bh, mult) =>
+        (math.abs(w.toLong * bh - h.toLong * bw) * mult, i) }._1
+      assert(out(id) == exp, s"$id (${w}x$h): got ${out(id)}, want $exp")
+    }
+  }
+
+  test("aspect batches: per-bucket id-ordered fixed layout with honest full flags") {
+    import spark.implicits._
+    // ten square images + one wide → square bucket packs 10 into
+    // batches of 4: two full, one ragged; the wide singleton's batch
+    // is never full
+    val rows = ((1 to 10).map(i => (f"s$i%02d", 64, 64)) :+
+      (("wide1", 192, 64))).toDF("image_id", "w", "h")
+    val out = MultimodalOps.aspectBatches(rows, batchSize = 4).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    (1 to 10).foreach { i =>
+      val (b, batch, slot, full) = out(f"s$i%02d")
+      assert(b == 0 && batch == (i - 1) / 4 && slot == (i - 1) % 4)
+      assert(full == (i <= 8), s"s$i full=$full")
+    }
+    assert(out("wide1") === ((7, 0L, 0L, false)))
+  }
+
+  test("caption template filter: normalized counts, integer boundary, repartition-independent") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "compra de  insumos"),   // 3 whitespace-variant copies
+      ("b", "compra de insumos"),    //  → normalize-equal, == maxFreq
+      ("c", " compra de\tinsumos "), //  → template
+      ("d", "legenda dupla"),        // 2 exact copies < maxFreq → kept
+      ("e", "legenda dupla"),
+      ("f", "legenda única")         // singleton → kept
+    ).toDF("image_id", "caption")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.captionTemplateFilter(df, maxFreq = 3).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+    val out = run(rows)
+    assert(out("a") === ((3L, true)) && out("b") === ((3L, true)) &&
+      out("c") === ((3L, true)))
+    assert(out("d") === ((2L, false)) && out("e") === ((2L, false)))
+    assert(out("f") === ((1L, false)))
+    assert(run(rows.repartition(7)) === out)
+  }
+
+  test("spam mass: link farm flagged with mass == rank, trusted chain never flags") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val out = graft.ops.GraphOps.spamMass(nodes, edges, seeds, 3, 5L, 1L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    Seq(3L, 4L).foreach { id =>
+      val (pr, tr, mass, spam) = out(id)
+      assert(tr == 0L && mass == pr && pr > 0L && spam,
+        s"farm node $id: $pr $tr $mass $spam")
+    }
+    Seq(0L, 1L, 2L).foreach { id =>
+      val (_, tr, _, spam) = out(id)
+      assert(tr > 0L && !spam, s"trusted-chain node $id must not flag")
+    }
+  }
+
   test("decontamination: planted benchmark 5-gram is flagged, clean and short docs are not") {
     import spark.implicits._
     val bench = Seq(

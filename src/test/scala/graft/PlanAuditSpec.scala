@@ -106,6 +106,40 @@ class PlanAuditSpec extends AnyFunSuite {
           .mkString("\n----\n"))
   }
 
+  test("caption filter: no exchange carries caption text — only the 16-byte hash travels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val imgs = spark.range(500).select(
+      concat(lit("img"), $"id").as("image_id"),
+      concat(lit("legenda "), ($"id" % 7).cast("string")).as("caption"),
+      $"id".cast("string").cast("binary").as("bytes"))
+    val p = formatted(graft.ops.MultimodalOps.captionTemplateFilter(imgs))
+    val sections = "(?s)\\(\\d+\\) (?:Broadcast)?Exchange.*?(?=\\(\\d+\\)|$)".r
+      .findAllIn(p).toSeq
+    assert(sections.nonEmpty, s"expected the frequency-count exchange:\n$p")
+    val textCols = "(?<![a-zA-Z_])(?:caption|bytes)#".r
+    assert(sections.forall(s => textCols.findFirstIn(s).isEmpty),
+      "caption text or payload bytes cross a shuffle boundary:\n" +
+        sections.filter(s => textCols.findFirstIn(s).isDefined)
+          .mkString("\n----\n"))
+  }
+
+  test("aspect batches: the rank and count windows share ONE exchange; payload bytes are pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val imgs = spark.range(500).select(
+      concat(lit("img"), $"id").as("image_id"),
+      (lit(64) + ($"id" % 3) * 32).cast("int").as("w"),
+      (lit(64) + ($"id" % 2) * 128).cast("int").as("h"),
+      $"id".cast("string").cast("binary").as("bytes"))
+    val p = formatted(graft.ops.MultimodalOps.aspectBatches(imgs))
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"bucket packing must reuse one bucket-keyed exchange, got $shuffles:\n$p")
+    assert(!"(?<![a-zA-Z_])bytes#".r.findFirstIn(p).isDefined,
+      s"payload bytes must be pruned from the packing plan:\n$p")
+  }
+
   test("trustrank: seed membership joins broadcast; no cartesian in the iteration") {
     import spark.implicits._
     val nodes = spark.range(500).toDF("id")
