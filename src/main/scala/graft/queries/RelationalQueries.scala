@@ -537,6 +537,42 @@ object RelationalQueries {
       graft.frontier.BudgetAllocator.apportion(pr, "id", "pr", 997L)
         .select($"key".as("host_id"), $"weight".as("pr_u"), $"alloc")
         .orderBy($"host_id")
+    }),
+
+    // ---- the spam-STARVED budget loop: q74's host ranking composed
+    //      with spam-mass estimation — trusted seed hosts (id%7==0)
+    //      anchor TrustRank, a planted two-host link farm (100↔101,
+    //      unreachable from any seed) MUST flag spam, and flagged
+    //      hosts are weight-zeroed before Hamilton apportionment, so
+    //      their teleport-accumulated rank mass redistributes to real
+    //      hosts. One drifted micro-unit in either fixed point, a
+    //      wrong verdict, or one misassigned leftover seat shifts a
+    //      row — DuckDB re-derives both chains, every verdict, and
+    //      the full allocation.
+    "q80_spam_aware_budget" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val edges = graft.ops.GraphOps.syntheticEdges(docs, n)
+      val hostEdges = edges
+        .select(($"src" % 53).as("src"), ($"dst" % 53).as("dst"))
+        .where($"src" =!= $"dst").distinct()
+        .unionByName(Seq((100L, 101L), (101L, 100L)).toDF("src", "dst"))
+      val hosts = docs.select(($"id" % 53).as("id")).distinct()
+        .unionByName(Seq(100L, 101L).toDF("id"))
+      val nh = hosts.count()
+      val seeds = hosts.where($"id" % 7 === 0)
+      val ns = seeds.count()
+      val sm = graft.ops.GraphOps.spamMass(hosts, hostEdges, seeds,
+        3, nh, ns)
+      val weighted = sm.withColumn("weight",
+        when($"spam", lit(0L)).otherwise($"pr"))
+      val ap = graft.frontier.BudgetAllocator
+        .apportion(weighted, "id", "weight", 997L)
+      sm.join(ap.select($"key".as("id"), $"alloc"), Seq("id"))
+        .select($"id".as("host_id"), $"pr", $"trust_u", $"mass_u",
+          $"spam", $"alloc")
+        .orderBy($"host_id")
     })
   )
 
@@ -640,10 +676,91 @@ object RelationalQueries {
        |FROM a ORDER BY host_id""".stripMargin
   }
 
+  /** q80's oracle: the q74 host graph plus the planted 100↔101 farm,
+    * BOTH fixed-point chains (uniform-base PageRank and seed-based
+    * TrustRank, generated per iteration), the spam-mass verdicts, and
+    * Hamilton apportionment over the spam-zeroed weights. */
+  private def spamBudgetOracleSql(iters: Int): String = {
+    val prBody = (1 to iters).map { i =>
+      s"""| i$i AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr * 85.0 /
+          |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+          |   FROM e JOIN p${i - 1} p ON e.src = p.id GROUP BY 1),
+          | p$i AS (SELECT nodes.id, CAST(floor(1000000000000.0 * 15.0 /
+          |     (100.0 * (SELECT n FROM nn))) AS BIGINT)
+          |     + coalesce(i$i.inflow, 0) AS pr
+          |   FROM nodes LEFT JOIN i$i ON nodes.id = i$i.dst),""".stripMargin
+    }.mkString("\n")
+    val trBody = (1 to iters).map { i =>
+      s"""| ti$i AS (SELECT e.dst, CAST(sum(CAST(floor(p.tr * 85.0 /
+          |     (100.0 * e.outdeg)) AS BIGINT)) AS BIGINT) AS inflow
+          |   FROM e JOIN t${i - 1} p ON e.src = p.id GROUP BY 1),
+          | t$i AS (SELECT nodes.id, (CASE WHEN sd.id IS NOT NULL
+          |     THEN CAST(floor(1000000000000.0 * 15.0 /
+          |       (100.0 * (SELECT k FROM ns))) AS BIGINT) ELSE 0 END)
+          |     + coalesce(ti$i.inflow, 0) AS tr
+          |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id
+          |     LEFT JOIN ti$i ON nodes.id = ti$i.dst),""".stripMargin
+    }.mkString("\n")
+    s"""WITH base AS (SELECT doc_id AS id FROM documents),
+       | bn AS (SELECT count(*) AS n FROM base),
+       | cand AS (
+       |  SELECT id AS src, (id*7+3) % (SELECT n FROM bn) AS dst
+       |   FROM base
+       |  UNION ALL SELECT id, (id*13+5) % (SELECT n FROM bn)
+       |   FROM base WHERE id % 2 = 0
+       |  UNION ALL SELECT id, (id*31+11) % (SELECT n FROM bn)
+       |   FROM base WHERE id % 5 = 0
+       |  UNION ALL SELECT id, id % 10 FROM base),
+       | edges AS (SELECT DISTINCT src, dst FROM cand WHERE dst <> src),
+       | he AS (SELECT DISTINCT src % 53 AS src, dst % 53 AS dst
+       |  FROM edges WHERE src % 53 <> dst % 53
+       |  UNION ALL SELECT 100, 101 UNION ALL SELECT 101, 100),
+       | nodes AS (SELECT DISTINCT id % 53 AS id FROM base
+       |  UNION ALL SELECT 100 UNION ALL SELECT 101),
+       | nn AS (SELECT count(*) AS n FROM nodes),
+       | sd AS (SELECT id FROM nodes WHERE id % 7 = 0),
+       | ns AS (SELECT count(*) AS k FROM sd),
+       | od AS (SELECT src, count(*) AS outdeg FROM he GROUP BY 1),
+       | e AS (SELECT he.src, he.dst, od.outdeg
+       |   FROM he JOIN od USING (src)),
+       | p0 AS (SELECT id, CAST(floor(1000000000000.0 /
+       |     (SELECT n FROM nn)) AS BIGINT) AS pr FROM nodes),
+       |$prBody
+       | t0 AS (SELECT nodes.id, CASE WHEN sd.id IS NOT NULL
+       |     THEN CAST(floor(1000000000000.0 / (SELECT k FROM ns))
+       |       AS BIGINT) ELSE 0 END AS tr
+       |   FROM nodes LEFT JOIN sd ON nodes.id = sd.id),
+       |$trBody
+       | m AS (SELECT p.id, p.pr, t.tr,
+       |   greatest(0, p.pr - t.tr) AS mass,
+       |   greatest(0, p.pr - t.tr) * 100 >= p.pr * 90 AS spam
+       |  FROM p$iters p JOIN t$iters t ON p.id = t.id),
+       | w AS (SELECT id AS key,
+       |   CASE WHEN spam THEN 0 ELSE pr END AS weight FROM m),
+       | t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w
+       |  WHERE weight > 0),
+       | bsd AS (SELECT key, weight,
+       |   CASE WHEN weight > 0 THEN (997 * weight) // tot
+       |     ELSE 0 END AS base,
+       |   CASE WHEN weight > 0 THEN (997 * weight) % tot
+       |     ELSE -1 END AS rem FROM w, t),
+       | l AS (SELECT 997 - sum(base) AS lcnt FROM bsd),
+       | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+       |   key ASC) AS rk FROM bsd),
+       | a AS (SELECT key, base + CASE WHEN weight > 0
+       |   AND rk <= (SELECT lcnt FROM l) THEN 1 ELSE 0 END
+       |   AS alloc FROM r)
+       |SELECT m.id AS host_id, m.pr, m.tr AS trust_u,
+       | CAST(m.mass AS BIGINT) AS mass_u, m.spam,
+       | CAST(a.alloc AS BIGINT) AS alloc
+       |FROM m JOIN a ON m.id = a.key ORDER BY host_id""".stripMargin
+  }
+
   /** DuckDB-runnable oracle SQL; column aliases match the Spark side. */
   val oracleSql: Map[String, String] = Map(
     "q65_hits" -> hitsOracleSql(3),
     "q74_host_rank_budget" -> hostRankBudgetOracleSql(3),
+    "q80_spam_aware_budget" -> spamBudgetOracleSql(3),
     // the same link graph + integer anchor labels, re-aggregated and
     // re-ranked with the identical tie-break
     "q69_anchor_texts" ->

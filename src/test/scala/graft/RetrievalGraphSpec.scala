@@ -266,4 +266,25 @@ class RetrievalGraphSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(r == r2, "rarity fixed point must be partitioning-independent")
   }
+
+  test("spam-aware budget: the planted farm is flagged and starved, the budget stays exact") {
+    val out = graft.queries.RelationalQueries
+      .queries("q80_spam_aware_budget")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(4), r.getLong(5)))).toMap
+    // the 100↔101 farm: positive rank (uniform teleport feeds it),
+    // zero trust → flagged → starved to exactly 0 fetches
+    Seq(100L, 101L).foreach { id =>
+      val (pr, tr, spam, alloc) = out(id)
+      assert(pr > 0L && tr == 0L && spam && alloc == 0L,
+        s"farm host $id: pr=$pr tr=$tr spam=$spam alloc=$alloc")
+    }
+    // Hamilton exactness survives the exclusion: Σalloc == budget
+    assert(out.values.map(_._4).sum == 997L)
+    // seed hosts are never flagged and keep a positive allocation
+    out.keys.filter(id => id % 7 == 0 && id < 100).foreach { id =>
+      assert(!out(id)._3 && out(id)._4 > 0L, s"seed host $id starved")
+    }
+  }
 }
