@@ -299,6 +299,27 @@ object ImageCodec {
     bits
   }
 
+  /** Horizontal mirror of a row-major gray image (x → w−1−x) — the
+    * geometric normalization behind mirror-aware perceptual dedup:
+    * `dhash(mirror(px))` of a flipped copy equals `dhash(px)` of the
+    * original bit-for-bit when the copy round-trips a lossless codec
+    * (mirror is an involution), and lands within a few Hamming bits
+    * under lossy re-encode. Pure pixel shuffle, no resampling. */
+  def mirror(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](pixels.length)
+    var y = 0
+    while (y < h) {
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        out(row + x) = pixels(row + (w - 1 - x))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Magic-byte payload validation (P3): size ≥ 1024 B and a magic
     * matching the claimed format — the image-domain analogue of the
     * reference's `%PDF-` check (portal_saude_mg.py:539-561). */

@@ -39,8 +39,16 @@ object BudgetAllocator {
     val spark = weights.sparkSession
     import spark.implicits._
     require(budget >= 0, s"negative budget $budget")
-    val w = weights.select(col(keyCol).as("key"),
-      col(weightCol).cast("long").as("weight"))
+    // Materialize the (key, weight) projection ONCE: apportionment
+    // inherently makes multiple passes over it (the total scalar, the
+    // leftover scalar, the winner top-L, the final join), and without
+    // this every pass re-executes the caller's upstream plan — which
+    // for rank-weighted budgets (q74/q80) is an entire fixed-point
+    // iteration chain. The projection is host-grain (16 bytes + key)
+    // by construction, bounded at any corpus scale.
+    val w = graft.ops.DedupOps.materialize(
+      weights.select(col(keyCol).as("key"),
+        col(weightCol).cast("long").as("weight")))
     // bounded driver scalar #1: the positive-weight total (one row)
     val total = w.filter($"weight" > 0)
       .agg(coalesce(sum($"weight"), lit(0L))).as[Long].head()

@@ -178,6 +178,81 @@ object DedupOps {
     lshJaccardPairs(df, idCol, textCol, wordNgrams(_, n),
       numHashes, bands, threshold)
 
+  /** EXACT containment near-duplicate pairs over word n-gram sets —
+    * the asymmetric companion to [[ngramJaccardPairs]] (Broder 1997,
+    * "On the resemblance and containment of documents": containment
+    * `C(A,B) = |A∩B| / |A|`): a short document pasted inside a long
+    * one scores containment ≈ 1 while its Jaccard stays LOW (the
+    * union in `|A∩B|/|A∪B|` is dominated by the long side), so every
+    * threshold-Jaccard family here — MinHash-LSH, n-gram, SimHash —
+    * structurally misses it. Quote/boilerplate/snippet inclusion is
+    * the training-data case: the contained text IS duplicated even
+    * though the host page is not a near-duplicate of anything.
+    *
+    * Semantics (exact, no sketching, integer-only verdicts): over the
+    * stop-gram-pruned universe `U = {n-grams with document frequency
+    * ≤ freqCap}`, `size(d) = |ngrams(d) ∩ U|`, `shared(a,b) =
+    * |ngrams(a) ∩ ngrams(b) ∩ U|`, and a pair is emitted when
+    * `shared·100 ≥ min(size_a, size_b)·pct` — cross-multiplied, so
+    * the pair SET is bit-identical on any engine and a DuckDB oracle
+    * can re-derive it two-sided from raw text. The freqCap prune is
+    * what makes exactness affordable: a shared-gram self-join
+    * explodes on stop phrases ("of the" would pair every document
+    * with every document); capping df bounds each gram's pair
+    * contribution at freqCap², Broder's common-shingle cut. Unique
+    * grams (df = 1) still count toward sizes — they cannot pair, so
+    * they are dropped from the join side only. Docs with fewer than
+    * `minSize` surviving grams are excluded entirely: containment on
+    * a near-empty set is meaningless (any shared gram scores 100 %),
+    * and since the verdict keys on min(size), a sub-minSize doc can
+    * never appear in a qualifying pair anyway — so the exclusion is
+    * a pure pre-join prune, not a semantic change. The default n = 4
+    * (not the Jaccard family's bigrams) keeps gram entropy above
+    * low-vocabulary corpora where every bigram is a stop-gram.
+    *
+    * Scale shape: one (id, 8-byte gram-hash) explode (distinct by
+    * [[wordNgrams]] construction), one gram-keyed df aggregation, one
+    * gram-keyed self-join bounded by freqCap per gram, one (id_a,
+    * id_b) count aggregation, two O(docs) size joins. No driver
+    * collect, no n² anywhere; the exploded gram table is materialized
+    * once (referenced by the df agg and the universe join).
+    * @return (id_a, id_b, shared, size_a, size_b, cont_x1000) with
+    *         id_a < id_b. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, freqCap: Long = 64, pct: Int = 90,
+      minSize: Long = 4): DataFrame = {
+    require(n >= 1 && freqCap >= 2 && pct >= 1 && pct <= 100 &&
+      minSize >= 1)
+    val gramsUdf = udf((t: String) => wordNgrams(t, n))
+    val grams = materialize(
+      df.select(col(idCol).as("id"),
+        explode(gramsUdf(coalesce(col(textCol), lit("")))).as("g")))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+    val kept = materialize(
+      grams.join(dfreq, "g").filter(col("dfreq") <= freqCap))
+    val sizes = materialize(
+      kept.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+    val pairable = kept.filter(col("dfreq") >= 2)
+      .join(sizes.filter(col("sz") >= minSize).select(col("id")), "id")
+      .select(col("id"), col("g"))
+    val shared = pairable.as("a")
+      .join(pairable.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")),
+        "id_b")
+      .filter(col("shared") * 100 >=
+        least(col("size_a"), col("size_b")) * pct)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("size_a"), col("size_b"),
+        expr("(shared * 1000) div least(size_a, size_b)")
+          .as("cont_x1000"))
+  }
+
   /** Materialize an intermediate the LSH dataflow references several
     * times, per `spark.graft.dedup.materialize`:
     *  - `auto` (default): `local` when the session is a single
@@ -213,7 +288,7 @@ object DedupOps {
     * shape — are unaffected; a long-lived session calling these
     * repeatedly should `spark.catalog.clearCache()` between corpora,
     * as Bench does between measured runs. */
-  private[ops] def materialize(df: DataFrame): DataFrame = {
+  private[graft] def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     def cachePersist(): DataFrame = {
       val p = df.persist(

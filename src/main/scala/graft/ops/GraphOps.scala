@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Shared (src, dst, outdeg) edge projection, materialized once —
+    * every fixed point here reads the edge table `iters` times, so
+    * the outdeg join must not re-derive per iteration. */
+  private def withOutdeg(edges: DataFrame): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    DedupOps.materialize(
+      edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("outdeg")))
+  }
+
   /** PageRank in FIXED-POINT integer arithmetic: ranks are `scale`-
     * denominated micro-units (BIGINT), per-edge contributions are
     * `floor(pr·d/(100·outdeg))` with damping `d`/100, and the damping
@@ -39,9 +49,7 @@ object GraphOps {
       nNodes: Long, dampingPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && nNodes >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = DedupOps.materialize(
-      edges.join(outdeg, "src").select(col("src"), col("dst"), col("outdeg")))
+    val e = withOutdeg(edges)
     val base = math.floor(
       scale.toDouble * (100 - dampingPct) / (100.0 * nNodes)).toLong
     var pr = nodes.select(col("id"),
@@ -89,9 +97,7 @@ object GraphOps {
       seeds: DataFrame, iters: Int, nSeeds: Long, dampingPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && nSeeds >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = DedupOps.materialize(
-      edges.join(outdeg, "src").select(col("src"), col("dst"), col("outdeg")))
+    val e = withOutdeg(edges)
     val sd = seeds.select(col("id")).distinct()
       .withColumn("is_seed", lit(true))
     val marked = nodes.select(col("id"))
@@ -132,23 +138,57 @@ object GraphOps {
     * well-linked trusted page's rank is covered by trust and never
     * flags. Returns `(id, pr, trust_u, mass_u, spam)`.
     *
-    * Scale shape: two independent one-join-one-agg fixed points over
-    * the same edge table plus ONE id-keyed equi-join of two
-    * O(nodes)-row vectors — nothing new materializes beyond the rank
-    * vectors themselves. */
+    * Scale shape: the two fixed points are FUSED — both vectors ride
+    * one (id, pr, trust_u) frame, so each iteration is ONE edge join
+    * plus ONE dst-keyed aggregation carrying both contribution
+    * columns (half the shuffles of running the chains separately),
+    * over one shared materialized (src, dst, outdeg) table. Per
+    * column the arithmetic is exactly [[pageRankFixedPoint]]'s /
+    * [[trustRankFixedPoint]]'s, so the fused result stays
+    * bit-identical to composing them. */
   def spamMass(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       iters: Int, nNodes: Long, nSeeds: Long, dampingPct: Int = 85,
       scale: Long = 1000000000000L, spamPct: Int = 90): DataFrame = {
     require(spamPct >= 1 && spamPct <= 100)
-    val pr = pageRankFixedPoint(nodes, edges, iters, nNodes, dampingPct,
-      scale)
-    val tr = trustRankFixedPoint(nodes, edges, seeds, iters, nSeeds,
-      dampingPct, scale)
-    pr.join(tr, Seq("id"))
-      .select(col("id"), col("pr"), col("trust_u"),
-        greatest(lit(0L), col("pr") - col("trust_u")).as("mass_u"),
-        (greatest(lit(0L), col("pr") - col("trust_u")) * 100 >=
-          col("pr") * spamPct).as("spam"))
+    require(iters >= 1 && nNodes >= 1 && nSeeds >= 1 &&
+      dampingPct >= 0 && dampingPct <= 100)
+    val e = withOutdeg(edges)
+    val sd = seeds.select(col("id")).distinct()
+      .withColumn("is_seed", lit(true))
+    val marked = nodes.select(col("id"))
+      .join(broadcast(sd), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    val prBase = math.floor(
+      scale.toDouble * (100 - dampingPct) / (100.0 * nNodes)).toLong
+    val trBase = math.floor(
+      scale.toDouble * (100 - dampingPct) / (100.0 * nSeeds)).toLong
+    val prInit = math.floor(scale.toDouble / nNodes).toLong
+    val trInit = math.floor(scale.toDouble / nSeeds).toLong
+    var v = marked.select(col("id"), col("is_seed"),
+      lit(prInit).as("pr"),
+      when(col("is_seed"), lit(trInit)).otherwise(lit(0L)).as("trust_u"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(v.select(col("id").as("vid"), col("pr"), col("trust_u")),
+          col("src") === col("vid"))
+        .select(col("dst"),
+          floor(col("pr") * lit(dampingPct.toDouble) /
+            (lit(100.0) * col("outdeg"))).cast("long").as("cp"),
+          floor(col("trust_u") * lit(dampingPct.toDouble) /
+            (lit(100.0) * col("outdeg"))).cast("long").as("ct"))
+        .groupBy(col("dst"))
+        .agg(sum(col("cp")).as("ip"), sum(col("ct")).as("it"))
+      v = marked
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"), col("is_seed"),
+          (lit(prBase) + coalesce(col("ip"), lit(0L))).as("pr"),
+          (when(col("is_seed"), lit(trBase)).otherwise(lit(0L)) +
+            coalesce(col("it"), lit(0L))).as("trust_u"))
+    }
+    v.select(col("id"), col("pr"), col("trust_u"),
+      greatest(lit(0L), col("pr") - col("trust_u")).as("mass_u"),
+      (greatest(lit(0L), col("pr") - col("trust_u")) * 100 >=
+        col("pr") * spamPct).as("spam"))
   }
 
   /** HITS hubs-and-authorities in FIXED-POINT integer arithmetic

@@ -138,6 +138,67 @@ object MultimodalOps {
         .filter(col("dh").isNotNull),
       "id", "dh", maxDist)
 
+  /** Plain + mirrored dHash from ONE decode (the decode dominates at
+    * corpus scale — a separate mirror pass would double it). */
+  private val dhashBothUdf: Column => Column = {
+    val u = udf((bytes: Array[Byte]) => {
+      try {
+        val (w, h, px) = ImageCodec.decode(bytes)
+        Some((ImageCodec.dhash(px, w, h),
+          ImageCodec.dhash(ImageCodec.mirror(px, w, h), w, h)))
+      } catch { case _: Exception => None }
+    })
+    c => u(c)
+  }
+
+  /** Mirror-aware perceptual near-duplicate pairs: [[imageNearDup]]
+    * additionally catching HORIZONTALLY FLIPPED copies — the cheapest
+    * and most common transform that defeats a plain dHash (the
+    * horizontal-gradient bits all reverse, pushing Hamming to ~32).
+    * Each image gets TWO 64-bit sketches from one decode — `dh` of
+    * the pixels and `dhm` of their mirror — and ONE banding pass
+    * pairs both channels at once: ids are channel-encoded (`2·id`
+    * plain, `2·id+1` mirrored) into [[DedupOps.hammingPairs64]], then
+    * decoded. A cross-channel hit (a's mirror sketch near b's plain
+    * sketch, either direction) means b is a flipped copy of a;
+    * mirror–mirror hits duplicate plain–plain information and are
+    * dropped, as are self-pairs (an image pairing its own mirror =
+    * left-right symmetry, not duplication). Requires non-negative
+    * ids (the channel encoding doubles them).
+    *
+    * Scale shape: identical to [[imageNearDup]] with 2× the sketch
+    * rows — still only (8-byte sketch, id) tuples ever shuffle,
+    * payloads decode exactly once and never leave their scan
+    * partitions. Returns (id_a, id_b, hamming, mirrored) with
+    * id_a < id_b, one row per pair: the minimum-Hamming channel wins,
+    * plain preferred on ties (deterministic). */
+  def mirrorNearDup(images: DataFrame, idCol: String, bytesCol: String,
+      maxDist: Int = 4): DataFrame = {
+    val sk = images
+      .select(col(idCol).as("id"), dhashBothUdf(col(bytesCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s._1").as("dh"), col("s._2").as("dhm"))
+    val chan = sk.select((col("id") * 2).as("cid"), col("dh").as("h"))
+      .unionByName(
+        sk.select((col("id") * 2 + 1).as("cid"), col("dhm").as("h")))
+    val raw = DedupOps.hammingPairs64(chan, "cid", "h", maxDist)
+    val decoded = raw.select(
+        expr("id_a div 2").as("a"), expr("id_a % 2").as("ca"),
+        expr("id_b div 2").as("b"), expr("id_b % 2").as("cb"),
+        col("hamming"))
+      .filter(!(col("ca") === 1 && col("cb") === 1))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"),
+        col("hamming"), (col("ca") =!= col("cb")).as("mirrored"))
+    decoded.groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("hamming"),
+        col("mirrored").cast("int").as("mi"))).as("best"))
+      .select(col("id_a"), col("id_b"),
+        col("best.hamming").as("hamming"),
+        (col("best.mi") === 1).as("mirrored"))
+  }
+
   /** Append a batch of images to a persisted perceptual-sketch index
     * ([[SketchIndex]], `SketchIndex.init(dir, maxDist)` once first):
     * each payload is decoded + dHashed exactly ONCE, ever — the index

@@ -72,6 +72,17 @@ object OpsQueries {
     } catch { case _: Exception => null }
   })
 
+  /** Horizontally mirrored + jpeg re-encoded copy — the planted
+    * "flipped repost" the mirror-aware perceptual gate
+    * (image_mirror_recovery) must re-find via the CROSS channel. */
+  private val mirrorJpeg = udf((bytes: Array[Byte]) => {
+    try {
+      val (iw, ih, px) = graft.fetch.ImageCodec.decode(bytes)
+      graft.fetch.ImageCodec.encode(
+        graft.fetch.ImageCodec.mirror(px, iw, ih), iw, ih, "jpeg")
+    } catch { case _: Exception => null }
+  })
+
   /** The planted boilerplate paragraph of the paragraph-dedup gate —
     * artificial tokens so it can never occur naturally. */
   private[graft] val boilerPara: String =
@@ -268,6 +279,29 @@ object OpsQueries {
     "dedup_ngram_pairs" -> ((s: SparkSession, dir: String) =>
       DedupOps.ngramJaccardPairs(withPlantedDupes(s, dir), "doc_id",
         "text", n = 2, threshold = 0.5)),
+
+    // EXACT containment pairs (Broder containment — the case Jaccard
+    // dedup structurally misses: a snippet pasted inside a long doc).
+    // TWO-SIDED exact gate, no staging: every doc_id % 100 == 0
+    // contributes a planted contained snippet — its first
+    // max(4, ntoks div 3) whitespace tokens — at id + 2e6, and DuckDB
+    // re-derives the ENTIRE pair set (shared counts, pruned sizes,
+    // integer containment) from the raw documents table with the same
+    // plant. One wrong df prune, one drifted count, or one missed
+    // boundary pair shifts a row.
+    "q81_containment_pairs" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      val toks = split(regexp_replace(trim($"text"), "\\s+", " "), " ")
+      val planted = d.filter($"doc_id" % 100 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(lit(4), (size(toks) / 3).cast("int")))).as("text"))
+      DedupOps.containmentPairs(d.unionByName(planted), "doc_id",
+          "text", n = 4, freqCap = 64, pct = 90, minSize = 4)
+        .orderBy("id_a", "id_b")
+    }),
 
     // PRECISION gate for the word-bigram family (dedup_minhash_precision
     // pattern): DuckDB re-derives every emitted pair's exact bigram
@@ -619,6 +653,46 @@ object OpsQueries {
       s.read.parquet(path)
         .agg(count(lit(1)).cast("long").as("planted"),
           sum(col("recovered").cast("int")).cast("long").as("recovered"),
+          floor(sum(col("recovered").cast("int")) * 1000.0 /
+            count(lit(1))).cast("long").as("recall_x1000"))
+    }),
+
+    // Mirror-aware perceptual near-dup gate: the 20 lowest-urlHash
+    // demo images get a planted HORIZONTALLY FLIPPED + jpeg
+    // re-encoded copy at rid + 1e6 — the transform that pushes a
+    // plain dHash to ~32 Hamming bits — and mirrorNearDup must
+    // re-find each as an (id, id+1e6) pair; via_mirror records
+    // honestly which recoveries needed the cross channel (a
+    // left-right-symmetric image can legitimately recover plain).
+    // Per-image flags staged as a parquet fixture DuckDB
+    // re-aggregates (demo crawl is SF-independent → stable path).
+    "image_mirror_recovery" -> ((s: SparkSession, _: String) => {
+      val images = CrawlQueries.demoResult(s).images.toDF()
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("urlHash"))
+      val ridMap = images.select(col("urlHash"))
+        .withColumn("rid", row_number().over(w).cast("long"))
+      val base = images.select(col("urlHash"), col("bytes"))
+        .join(broadcast(ridMap), Seq("urlHash"))
+      val planted = base.filter(col("rid") <= 20)
+        .select((col("rid") + lit(1000000L)).as("rid"),
+          mirrorJpeg(col("bytes")).as("bytes"))
+      val pairs = graft.ops.MultimodalOps.mirrorNearDup(
+        base.select(col("rid"), col("bytes")).unionByName(planted),
+        "rid", "bytes", maxDist = 4)
+      val hits = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("rid"), lit(true).as("rec"),
+          col("mirrored"))
+      val fx = base.filter(col("rid") <= 20).select(col("rid"))
+        .join(hits, Seq("rid"), "left_outer")
+        .select(col("rid"),
+          coalesce(col("rec"), lit(false)).as("recovered"),
+          coalesce(col("mirrored"), lit(false)).as("via_mirror"))
+      val path = s"$gateFxBase/imgmirror"
+      fx.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .agg(count(lit(1)).cast("long").as("planted"),
+          sum(col("recovered").cast("int")).cast("long").as("recovered"),
+          sum(col("via_mirror").cast("int")).cast("long").as("via_mirror"),
           floor(sum(col("recovered").cast("int")) * 1000.0 /
             count(lit(1))).cast("long").as("recall_x1000"))
     }),
@@ -1349,6 +1423,52 @@ object OpsQueries {
         |   AS jaccard_x1000,
         | true AS ge_threshold
         |FROM j ORDER BY id_a, id_b""".stripMargin,
+    // TWO-SIDED exact containment oracle: DuckDB rebuilds the planted
+    // corpus (doc_id%100==0 → first max(4, ntoks//3) tokens at
+    // id+2e6), derives word 4-grams, prunes df > 64 and sub-4-gram
+    // docs, and re-derives the FULL pair set with integer
+    // cross-multiplied verdicts — the raw-string twin of Spark's
+    // hashed-gram computation (they agree absent 64-bit collisions,
+    // as with every gram-family gate).
+    "q81_containment_pairs" ->
+      """WITH raw AS (SELECT doc_id, coalesce(text, '') AS text
+        |  FROM documents),
+        | tok AS (SELECT doc_id,
+        |   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     x -> x <> '') AS toks
+        |  FROM raw),
+        | planted AS (SELECT doc_id + 2000000 AS doc_id,
+        |   toks[1:greatest(4, len(toks)//3)] AS toks
+        |  FROM tok WHERE doc_id % 100 = 0),
+        | alltok AS (SELECT doc_id, toks FROM tok
+        |  UNION ALL SELECT doc_id, toks FROM planted),
+        | gr AS (SELECT doc_id,
+        |   CASE WHEN len(toks) < 4
+        |        THEN [coalesce(array_to_string(toks, ' '), '')]
+        |        ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+        |          for i in range(1, len(toks) - 2)])
+        |   END AS gs FROM alltok),
+        | gd AS (SELECT doc_id, unnest(gs) AS g FROM gr),
+        | dfq AS (SELECT g, count(*) AS dfreq FROM gd GROUP BY 1),
+        | kept AS (SELECT gd.doc_id, gd.g, dfq.dfreq
+        |  FROM gd JOIN dfq USING (g) WHERE dfq.dfreq <= 64),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+        | szok AS (SELECT doc_id FROM sz WHERE sz >= 4),
+        | kp AS (SELECT k.doc_id, k.g FROM kept k
+        |  JOIN szok USING (doc_id) WHERE k.dfreq >= 2),
+        | pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   count(*) AS shared
+        |  FROM kp a JOIN kp b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.shared,
+        | sa.sz AS size_a, sb.sz AS size_b,
+        | (p.shared * 1000) // least(sa.sz, sb.sz) AS cont_x1000
+        |FROM pr p
+        |JOIN sz sa ON sa.doc_id = p.id_a
+        |JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE p.shared * 100 >= least(sa.sz, sb.sz) * 90
+        |ORDER BY id_a, id_b""".stripMargin,
     // re-derives each emitted pair's Hamming distance independently
     // from the staged per-doc sketches (bit_count over xor) and states
     // le_max as a literal
@@ -1450,6 +1570,16 @@ object OpsQueries {
         | CAST(floor(count(*) FILTER (WHERE recovered) * 1000.0
         |   / count(*)) AS BIGINT) AS recall_x1000
         |FROM '/tmp/graft_gate_fx/imgdup/*.parquet'""".stripMargin,
+    // re-aggregates the staged per-image mirror-recovery flags (same
+    // floor() rule as image_neardup_recovery; via_mirror re-counted)
+    "image_mirror_recovery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS planted,
+        | CAST(count(*) FILTER (WHERE recovered) AS BIGINT) AS recovered,
+        | CAST(count(*) FILTER (WHERE via_mirror) AS BIGINT)
+        |   AS via_mirror,
+        | CAST(floor(count(*) FILTER (WHERE recovered) * 1000.0
+        |   / count(*)) AS BIGINT) AS recall_x1000
+        |FROM '/tmp/graft_gate_fx/imgmirror/*.parquet'""".stripMargin,
     // replays the staged per-call IVF ranking — the persisted index's
     // output must hash-match it rank-for-rank, cosine included
     "ann_index_parity" ->

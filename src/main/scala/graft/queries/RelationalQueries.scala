@@ -563,8 +563,9 @@ object RelationalQueries {
       val nh = hosts.count()
       val seeds = hosts.where($"id" % 7 === 0)
       val ns = seeds.count()
-      val sm = graft.ops.GraphOps.spamMass(hosts, hostEdges, seeds,
-        3, nh, ns)
+      // materialized: referenced twice (weighting AND the final join)
+      val sm = graft.ops.DedupOps.materialize(
+        graft.ops.GraphOps.spamMass(hosts, hostEdges, seeds, 3, nh, ns))
       val weighted = sm.withColumn("weight",
         when($"spam", lit(0L)).otherwise($"pr"))
       val ap = graft.frontier.BudgetAllocator

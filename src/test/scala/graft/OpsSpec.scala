@@ -663,4 +663,93 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(out.length === d.count(), "packing must keep every doc")
   }
+
+  test("containment pairs catch a snippet Jaccard misses; cap prunes stop-grams") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 2 is a contiguous 10-token slice of doc 1 (60 distinct
+    // tokens): containment = 100% while 4-gram Jaccard ≈ 7/57
+    val longToks = (0 until 60).map(i => s"tok$i")
+    val corpus = Seq(
+      (1L, longToks.mkString(" ")),
+      (2L, longToks.slice(20, 30).mkString(" ")),
+      (3L, (0 until 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.containmentPairs(corpus, "doc_id", "text",
+      n = 4, freqCap = 64, pct = 90, minSize = 4).collect()
+    assert(pairs.length === 1, s"expected exactly (1,2): ${pairs.toSeq}")
+    val p = pairs.head
+    assert(p.getLong(0) === 1L && p.getLong(1) === 2L)
+    assert(p.getAs[Long]("shared") === 7L) // 7 four-grams in the slice
+    assert(p.getAs[Long]("size_a") === 57L)
+    assert(p.getAs[Long]("size_b") === 7L)
+    assert(p.getAs[Long]("cont_x1000") === 1000L)
+    // the Jaccard family structurally misses the same pair
+    val jac = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 4, threshold = 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "4-gram Jaccard should NOT pair the snippet with its host")
+    // freqCap prune: a gram shared by MORE than cap docs cannot pair
+    // them (and is excluded from sizes) — 70 identical short docs
+    // collapse to one df-70 gram, pruned before any join
+    val flood = (0 until 70).map(i => (100L + i, "aa bb"))
+      .toDF("doc_id", "text")
+    val fp = DedupOps.containmentPairs(flood, "doc_id", "text",
+      n = 4, freqCap = 64, pct = 90, minSize = 1).collect()
+    assert(fp.isEmpty, s"stop-gram flood must not pair: ${fp.length}")
+    // minSize prune: two docs sharing their ONLY gram would score
+    // 100 % — meaningless on a near-empty set, excluded by default
+    val tiny = Seq((200L, "x1 x2 x3 x4"), (201L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val tp = DedupOps.containmentPairs(tiny, "doc_id", "text",
+      n = 4, freqCap = 64, pct = 90, minSize = 4).collect()
+    assert(tp.isEmpty, s"sub-minSize docs must not pair: ${tp.toSeq}")
+  }
+
+  test("mirror near-dup finds flipped jpeg reposts via the cross channel") {
+    val spark2 = spark
+    import spark2.implicits._
+    val w = 120; val h = 90
+    val rows = (0 until 30).map { i =>
+      val px = ImageCodec.synthPixels(i * 7919L + 13, w, h)
+      val fmt = Seq("png", "jpeg", "bmp")(i % 3)
+      (i.toLong, ImageCodec.encode(px, w, h, fmt))
+    }
+    // planted flipped reposts: mirror + lossy jpeg re-encode
+    val flipped = rows.take(20).map { case (id, bytes) =>
+      val (iw, ih, px) = ImageCodec.decode(bytes)
+      (id + 1000000L,
+        ImageCodec.encode(ImageCodec.mirror(px, iw, ih), iw, ih, "jpeg"))
+    }
+    val df = (rows ++ flipped).toDF("rid", "bytes")
+    // plain dHash pairing must MISS the flips (gradient bits reverse)
+    val plain = MultimodalOps.imageNearDup(df, "rid", "bytes", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plainHits = (0 until 20).count(i =>
+      plain.contains((i.toLong, i + 1000000L)))
+    assert(plainHits <= 4, s"plain dHash found $plainHits/20 flips — " +
+      "synth images too symmetric for the mirror test to mean anything")
+    // mirror-aware pairing recovers them, flagged via the cross channel
+    val pairs = MultimodalOps.mirrorNearDup(df, "rid", "bytes", maxDist = 4)
+      .collect()
+    val hits = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(hits.length >= 16, s"recovered only ${hits.length}/20 flips")
+    assert(hits.count(_.getAs[Boolean]("mirrored")) >= 16,
+      "recoveries must come via the mirror channel")
+    // no pair between unrelated images
+    val false_ = pairs.map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot { case (a, b) => b == a + 1000000L }
+    assert(false_.isEmpty, s"false mirror pairs: ${false_.toSeq}")
+    // a plain (unflipped) noisy copy still pairs, flagged mirrored=false
+    val noisy = {
+      val (iw, ih, px) = ImageCodec.decode(rows.head._2)
+      Seq((2000000L, ImageCodec.encode(px, iw, ih, "jpeg")))
+    }
+    val withPlain = (rows ++ noisy).toDF("rid", "bytes")
+    val pp = MultimodalOps.mirrorNearDup(withPlain, "rid", "bytes",
+      maxDist = 4).collect()
+      .filter(r => r.getLong(0) == 0L && r.getLong(1) == 2000000L)
+    assert(pp.length === 1 && !pp.head.getAs[Boolean]("mirrored"),
+      s"plain re-encode must pair via the plain channel: ${pp.toSeq}")
+  }
 }
