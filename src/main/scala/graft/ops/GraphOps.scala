@@ -191,6 +191,64 @@ object GraphOps {
         col("pr") * spamPct).as("spam"))
   }
 
+  /** OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    * Cobéna, WWW 2003) in FIXED-POINT integer arithmetic: the classic
+    * crawl-frontier prioritization signal that, unlike PageRank,
+    * needs no damping parameter and models importance as circulating
+    * CASH. Each synchronous round: every node banks its cash into its
+    * history (`hist += cash`), distributes it equally to its
+    * out-links (`cash div outdeg`, integer floor), and dangling
+    * nodes' cash flows to the VIRTUAL ROOT, which redistributes it
+    * uniformly (`root div n`) next round — the OPIC-distinctive
+    * treatment that keeps total cash (minus floor dust) circulating
+    * instead of leaking. Importance estimate after k rounds is
+    * `hist + cash` (the paper's H+C numerator; the shared
+    * denominator G is rank-irrelevant). All-integer micro-units make
+    * every round order-independent and the full vector bit-identical
+    * across engines and partitionings, same discipline as
+    * [[pageRankFixedPoint]].
+    *
+    * Scale shape: per round, ONE edge join + ONE dst-keyed
+    * aggregation (identical dataflow to the PageRank iteration) plus
+    * one single-row dangling-cash aggregate broadcast back (a scalar,
+    * never a vector collect). The shared (src, dst, outdeg) table is
+    * materialized once.
+    * @return (id, cash_u, hist_u, imp_u = hist_u + cash_u). */
+  def opicFixedPoint(nodes: DataFrame, edges: DataFrame, iters: Int,
+      nNodes: Long, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && nNodes >= 1 && scale > 0)
+    val e = withOutdeg(edges)
+    val hasOut = e.select(col("src")).distinct()
+      .withColumn("has_out", lit(true))
+    val marked = DedupOps.materialize(
+      nodes.select(col("id"))
+        .join(hasOut, col("id") === col("src"), "left")
+        .select(col("id"),
+          coalesce(col("has_out"), lit(false)).as("has_out")))
+    var v = marked.select(col("id"), col("has_out"),
+      lit(scale / nNodes).as("cash"), lit(0L).as("hist"))
+    for (_ <- 1 to iters) {
+      val prev = v
+      val inflow = e
+        .join(prev.select(col("id").as("vid"), col("cash").as("vc")),
+          col("src") === col("vid"))
+        .select(col("dst"), expr("vc div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      val root = prev.filter(!col("has_out"))
+        .agg(coalesce(sum(col("cash")), lit(0L)).as("root"))
+      v = prev
+        .join(inflow, prev("id") === inflow("dst"), "left")
+        .crossJoin(broadcast(root))
+        .select(prev("id"), prev("has_out"),
+          (coalesce(col("inflow"), lit(0L)) +
+            expr(s"root div ${nNodes}L")).as("cash"),
+          (prev("hist") + prev("cash")).as("hist"))
+    }
+    v.select(col("id"), col("cash").as("cash_u"),
+      col("hist").as("hist_u"),
+      (col("cash") + col("hist")).as("imp_u"))
+  }
+
   /** HITS hubs-and-authorities in FIXED-POINT integer arithmetic
     * (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
     * Environment") — the second classic frontier-prioritization

@@ -435,6 +435,25 @@ object RelationalQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- OPIC (3 synchronous rounds) over the q57 link graph PLUS
+    //      three planted dangling nodes (ids n..n+2, no out-links):
+    //      cash banks to history, distributes div outdeg, and
+    //      dangling cash routes through the virtual root (div n,
+    //      redistributed uniformly) — all integer, so DuckDB
+    //      re-derives cash, history, AND the root scalar per round
+    //      bit-for-bit. The planted danglers force the root path to
+    //      carry real mass every round.
+    "q82_opic" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id".as("id"))
+      val n = docs.count()
+      val edges = graft.ops.GraphOps.syntheticEdges(docs, n)
+      val nodes = docs.unionByName(Seq(n, n + 1, n + 2).toDF("id"))
+      graft.ops.GraphOps.opicFixedPoint(nodes, edges, 3, n + 3)
+        .select($"id".as("doc_id"), $"cash_u", $"hist_u", $"imp_u")
+        .orderBy($"doc_id")
+    }),
+
     // ---- fixed-point HITS (3 iterations) over the same synthetic
     //      link graph as q57: exact integer micro-units with L1
     //      renormalization each half-step, so DuckDB re-derives both
@@ -576,6 +595,51 @@ object RelationalQueries {
         .orderBy($"host_id")
     })
   )
+
+  /** q82's oracle: `iters` unrolled OPIC rounds — per round the
+    * dangling-cash root scalar, the div-outdeg inflow aggregation,
+    * and the banked history, mirroring GraphOps.opicFixedPoint's
+    * exact integer chain over the q57 graph + 3 planted danglers. */
+  private def opicOracleSql(iters: Int): String = {
+    val body = (1 to iters).map { i =>
+      s"""| r$i AS (SELECT CAST(coalesce(sum(c.cash), 0) AS BIGINT) AS root
+          |  FROM c${i - 1} c JOIN dang ON dang.id = c.id),
+          | f$i AS (SELECT e.dst,
+          |   CAST(sum(c.cash // e.outdeg) AS BIGINT) AS inflow
+          |  FROM e JOIN c${i - 1} c ON e.src = c.id GROUP BY 1),
+          | c$i AS (SELECT allnodes.id,
+          |   coalesce(f$i.inflow, 0) +
+          |     ((SELECT root FROM r$i) // (SELECT nt FROM ntot)) AS cash,
+          |   c.hist + c.cash AS hist
+          |  FROM allnodes
+          |  LEFT JOIN f$i ON allnodes.id = f$i.dst
+          |  JOIN c${i - 1} c ON c.id = allnodes.id),""".stripMargin
+    }.mkString("\n").stripSuffix(",")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       | nn AS (SELECT count(*) AS n FROM nodes),
+       | allnodes AS (SELECT id FROM nodes UNION ALL
+       |   SELECT (SELECT n FROM nn) + x FROM (VALUES (0), (1), (2)) t(x)),
+       | ntot AS (SELECT count(*) AS nt FROM allnodes),
+       | raw AS (SELECT id,
+       |   unnest(list_filter(list_distinct([
+       |     (id*7+3) % (SELECT n FROM nn),
+       |     CASE WHEN id % 2 = 0 THEN (id*13+5) % (SELECT n FROM nn) END,
+       |     CASE WHEN id % 5 = 0 THEN (id*31+11) % (SELECT n FROM nn) END,
+       |     id % 10]),
+       |    d -> d IS NOT NULL AND d <> id)) AS dst
+       |  FROM nodes),
+       | od AS (SELECT id AS src, count(*) AS outdeg FROM raw GROUP BY 1),
+       | e AS (SELECT raw.id AS src, raw.dst, od.outdeg
+       |   FROM raw JOIN od ON raw.id = od.src),
+       | dang AS (SELECT a.id FROM allnodes a
+       |   LEFT JOIN od ON a.id = od.src WHERE od.src IS NULL),
+       | c0 AS (SELECT id,
+       |   CAST(1000000000000 // (SELECT nt FROM ntot) AS BIGINT) AS cash,
+       |   CAST(0 AS BIGINT) AS hist FROM allnodes),
+       |$body
+       |SELECT id AS doc_id, cash AS cash_u, hist AS hist_u,
+       | cash + hist AS imp_u FROM c$iters ORDER BY doc_id""".stripMargin
+  }
 
   /** q65's oracle: 3 unrolled HITS iterations (auth half-step, L1
     * renormalize, hub half-step, renormalize — mirroring
@@ -1058,6 +1122,7 @@ object RelationalQueries {
         |     + coalesce(i5.inflow, 0) AS pr
         |   FROM nodes LEFT JOIN i5 ON nodes.id = i5.dst)
         |SELECT id AS doc_id, pr FROM p5 ORDER BY doc_id""".stripMargin,
+    "q82_opic" -> opicOracleSql(3),
     "q75_trustrank" ->
       """WITH nodes AS (SELECT doc_id AS id FROM documents),
         | nn AS (SELECT count(*) AS n FROM nodes),

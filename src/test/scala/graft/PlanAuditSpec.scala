@@ -82,6 +82,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"payload bytes cross a shuffle boundary:\n$p")
   }
 
+  test("mirror near-dup: payload bytes never enter an exchange (two sketches, one decode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val imgs = spark.range(50)
+      .select($"id", lit(Array.fill[Byte](4096)(7)).as("bytes"))
+    val p = formatted(
+      graft.ops.MultimodalOps.mirrorNearDup(imgs, "id", "bytes"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected a shuffle in the pair join:\n$p")
+    val badSection = "(?s)\\(\\d+\\) Exchange.*?(?=\\(\\d+\\)|$)".r
+      .findAllIn(p).filter(_.contains("bytes"))
+    assert(badSection.isEmpty,
+      s"payload bytes cross a shuffle boundary:\n$p")
+  }
+
+  test("containment pairs: no exchange carries document text — only gram hashes and ids travel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(100).select($"id",
+      concat_ws(" ", (0 until 12).map(i =>
+        xxhash64($"id" * lit(i + 1)).cast("string")): _*).as("text"))
+    val p = formatted(graft.ops.DedupOps.containmentPairs(
+      docs, "id", "text"))
+    val sections = "(?s)\\(\\d+\\) (?:Broadcast)?Exchange.*?(?=\\(\\d+\\)|$)".r
+      .findAllIn(p).toSeq
+    assert(sections.nonEmpty, s"expected df/pair exchanges:\n$p")
+    val textCol = "(?<![a-zA-Z_])text#".r
+    assert(sections.forall(s => textCol.findFirstIn(s).isEmpty),
+      "document text crosses a shuffle/broadcast boundary:\n" +
+        sections.filter(s => textCol.findFirstIn(s).isDefined)
+          .mkString("\n----\n"))
+  }
+
   test("host boilerplate: the distinct-doc counting exchange carries only the 128-bit hash, never the paragraph text") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

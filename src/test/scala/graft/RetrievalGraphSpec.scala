@@ -287,4 +287,37 @@ class RetrievalGraphSpec extends AnyFunSuite {
       assert(!out(id)._3 && out(id)._4 > 0L, s"seed host $id starved")
     }
   }
+
+  // ---- OPIC ----------------------------------------------------------
+
+  test("opic: hand-computed cash/history on a 2-cycle + dangler, root redistributes") {
+    // nodes {0,1,2}, edges 0↔1, node 2 dangling; scale 9 → cash₀ = 3.
+    // r1: hist {3,3,3}→banked; inflow 0←1:3, 1←0:3; root = 3, div 3 = 1
+    //     → cash {4,4,1}
+    // r2: hist {7,7,4}; inflow {4,4}; root = 1, div 3 = 0 → cash {4,4,0}
+    // r3: hist {11,11,4}; cash {4,4,0}; imp {15,15,4}
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val out = GraphOps.opicFixedPoint(nodes, edges, 3, 3, scale = 9L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) === ((4L, 11L, 15L)))
+    assert(out(1L) === ((4L, 11L, 15L)))
+    assert(out(2L) === ((0L, 4L, 4L)))
+  }
+
+  test("opic: fixed point is bit-identical under repartitioning") {
+    val nodes = spark.range(60).select($"id")
+    val edges = GraphOps.syntheticEdges(nodes, 60)
+    def run(parts: Int): Map[Long, (Long, Long)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        GraphOps.opicFixedPoint(nodes.repartition(parts), edges, 3, 60)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run(2) === run(7))
+  }
 }
