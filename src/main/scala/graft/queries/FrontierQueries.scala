@@ -48,6 +48,43 @@ object FrontierQueries {
     // and apportion a prime budget (997 — guarantees nontrivial
     // remainders) independently; every base share, remainder seat,
     // and tie-break is integer-exact, so rows compare bit-for-bit.
+    // ---- sitemap ingestion round-trip (SURVEY §2.1 extra source):
+    //      one sitemap XML blob per host is BUILT in-query from the
+    //      documents table (deterministic loc/lastmod/priority
+    //      arithmetic), parsed back through SitemapSource.parse
+    //      (regexp built-ins, map-side), anti-joined against a seen
+    //      set (doc_id % 3 == 0), and rank-ordered per host. DuckDB
+    //      never parses XML: it derives the expected OUTPUT directly
+    //      from documents with the same arithmetic — so any parse
+    //      defect (regex group, date, priority tenth, a dropped or
+    //      duplicated <url> block) breaks the two-sided compare.
+    "q83_sitemap_ingest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", ($"doc_id" % 20).as("host"),
+          (($"doc_id" % 28) + 1).as("dd"), ($"doc_id" % 10).as("p"))
+      val frag = concat(
+        lit("<url><loc>https://h"), $"host", lit(".example/p"),
+        $"doc_id", lit("</loc><lastmod>2026-01-"),
+        lpad($"dd".cast("string"), 2, "0"),
+        lit("</lastmod><priority>0."), $"p",
+        lit("</priority></url>"))
+      val xml = d.select($"host", $"doc_id", frag.as("f"))
+        .groupBy($"host")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"doc_id".as("k"),
+            $"f".as("v")))), x => x.getField("v")), "").as("xml"))
+      val entries = graft.sources.SitemapSource.parse(xml, "xml")
+      val seen = d.filter($"doc_id" % 3 === 0)
+        .select(concat(lit("https://h"), $"host", lit(".example/p"),
+          $"doc_id").as("url"))
+      val fresh = graft.sources.SitemapSource
+        .freshCandidates(entries, seen, "url")
+      graft.sources.SitemapSource.prioritize(fresh, "host")
+        .select($"host", $"loc", $"lastmod", $"priority_x10", $"rk")
+        .orderBy($"host", $"rk")
+    }),
+
     "q62_crawl_budget" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       val w = s.read.parquet(s"$dir/events.parquet")
@@ -266,6 +303,26 @@ object FrontierQueries {
     uf = "MG", municipality = Some(MunicipalitySelector.All))
 
   val oracleSql: Map[String, String] = Map(
+    // derives the expected sitemap-ingest OUTPUT directly from the
+    // documents table (no XML anywhere): same loc/lastmod/priority
+    // arithmetic, same %3 seen exclusion, same per-host rank — the
+    // Spark side must round-trip build→parse→merge to the same rows
+    "q83_sitemap_ingest" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS host,
+        |   (doc_id % 28) + 1 AS dd, doc_id % 10 AS p FROM documents),
+        | ent AS (SELECT host, doc_id,
+        |   'https://h' || host || '.example/p' || doc_id AS loc,
+        |   CAST('2026-01-' || lpad(CAST(dd AS VARCHAR), 2, '0') AS DATE)
+        |     AS lastmod,
+        |   p AS priority_x10 FROM d),
+        | fresh AS (SELECT * FROM ent WHERE doc_id % 3 <> 0),
+        | ranked AS (SELECT host, loc, lastmod, priority_x10,
+        |   CAST(row_number() OVER (PARTITION BY host
+        |     ORDER BY priority_x10 DESC, lastmod DESC, loc ASC)
+        |     AS BIGINT) AS rk
+        |  FROM fresh)
+        |SELECT host, loc, lastmod, priority_x10, rk FROM ranked
+        |ORDER BY host, rk""".stripMargin,
     // the same Hamilton apportionment re-derived end to end: integer
     // base shares, leftover count, largest-remainder seats with the
     // ascending-host tie-break
