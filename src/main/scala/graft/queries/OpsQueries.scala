@@ -303,6 +303,30 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL containment-index parity, fully TWO-SIDED: the
+    // index is built on the corpus (stop set frozen from corpus df),
+    // the q81 planted slices probe it, and DuckDB independently
+    // re-derives the frozen stop set, the postings, the pruned
+    // sizes, and EVERY batch-touching pair from raw text — no
+    // staging. A stale posting, a wrong frozen df, a drifted size,
+    // or one missed cross/within pair shifts a row.
+    "containment_index_parity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      val toks = split(regexp_replace(trim($"text"), "\\s+", " "), " ")
+      val planted = d.filter($"doc_id" % 100 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(lit(4), (size(toks) / 3).cast("int")))).as("text"))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-cont-gate").toString
+      graft.ops.ContainmentIndex.build(d, "doc_id", "text", idxDir)
+      graft.ops.ContainmentIndex
+        .probePairs(planted, "doc_id", "text", idxDir)
+        .orderBy("id_a", "id_b")
+    }),
+
     // PRECISION gate for the word-bigram family (dedup_minhash_precision
     // pattern): DuckDB re-derives every emitted pair's exact bigram
     // Jaccard from RAW token lists of the staged corpus (list
@@ -1460,6 +1484,58 @@ object OpsQueries {
         |   count(*) AS shared
         |  FROM kp a JOIN kp b
         |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.shared,
+        | sa.sz AS size_a, sb.sz AS size_b,
+        | (p.shared * 1000) // least(sa.sz, sb.sz) AS cont_x1000
+        |FROM pr p
+        |JOIN sz sa ON sa.doc_id = p.id_a
+        |JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE p.shared * 100 >= least(sa.sz, sb.sz) * 90
+        |ORDER BY id_a, id_b""".stripMargin,
+    // TWO-SIDED frozen-universe oracle for the containment index:
+    // stop set from CORPUS-ONLY df (the frozen build), grams of
+    // corpus + planted batch, pruned sizes, and every batch-touching
+    // pair re-derived from raw text — the incremental probe must
+    // equal this restriction exactly
+    "containment_index_parity" ->
+      """WITH raw AS (SELECT doc_id, coalesce(text, '') AS text
+        |  FROM documents),
+        | tok AS (SELECT doc_id,
+        |   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     x -> x <> '') AS toks
+        |  FROM raw),
+        | ptok AS (SELECT doc_id + 2000000 AS doc_id,
+        |   toks[1:greatest(4, len(toks)//3)] AS toks
+        |  FROM tok WHERE doc_id % 100 = 0),
+        | grc AS (SELECT doc_id,
+        |   CASE WHEN len(toks) < 4
+        |        THEN [coalesce(array_to_string(toks, ' '), '')]
+        |        ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+        |          for i in range(1, len(toks) - 2)])
+        |   END AS gs FROM tok),
+        | grp AS (SELECT doc_id,
+        |   CASE WHEN len(toks) < 4
+        |        THEN [coalesce(array_to_string(toks, ' '), '')]
+        |        ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+        |          for i in range(1, len(toks) - 2)])
+        |   END AS gs FROM ptok),
+        | gdc AS (SELECT doc_id, unnest(gs) AS g FROM grc),
+        | gdp AS (SELECT doc_id, unnest(gs) AS g FROM grp),
+        | stops AS (SELECT g FROM gdc GROUP BY g HAVING count(*) > 64),
+        | gdall AS (SELECT doc_id, g FROM gdc
+        |  UNION ALL SELECT doc_id, g FROM gdp),
+        | kept AS (SELECT a.doc_id, a.g FROM gdall a
+        |  LEFT JOIN stops s ON a.g = s.g WHERE s.g IS NULL),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+        | szok AS (SELECT doc_id FROM sz WHERE sz >= 4),
+        | kp AS (SELECT k.doc_id, k.g FROM kept k
+        |  JOIN szok USING (doc_id)),
+        | pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   count(*) AS shared
+        |  FROM kp a JOIN kp b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id >= 2000000 OR b.doc_id >= 2000000
         |  GROUP BY 1, 2)
         |SELECT p.id_a, p.id_b, p.shared,
         | sa.sz AS size_a, sb.sz AS size_b,
