@@ -843,6 +843,83 @@ object Bench {
       } finally s.stop()
       return
     }
+    // (SPARK_GRAFT_BENCH_ONLY=contidx) — measures the claim behind
+    // ContainmentIndex: per-batch containment detection costs
+    // O(batch) shingling + one g-keyed join against the persisted
+    // postings, where the batch op re-shingles and re-counts the
+    // WHOLE corpus every run. Same evidence shape as dedupindex:
+    // cost ratio + a probe==recompute parity count (the generator's
+    // gram dfs stay ≤ 2, so frozen == unfrozen exactly).
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("contidx")) {
+      val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
+        "480000").toLong
+      val batchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCH",
+        "30000").toLong
+      require(batchN <= corpusN, "batch bases must be distinct")
+      val s = clusterSession(4, 2)
+      try {
+        import org.apache.spark.sql.functions.{col, udf}
+        // corpus docs: 60 unique hex tokens each (no cross-document
+        // token sharing — measured pipeline cost, not bucket-mass
+        // artifacts, as dedupDocs). Batch docs: the FIRST 20 tokens
+        // of their base corpus doc — 4-gram containment 100 % while
+        // bigram/4-gram Jaccard ≈ 0.30, the case only this family
+        // catches; every gram's df is ≤ 2, far under the cap.
+        val textUdf = udf { (id: Long) =>
+          val base = if (id >= corpusN) id % corpusN else id
+          val toks = if (id >= corpusN) 20 else 60
+          val sb = new StringBuilder(1100)
+          var j = 0
+          while (j < toks) {
+            val h = graft.url.Hashing.mix(base * 131L + j, 0x5EED3L)
+            sb.append(java.lang.Long.toHexString(h)).append(' ')
+            j += 1
+          }
+          sb.toString
+        }
+        def docs(a: Long, b: Long) = s.range(a, b, 1, 64)
+          .select(col("id"), textUdf(col("id")).as("text"))
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val all = docs(0, corpusN + batchN)
+        var fullPairs = 0L
+        val fullRecompute = timed {
+          fullPairs = graft.ops.DedupOps
+            .containmentPairs(all, "id", "text").count()
+        }
+        s.catalog.clearCache()
+        val idx = java.nio.file.Files
+          .createTempDirectory("contidx-bench").toString
+        val buildOnce = timed {
+          graft.ops.ContainmentIndex.build(
+            docs(0, corpusN), "id", "text", idx)
+        }
+        s.catalog.clearCache()
+        var probePairs = 0L
+        val probeSec = timed {
+          probePairs = graft.ops.ContainmentIndex.probePairs(
+            docs(corpusN, corpusN + batchN), "id", "text", idx).count()
+        }
+        s.catalog.clearCache()
+        val appendSec = timed {
+          graft.ops.ContainmentIndex.append(
+            docs(corpusN, corpusN + batchN), "id", "text", idx)
+        }
+        println(f"""{"metric":"containment_index_maintenance",""" +
+          f""""value":$fullRecompute%.2f,"unit":"sec",""" +
+          f""""corpus_docs":$corpusN,"batch_docs":$batchN,""" +
+          f""""full_recompute_sec":$fullRecompute%.2f,""" +
+          f""""index_build_once_sec":$buildOnce%.2f,""" +
+          f""""probe_sec":$probeSec%.2f,"append_sec":$appendSec%.2f,""" +
+          f""""per_batch_speedup":${
+            fullRecompute / (probeSec + appendSec)}%.1f,""" +
+          f""""full_pairs":$fullPairs,"probe_pairs":$probePairs,""" +
+          f""""parity":${fullPairs == probePairs &&
+            probePairs == batchN}}""")
+      } finally s.stop()
+      return
+    }
     // ---- optional mode: N→4N scaling of DISTRIBUTED connected
     // components (SPARK_GRAFT_BENCH_ONLY=cc) — the iterative star
     // loop's own scaling evidence over a graph big enough to clear

@@ -84,6 +84,25 @@ object ContainmentIndex {
   private def gramsPath(dir: String, d: String) = s"$dir/grams/$d"
   private def sizesPath(dir: String, d: String) = s"$dir/sizes/$d"
 
+  /** Initialize an EMPTY index (streaming-start mode): the stop set
+    * starts empty — nothing is frozen until enough corpus exists to
+    * judge document frequencies, so the cap engages via the first
+    * [[compact]] (which re-freezes over everything appended).
+    * Batch-corpus starts should prefer [[build]], which freezes from
+    * real df immediately. */
+  def init(dir: String, n: Int = 4, freqCap: Long = 64, pct: Int = 90,
+      minSize: Long = 4): Meta = {
+    require(n >= 1 && freqCap >= 2 && pct >= 1 && pct <= 100 &&
+      minSize >= 1)
+    DedupIndex.dropDir(dir)
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.range(0).select(col("id").as("g"))
+      .write.mode(SaveMode.Overwrite).parquet(stopsPath(dir))
+    val m = Meta(n, freqCap, pct, minSize, 0L, Nil)
+    writeMeta(dir, m)
+    m
+  }
+
   /** Build the index over an initial corpus: derives document
     * frequencies, freezes the stop-gram set (df > freqCap), and
     * writes the kept postings + pruned sizes as the first delta.

@@ -385,6 +385,46 @@ object StreamingCrawl {
     } finally cached.unpersist()
   }
 
+  /** Streaming CONTAINMENT curation over a document stream, backed by
+    * the persisted containment index ([[graft.ops.ContainmentIndex]]
+    * — `init(indexDir)` for a from-empty stream or `build(...)` over
+    * an existing corpus first): per micro-batch, probe the index for
+    * cross-batch AND within-batch containment pairs (the snippet-
+    * inside-a-long-doc case the Jaccard sinks miss), write them under
+    * the batch's dir (Overwrite → replay rewrites identical content),
+    * then append the batch's postings runId-guarded. No side corpus:
+    * the index's postings + sizes ARE the verify state — settled
+    * documents are never re-shingled. `compactEvery` bounds the delta
+    * chain AND re-freezes the stop set as the stream's df accumulates
+    * (the from-empty start has an empty frozen set, so the cap
+    * engages at the first compact). Use as
+    * `.foreachBatch(containmentIndexBatch(idx, pairs, "run") _)`. */
+  def containmentIndexBatch(indexDir: String, pairsDir: String,
+      runTag: String, idCol: String = "id", textCol: String = "text",
+      compactEvery: Int = 0)(
+      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val runId = s"$runTag-batch-$batchId"
+    val m = graft.ops.ContainmentIndex.readMeta(indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no containment index at $indexDir — init()/build() it " +
+          "before starting"))
+    if (m.committedRunIds.contains(runId)) return // full replay
+    val cached = batch.persist()
+    try graft.ops.DedupOps.withMaterializeScope {
+      if (!cached.isEmpty) {
+        graft.ops.ContainmentIndex.probePairs(cached, idCol, textCol,
+            indexDir)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$pairsDir/batch-$batchId")
+        graft.ops.ContainmentIndex.append(cached, idCol, textCol,
+          indexDir, runId)
+        if (compactEvery > 0 && graft.ops.ContainmentIndex
+            .readMeta(indexDir).exists(_.deltas.size >= compactEvery))
+          graft.ops.ContainmentIndex.compact(indexDir)
+      }
+    } finally cached.unpersist()
+  }
+
   /** Streaming keep-first URL dedup with BOUNDED state:
     * `dropDuplicatesWithinWatermark` on the canonical urlHash keeps
     * the first outcome per hash among events within the watermark

@@ -88,6 +88,43 @@ class ContainmentIndexSpec extends AnyFunSuite {
     assert(post === Set((1L, 20L)))
   }
 
+  test("streaming sink: cross-batch snippet pairs, replay idempotence, bounded deltas") {
+    val root = tmp()
+    val (idx, pp) = (s"$root/idx", s"$root/pairs")
+    ContainmentIndex.init(idx)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String)], spark)
+    val q = in.toDF().toDF("id", "text")
+      .writeStream
+      .foreachBatch(graft.streaming.StreamingCrawl.containmentIndexBatch(
+        idx, pp, "c", compactEvery = 2) _)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    val host = longToks.mkString(" ")
+    val other = (100 until 140).map(i => s"z$i").mkString(" ")
+    try {
+      in.addData((1L, host), (2L, other)) // batch 0
+      q.processAllAvailable()
+      in.addData((10L, (200 until 230).map(i => s"y$i").mkString(" ")))
+      q.processAllAvailable() // batch 1: unrelated
+      in.addData((20L, longToks.slice(20, 30).mkString(" ")))
+      q.processAllAvailable() // batch 2: snippet of batch-0 doc 1
+    } finally q.stop()
+    val p2 = spark.read.parquet(s"$pp/batch-2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 === Set((1L, 20L)), s"batch-2 pairs: $p2")
+    // at-least-once replay of batch 2 is a no-op on the index
+    val mBefore = ContainmentIndex.readMeta(idx).get
+    graft.streaming.StreamingCrawl.containmentIndexBatch(
+      idx, pp, "c", compactEvery = 2)(
+      Seq((20L, longToks.slice(20, 30).mkString(" ")))
+        .toDF("id", "text"), 2L)
+    assert(ContainmentIndex.readMeta(idx).get === mBefore)
+    // compactEvery = 2 keeps the delta chain bounded
+    assert(mBefore.deltas.size <= 2, s"deltas: ${mBefore.deltas}")
+  }
+
   test("frozen stop set prunes: a gram over the cap at build never pairs") {
     // 70 corpus docs share one gram → df 70 > 64 → frozen stop
     val corpus = (0 until 70)
