@@ -99,6 +99,26 @@ object RobotsTxt {
   /** Parse `text` and return the merged rules that apply to
     * `userAgent` (product token, matched case-insensitively; falls
     * back to the `*` groups). */
+  /** `Sitemap:` directive URLs, in file order (sitemaps.org robots
+    * extension; GROUP-INDEPENDENT per the spec — a sitemap line
+    * applies to every crawler regardless of the User-agent group it
+    * sits in). Feed to [[graft.sources.SitemapSource]]: robots.txt
+    * is how a polite crawler DISCOVERS a host's sitemap in the first
+    * place. Case-insensitive directive name, comments and CR/LF
+    * handled as in [[parse]]; empty values dropped. */
+  def sitemapUrls(text: String): Seq[String] =
+    text.split("\r?\n").toSeq.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i <= 0) None
+      else {
+        val key = line.substring(0, i).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(i + 1).trim
+        if (key == "sitemap" && value.nonEmpty) Some(value) else None
+      }
+    }
+
   def parse(text: String, userAgent: String = "graft"): Rules = {
     // callers may pass a full product string ("graft/1.0"); match on
     // the bare token

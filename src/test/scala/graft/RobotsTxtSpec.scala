@@ -162,4 +162,21 @@ class RobotsTxtSpec extends AnyFunSuite {
         |""".stripMargin
     assert(RobotsTxt.parse(text, "graft").crawlDelaySec === Some(7.0))
   }
+
+  test("Sitemap: directives collected group-independently, in order; comments/case/empties handled") {
+    val text =
+      """User-agent: other
+        |Disallow: /private
+        |Sitemap: https://a.example/sitemap1.xml
+        |
+        |User-agent: graft
+        |sitemap: https://a.example/sitemap2.xml  # trailing comment
+        |Sitemap:
+        |Allow: /
+        |""".stripMargin
+    assert(RobotsTxt.sitemapUrls(text) === Seq(
+      "https://a.example/sitemap1.xml",
+      "https://a.example/sitemap2.xml"))
+    assert(RobotsTxt.sitemapUrls("User-agent: *\nDisallow:") === Nil)
+  }
 }
