@@ -148,8 +148,11 @@ object ContainmentIndex {
       spark.sessionState.conf.numShufflePartitions / 4)
     kept.repartition(parts, col("g")).sortWithinPartitions("g")
       .write.mode(SaveMode.Overwrite).parquet(gramsPath(dir, v))
-    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    sizes.coalesce(1)
+    // sizes are O(corpus docs) — never a single-task write (a
+    // coalesce(1) here serializes the whole table through one task
+    // at 10^10 docs); id-partitioned like the postings
+    kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .repartition(parts, col("id"))
       .write.mode(SaveMode.Overwrite).parquet(sizesPath(dir, v))
     val nDocs = grams.select(col("id")).distinct().count()
     val next = m.copy(docs = m.docs + nDocs, deltas = m.deltas :+ v,
@@ -270,7 +273,7 @@ object ContainmentIndex {
     kept.repartition(parts, col("g")).sortWithinPartitions("g")
       .write.mode(SaveMode.Overwrite).parquet(gramsPath(dir, v))
     kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      .coalesce(1)
+      .repartition(parts, col("id"))
       .write.mode(SaveMode.Overwrite).parquet(sizesPath(dir, v))
     val tmpStops = s"$dir/stops_next"
     stops.write.mode(SaveMode.Overwrite).parquet(tmpStops)
