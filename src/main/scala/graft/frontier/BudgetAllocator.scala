@@ -45,7 +45,13 @@ object BudgetAllocator {
     // this every pass re-executes the caller's upstream plan — which
     // for rank-weighted budgets (q74/q80) is an entire fixed-point
     // iteration chain. The projection is host-grain (16 bytes + key)
-    // by construction, bounded at any corpus scale.
+    // by construction, bounded at any corpus scale. Residency: on a
+    // multi-executor master the materialized frame is a CacheManager
+    // persist held until clearCache/session stop (materialize's
+    // documented contract) — a LONG-LIVED driver apportioning every
+    // crawl cycle should wrap calls in
+    // DedupOps.withMaterializeScope { ... } so each cycle's block is
+    // released, as the streaming sinks do.
     val w = graft.ops.DedupOps.materialize(
       weights.select(col(keyCol).as("key"),
         col(weightCol).cast("long").as("weight")))

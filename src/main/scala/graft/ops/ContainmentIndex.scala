@@ -45,7 +45,8 @@ import org.apache.spark.sql.functions._
 object ContainmentIndex {
 
   final case class Meta(n: Int, freqCap: Long, pct: Int, minSize: Long,
-      docs: Long, deltas: Seq[String], runIds: Seq[String] = Nil) {
+      docs: Long, deltas: Seq[String], runIds: Seq[String] = Nil,
+      stopsVer: Int = 1) {
     def committedRunIds: Set[String] =
       if (runIds == null) Set.empty else runIds.toSet
   }
@@ -80,9 +81,30 @@ object ContainmentIndex {
       explode(gramsUdf(coalesce(col(textCol), lit("")))).as("g"))
   }
 
-  private def stopsPath(dir: String) = s"$dir/stops"
+  // the stop set is meta-versioned like the deltas: a rewrite writes
+  // stops-v{N+1}, commits it via the atomic meta swap, THEN drops the
+  // old dir — no crash window ever leaves the index without a
+  // readable stop set
+  private def stopsPath(dir: String, ver: Int) = s"$dir/stops-v$ver"
   private def gramsPath(dir: String, d: String) = s"$dir/grams/$d"
   private def sizesPath(dir: String, d: String) = s"$dir/sizes/$d"
+
+  /** One delta's physical layout, shared by append and rewrite so the
+    * two write sites can never drift: g-partitioned sorted postings +
+    * id-partitioned sizes (each O(corpus) at scale — never a
+    * single-task write). Returns the count of docs WITH postings. */
+  private def writeDelta(kept: DataFrame, dir: String,
+      v: String): Long = {
+    val spark = kept.sparkSession
+    val parts = math.max(1,
+      spark.sessionState.conf.numShufflePartitions / 4)
+    kept.repartition(parts, col("g")).sortWithinPartitions("g")
+      .write.mode(SaveMode.Overwrite).parquet(gramsPath(dir, v))
+    kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .repartition(parts, col("id"))
+      .write.mode(SaveMode.Overwrite).parquet(sizesPath(dir, v))
+    kept.select(col("id")).distinct().count()
+  }
 
   /** Initialize an EMPTY index (streaming-start mode): the stop set
     * starts empty — nothing is frozen until enough corpus exists to
@@ -97,7 +119,7 @@ object ContainmentIndex {
     DedupIndex.dropDir(dir)
     val spark = org.apache.spark.sql.SparkSession.active
     spark.range(0).select(col("id").as("g"))
-      .write.mode(SaveMode.Overwrite).parquet(stopsPath(dir))
+      .write.mode(SaveMode.Overwrite).parquet(stopsPath(dir, 1))
     val m = Meta(n, freqCap, pct, minSize, 0L, Nil)
     writeMeta(dir, m)
     m
@@ -117,7 +139,7 @@ object ContainmentIndex {
     grams.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") > freqCap)
       .select(col("g"))
-      .write.mode(SaveMode.Overwrite).parquet(stopsPath(dir))
+      .write.mode(SaveMode.Overwrite).parquet(stopsPath(dir, 1))
     val m = Meta(n, freqCap, pct, minSize, 0L, Nil)
     writeMeta(dir, m)
     appendGrams(grams, dir, m, runId = "")
@@ -140,21 +162,14 @@ object ContainmentIndex {
   private def appendGrams(grams: DataFrame, dir: String, m: Meta,
       runId: String): Meta = {
     val spark = grams.sparkSession
-    val stops = spark.read.parquet(stopsPath(dir))
+    val stops = spark.read.parquet(stopsPath(dir, m.stopsVer))
     val kept = DedupOps.materialize(
       grams.join(stops, Seq("g"), "left_anti"))
     val v = f"v${DedupIndex.nextVersion(m.deltas)}%05d"
-    val parts = math.max(1,
-      spark.sessionState.conf.numShufflePartitions / 4)
-    kept.repartition(parts, col("g")).sortWithinPartitions("g")
-      .write.mode(SaveMode.Overwrite).parquet(gramsPath(dir, v))
-    // sizes are O(corpus docs) — never a single-task write (a
-    // coalesce(1) here serializes the whole table through one task
-    // at 10^10 docs); id-partitioned like the postings
-    kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      .repartition(parts, col("id"))
-      .write.mode(SaveMode.Overwrite).parquet(sizesPath(dir, v))
-    val nDocs = grams.select(col("id")).distinct().count()
+    // docs counts documents WITH postings (a doc whose every gram is
+    // stopped contributes none) — the same rule rewrite() uses, so a
+    // no-op compact never changes the count
+    val nDocs = writeDelta(kept, dir, v)
     val next = m.copy(docs = m.docs + nDocs, deltas = m.deltas :+ v,
       runIds =
         if (runId.isEmpty) m.runIds
@@ -168,21 +183,59 @@ object ContainmentIndex {
     * stop set and pruning parameters — exactly the frozen-universe
     * [[DedupOps.containmentPairs]] over (corpus ∪ batch) restricted
     * to batch-touching pairs. Probe first, then [[append]].
+    *
+    * `dfGuard` (OFF by default, which preserves exact frozen-universe
+    * parity): the frozen stop set cannot see grams that became
+    * stop-worthy AFTER build — a same-template batch, or a gram whose
+    * accumulated df crossed the cap across appends, would fan the
+    * pair joins out unboundedly (the explosion freqCap exists to
+    * prevent). With the guard ON, grams whose batch df + CURRENT
+    * postings df together exceed freqCap are excluded from pairing (sizes
+    * stay as persisted, so guarded probes emit a conservative
+    * subset); the unfrozen batch op would have stopped those grams
+    * anyway. Production streams between compacts — and any
+    * `init()`-started stream, whose frozen set is empty — should
+    * run guarded; [[compact]] folds the crossings into the real
+    * stop set.
     * @return (id_a, id_b, shared, size_a, size_b, cont_x1000). */
   def probePairs(batch: DataFrame, idCol: String, textCol: String,
-      dir: String, maxBroadcastRows: Long = 4000000L): DataFrame = {
+      dir: String, maxBroadcastRows: Long = 4000000L,
+      dfGuard: Boolean = false): DataFrame = {
     val m = readMeta(dir).getOrElse(throw new IllegalStateException(
       s"no containment index at $dir"))
     val spark = batch.sparkSession
     import spark.implicits._
-    val stops = spark.read.parquet(stopsPath(dir))
+    val stops = spark.read.parquet(stopsPath(dir, m.stopsVer))
     val bg = DedupOps.materialize(
       gramsOf(batch, idCol, textCol, m.n)
         .join(stops, Seq("g"), "left_anti"))
     val bSizes = DedupOps.materialize(
       bg.groupBy($"id").agg(count(lit(1)).as("sz"))
         .filter($"sz" >= m.minSize))
-    val bKept = bg.join(bSizes.select($"id"), "id")
+    // post-build cap crossings (guard mode): count batch df directly
+    // and CURRENT corpus df restricted to the probed grams — the
+    // restriction flows into an aggregation, so the counting pass is
+    // O(occurrences), never O(occurrences²) like the pair join it
+    // protects
+    val guarded: Option[DataFrame] =
+      if (!dfGuard) None
+      else {
+        val bDf = bg.groupBy($"g").agg(count(lit(1)).as("bc"))
+        val withC =
+          if (m.deltas.isEmpty) bDf.withColumn("cc", lit(0L))
+          else bDf.join(
+            spark.read
+              .parquet(m.deltas.map(d => gramsPath(dir, d)): _*)
+              .join(bDf.select($"g"), Seq("g"))
+              .groupBy($"g").agg(count(lit(1)).as("cc")),
+            Seq("g"), "left")
+            .select($"g", $"bc", coalesce($"cc", lit(0L)).as("cc"))
+        Some(DedupOps.materialize(
+          withC.filter($"bc" + $"cc" > m.freqCap).select($"g")))
+      }
+    val bKept0 = bg.join(bSizes.select($"id"), "id")
+    val bKept = guarded.fold(bKept0)(gx =>
+      bKept0.join(gx, Seq("g"), "left_anti"))
     def verdict(df: DataFrame): DataFrame = df
       .filter($"shared" * 100 >= least($"size_a", $"size_b") * m.pct)
       .select($"id_a", $"id_b", $"shared", $"size_a", $"size_b",
@@ -262,27 +315,22 @@ object ContainmentIndex {
     val newStops = rows.groupBy(col("g"))
       .agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") > m.freqCap).select(col("g"))
-    val oldStops = spark.read.parquet(stopsPath(dir))
+    val oldStops = spark.read.parquet(stopsPath(dir, m.stopsVer))
     val stops = DedupOps.materialize(
       oldStops.unionByName(newStops).distinct())
     val kept = DedupOps.materialize(
       rows.join(stops, Seq("g"), "left_anti"))
     val v = f"v${DedupIndex.nextVersion(m.deltas)}%05d"
-    val parts = math.max(1,
-      spark.sessionState.conf.numShufflePartitions / 4)
-    kept.repartition(parts, col("g")).sortWithinPartitions("g")
-      .write.mode(SaveMode.Overwrite).parquet(gramsPath(dir, v))
-    kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      .repartition(parts, col("id"))
-      .write.mode(SaveMode.Overwrite).parquet(sizesPath(dir, v))
-    val tmpStops = s"$dir/stops_next"
-    stops.write.mode(SaveMode.Overwrite).parquet(tmpStops)
-    val docs = kept.select(col("id")).distinct().count()
-    DedupIndex.dropDir(stopsPath(dir))
-    Files.move(Paths.get(tmpStops), Paths.get(stopsPath(dir)),
-      StandardCopyOption.ATOMIC_MOVE)
-    val next = m.copy(docs = docs, deltas = Seq(v))
+    val docs = writeDelta(kept, dir, v)
+    // write the NEW stops dir first, commit both via the atomic meta
+    // swap, THEN drop the old artifacts — a crash anywhere leaves the
+    // meta pointing at a complete, readable index state
+    val nextVer = m.stopsVer + 1
+    stops.write.mode(SaveMode.Overwrite)
+      .parquet(stopsPath(dir, nextVer))
+    val next = m.copy(docs = docs, deltas = Seq(v), stopsVer = nextVer)
     writeMeta(dir, next)
+    DedupIndex.dropDir(stopsPath(dir, m.stopsVer))
     m.deltas.foreach { d =>
       DedupIndex.dropDir(gramsPath(dir, d))
       DedupIndex.dropDir(sizesPath(dir, d))

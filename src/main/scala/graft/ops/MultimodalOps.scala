@@ -163,8 +163,10 @@ object MultimodalOps {
     * sketch, either direction) means b is a flipped copy of a;
     * mirror–mirror hits duplicate plain–plain information and are
     * dropped, as are self-pairs (an image pairing its own mirror =
-    * left-right symmetry, not duplication). Requires non-negative
-    * ids (the channel encoding doubles them).
+    * left-right symmetry, not duplication). The encoding doubles
+    * ids (`id·2 + channel`) and decodes with arithmetic shift +
+    * bit-mask, so NEGATIVE ids (xxhash64 keys, negative half the
+    * time) round-trip exactly; only |id| > 2⁶² would overflow.
     *
     * Scale shape: identical to [[imageNearDup]] with 2× the sketch
     * rows — still only (8-byte sketch, id) tuples ever shuffle,
@@ -182,9 +184,14 @@ object MultimodalOps {
       .unionByName(
         sk.select((col("id") * 2 + 1).as("cid"), col("dhm").as("h")))
     val raw = DedupOps.hammingPairs64(chan, "cid", "h", maxDist)
+    // arithmetic shiftright = floor-div-2 and &1 = channel bit for
+    // ANY sign — `div 2`/`% 2` truncate toward zero and would
+    // mis-decode negative (hash-keyed) ids
     val decoded = raw.select(
-        expr("id_a div 2").as("a"), expr("id_a % 2").as("ca"),
-        expr("id_b div 2").as("b"), expr("id_b % 2").as("cb"),
+        expr("shiftright(id_a, 1)").as("a"),
+        expr("id_a & 1").as("ca"),
+        expr("shiftright(id_b, 1)").as("b"),
+        expr("id_b & 1").as("cb"),
         col("hamming"))
       .filter(!(col("ca") === 1 && col("cb") === 1))
       .filter(col("a") =!= col("b"))

@@ -96,9 +96,6 @@ object RobotsTxt {
   private final case class Group(agents: Seq[String], allows: Seq[String],
       disallows: Seq[String], crawlDelay: Option[Double])
 
-  /** Parse `text` and return the merged rules that apply to
-    * `userAgent` (product token, matched case-insensitively; falls
-    * back to the `*` groups). */
   /** `Sitemap:` directive URLs, in file order (sitemaps.org robots
     * extension; GROUP-INDEPENDENT per the spec — a sitemap line
     * applies to every crawler regardless of the User-agent group it
@@ -119,6 +116,9 @@ object RobotsTxt {
       }
     }
 
+  /** Parse `text` and return the merged rules that apply to
+    * `userAgent` (product token, matched case-insensitively; falls
+    * back to the `*` groups). */
   def parse(text: String, userAgent: String = "graft"): Rules = {
     // callers may pass a full product string ("graft/1.0"); match on
     // the bare token

@@ -42,12 +42,6 @@ object FrontierQueries {
     uf = "MG", municipality = Some(MunicipalitySelector.All))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Hamilton largest-remainder crawl-budget apportionment
-    // (frontier/BudgetAllocator.scala) as a two-sided exact
-    // derivation: both engines weight hosts (user_id) by event count
-    // and apportion a prime budget (997 — guarantees nontrivial
-    // remainders) independently; every base share, remainder seat,
-    // and tie-break is integer-exact, so rows compare bit-for-bit.
     // ---- sitemap ingestion round-trip (SURVEY §2.1 extra source):
     //      one sitemap XML blob per host is BUILT in-query from the
     //      documents table (deterministic loc/lastmod/priority
@@ -85,6 +79,12 @@ object FrontierQueries {
         .orderBy($"host", $"rk")
     }),
 
+    // Hamilton largest-remainder crawl-budget apportionment
+    // (frontier/BudgetAllocator.scala) as a two-sided exact
+    // derivation: both engines weight hosts (user_id) by event count
+    // and apportion a prime budget (997 — guarantees nontrivial
+    // remainders) independently; every base share, remainder seat,
+    // and tie-break is integer-exact, so rows compare bit-for-bit.
     "q62_crawl_budget" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       val w = s.read.parquet(s"$dir/events.parquet")

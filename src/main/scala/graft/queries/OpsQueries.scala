@@ -293,7 +293,7 @@ object OpsQueries {
       import s.implicits._
       val d = docs(s, dir)
         .select($"doc_id", coalesce($"text", lit("")).as("text"))
-      val toks = split(regexp_replace(trim($"text"), "\\s+", " "), " ")
+      val toks = array_remove(split(regexp_replace(trim($"text"), "\\s+", " "), " "), "")
       val planted = d.filter($"doc_id" % 100 === 0)
         .select(($"doc_id" + 2000000L).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1),
@@ -314,7 +314,7 @@ object OpsQueries {
       import s.implicits._
       val d = docs(s, dir)
         .select($"doc_id", coalesce($"text", lit("")).as("text"))
-      val toks = split(regexp_replace(trim($"text"), "\\s+", " "), " ")
+      val toks = array_remove(split(regexp_replace(trim($"text"), "\\s+", " "), " "), "")
       val planted = d.filter($"doc_id" % 100 === 0)
         .select(($"doc_id" + 2000000L).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1),

@@ -46,10 +46,12 @@ object SitemapSource {
           lit(""))).as("lastmod"),
         {
           // absent OR malformed priority → sitemaps.org default 0.5;
+          // multi-decimal values (0.85, 1.00) floor to their tenth;
           // nullif keeps the ANSI int casts off empty extracts
-          val rx = "<priority>([01])(?:\\.(\\d))?</priority>"
+          val rx = "<priority>([01])(?:\\.(\\d+))?</priority>"
           val whole = nullif(regexp_extract(col("u"), rx, 1), lit(""))
-          val tenth = nullif(regexp_extract(col("u"), rx, 2), lit(""))
+          val tenth = nullif(substring(
+            regexp_extract(col("u"), rx, 2), 1, 1), lit(""))
           coalesce(whole.cast("int") * 10 +
             coalesce(tenth.cast("int"), lit(0)), lit(5))
             .as("priority_x10")

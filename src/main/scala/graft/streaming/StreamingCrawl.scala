@@ -412,8 +412,13 @@ object StreamingCrawl {
     val cached = batch.persist()
     try graft.ops.DedupOps.withMaterializeScope {
       if (!cached.isEmpty) {
+        // dfGuard ON: a stream's frozen stop set lags reality (empty
+        // from init() until the first compact) — the guard keeps a
+        // same-template batch from exploding the pair joins, at the
+        // documented cost of excluding cap-crossing grams until the
+        // next compact folds them into the real stop set
         graft.ops.ContainmentIndex.probePairs(cached, idCol, textCol,
-            indexDir)
+            indexDir, dfGuard = true)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$pairsDir/batch-$batchId")
         graft.ops.ContainmentIndex.append(cached, idCol, textCol,

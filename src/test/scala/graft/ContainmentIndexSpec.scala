@@ -125,6 +125,26 @@ class ContainmentIndexSpec extends AnyFunSuite {
     assert(mBefore.deltas.size <= 2, s"deltas: ${mBefore.deltas}")
   }
 
+  test("dfGuard: grams that crossed the cap AFTER build cannot fan the joins out") {
+    // the shared gram's df is 40 at build (under the 64 cap → not
+    // frozen) but 70 once the batch arrives — without the guard every
+    // batch doc pairs every corpus doc through it
+    val corpus = (0 until 40)
+      .map(i => (i.toLong, s"aa bb cc dd u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    val dir = tmp()
+    ContainmentIndex.build(corpus, "doc_id", "text", dir, minSize = 1)
+    val batch = (0 until 30).map(i => (100L + i, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val unguarded = ContainmentIndex.probePairs(batch, "doc_id",
+      "text", dir).count()
+    assert(unguarded > 1000L, s"unguarded fan-out expected: $unguarded")
+    val guarded = ContainmentIndex.probePairs(batch, "doc_id", "text",
+      dir, dfGuard = true).collect()
+    assert(guarded.isEmpty, s"guard must exclude the crossing " +
+      s"gram from pairing: ${guarded.length}")
+  }
+
   test("frozen stop set prunes: a gram over the cap at build never pairs") {
     // 70 corpus docs share one gram → df 70 > 64 → frozen stop
     val corpus = (0 until 70)

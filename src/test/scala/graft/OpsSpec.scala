@@ -751,5 +751,15 @@ class OpsSpec extends AnyFunSuite {
       .filter(r => r.getLong(0) == 0L && r.getLong(1) == 2000000L)
     assert(pp.length === 1 && !pp.head.getAs[Boolean]("mirrored"),
       s"plain re-encode must pair via the plain channel: ${pp.toSeq}")
+    // NEGATIVE (hash-like) ids round-trip the channel encoding: the
+    // shift/mask decode must attribute pairs to the right ids
+    val negDf = (rows.take(3).map { case (id, b) => (id - 100L, b) } ++
+      flipped.take(3).map { case (id, b) => (id - 100L, b) })
+      .toDF("rid", "bytes")
+    val np = MultimodalOps.mirrorNearDup(negDf, "rid", "bytes",
+      maxDist = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(np === Set((-100L, 999900L), (-99L, 999901L),
+      (-98L, 999902L)), s"negative-id pairs: $np")
   }
 }

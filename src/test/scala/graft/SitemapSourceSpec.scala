@@ -20,18 +20,22 @@ class SitemapSourceSpec extends AnyFunSuite {
         "<url><loc>https://a/3</loc><lastmod>2026-02-04</lastmod></url>" +
         "<url><loc>https://a/4</loc><priority>1</priority></url>" +
         "<url><loc>https://a/5</loc><priority>x</priority></url>" +
+        "<url><loc>https://a/6</loc><priority>0.85</priority></url>" +
+        "<url><loc>https://a/7</loc><priority>1.00</priority></url>" +
         "<url>no loc here</url>"
     val out = SitemapSource.parse(Seq(("h", xml)).toDF("host", "xml"), "xml")
       .collect().map(r => (r.getAs[String]("loc"),
         Option(r.getAs[java.sql.Date]("lastmod")).map(_.toString),
         r.getAs[Int]("priority_x10")))
-    assert(out.length === 6)
+    assert(out.length === 8)
     assert(out(0) === (("https://a/1", Some("2026-02-03"), 8)))
     assert(out(1) === (("https://a/2", None, 10)))
     assert(out(2) === (("https://a/3", Some("2026-02-04"), 5))) // default
     assert(out(3) === (("https://a/4", None, 10))) // bare "1"
     assert(out(4) === (("https://a/5", None, 5))) // malformed priority
-    assert(out(5)._1 === "") // malformed block: empty loc, caller filters
+    assert(out(5) === (("https://a/6", None, 8))) // 0.85 floors to 8
+    assert(out(6) === (("https://a/7", None, 10))) // 1.00
+    assert(out(7)._1 === "") // malformed block: empty loc, caller filters
   }
 
   test("prioritize: priority desc, then lastmod desc with nulls last, then loc") {
