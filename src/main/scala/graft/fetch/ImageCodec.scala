@@ -63,13 +63,19 @@ object ImageCodec {
     val out = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
+      // row-invariant factors hoisted to locals (same multiply order,
+      // bit-identical doubles — just no per-pixel array reads for the
+      // y-axis tables)
+      val c1 = cy1(y); val s1 = sy1(y)
+      val c2 = cy2(y); val s2 = sy2(y)
+      val c3 = cy3(y); val s3 = sy3(y)
       var i = y * w
       var xx = 0
       while (xx < w) {
         val g = dc +
-          (cx1(xx) * cy1(y) - sx1(xx) * sy1(y)) + // cos(fx1·u+p1+fy1·v)
-          (cx2(xx) * cy2(y) + sx2(xx) * sy2(y)) + // cos(fx2·u+p2−fy2·v)
-          (cx3(xx) * cy3(y) - sx3(xx) * sy3(y)) // cos(u+v)
+          (cx1(xx) * c1 - sx1(xx) * s1) + // cos(fx1·u+p1+fy1·v)
+          (cx2(xx) * c2 + sx2(xx) * s2) + // cos(fx2·u+p2−fy2·v)
+          (cx3(xx) * c3 - sx3(xx) * s3) // cos(u+v)
         out(i) = math.max(0, math.min(255, math.round(g))).toByte
         xx += 1; i += 1
       }
@@ -121,11 +127,19 @@ object ImageCodec {
       case other => throw new IllegalArgumentException(s"fmt: $other")
     }
 
+  // per-thread Deflater, reset per image: construction/end allocate a
+  // native zlib stream each call; reset() + identical input at the
+  // same level produces identical bytes (zlib is deterministic), so
+  // payload content is unchanged
+  private val pngDeflater =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6))
+
   /** Minimal 8-bit grayscale PNG (color type 0, filter 0 per
     * scanline, one zlib-deflated IDAT) — the published PNG format,
     * nothing shared between threads. */
   private[fetch] def encodePng(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+    val bos = new ByteArrayOutputStream(1280 + px.length / 8)
     bos.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte))
     def chunk(tag: String, body: Array[Byte]): Unit = {
@@ -151,12 +165,12 @@ object ImageCodec {
       System.arraycopy(px, y * w, raw, y * (w + 1) + 1, w)
       y += 1
     }
-    val deflater = new java.util.zip.Deflater(6)
+    val deflater = pngDeflater.get()
+    deflater.reset()
     deflater.setInput(raw); deflater.finish()
     val out = new ByteArrayOutputStream(raw.length / 2 + 64)
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
     chunk("IDAT", out.toByteArray)
     // keep every payload above the 1 KiB validity floor (P3): very
     // smooth small images deflate below it — pad with an ancillary
@@ -216,11 +230,37 @@ object ImageCodec {
     (w, h, out)
   }
 
+  // per-thread decoders, same rationale as jpegWriter: ImageIO.read's
+  // registry lookup + stream-SPI scan synchronize globally per call;
+  // the JDK registers exactly one reader per format, so binding it
+  // once per thread decodes bit-identically without the global lock
+  private val pngReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      ImageIO.getImageReadersByFormatName("png").next())
+  private val jpegReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      ImageIO.getImageReadersByFormatName("jpeg").next())
+
   /** Decode back to gray pixels (w*h bytes, row-major). */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     if (bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M')
       return decodeBmpGray(bytes)
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img =
+      if (bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+        val r = pngReader.get()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try { r.setInput(iis); r.read(0) }
+        finally { r.setInput(null); iis.close() }
+      } else if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8) {
+        val r = jpegReader.get()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try { r.setInput(iis); r.read(0) }
+        finally { r.setInput(null); iis.close() }
+      } else ImageIO.read(new ByteArrayInputStream(bytes))
     val w = img.getWidth
     val h = img.getHeight
     val gray =

@@ -72,19 +72,66 @@ object BudgetAllocator {
     val leftover = budget - based.agg(sum($"base")).as[Long].head()
     require(leftover >= 0 && leftover <= Int.MaxValue,
       s"leftover $leftover out of range")
-    val winners =
-      if (leftover == 0L)
-        based.select($"key").limit(0).withColumn("bonus", lit(1L))
-      else based.filter($"weight" > 0)
+    // winner selection is the one step whose cost scales with the
+    // leftover count. Hamilton's leftover is < #positive-weight hosts,
+    // which at web scale can be millions — TakeOrderedAndProject would
+    // put leftover×16 B on the driver heap AND broadcast it. Below the
+    // threshold (leftover ≤ spark.graft.budget.collectWinnersMax,
+    // default 2^20 ≈ 16 MB) the collect+broadcast form stays (it is
+    // the fastest shape for the common budget ≪ hosts case); above it
+    // the winners are ranked DISTRIBUTED — range-repartition the
+    // 16-byte (rem, key) projection, rank within partitions with
+    // cumulative per-partition offsets (the only driver state is one
+    // count per partition), and join back by key without a broadcast.
+    // The global order (rem desc, key asc) is total (keys unique per
+    // apportionment contract), so the selected set is identical in
+    // both paths regardless of partition boundaries.
+    val collectMax = spark.conf
+      .get("spark.graft.budget.collectWinnersMax", (1 << 20).toString)
+      .toLong
+    if (leftover == 0L) {
+      based.select($"key", $"weight", $"base".as("alloc"))
+    } else if (leftover <= collectMax) {
+      val winners = based.filter($"weight" > 0)
         .select($"rem", $"key")                  // 16-byte projection
         .orderBy($"rem".desc, $"key".asc)
         .limit(leftover.toInt)
         .select($"key")
         .withColumn("bonus", lit(1L))
-    based
-      .join(broadcast(winners), Seq("key"), "left")
-      .select($"key", $"weight",
-        ($"base" + coalesce(col("bonus"), lit(0L))).as("alloc"))
+      based
+        .join(broadcast(winners), Seq("key"), "left")
+        .select($"key", $"weight",
+          ($"base" + coalesce(col("bonus"), lit(0L))).as("alloc"))
+    } else {
+      val nParts = math.max(1,
+        spark.sessionState.conf.numShufflePartitions)
+      val ranked = graft.ops.DedupOps.materialize(
+        based.filter($"weight" > 0)
+          .select($"rem", $"key")
+          .repartitionByRange(nParts, $"rem".desc, $"key".asc)
+          .sortWithinPartitions($"rem".desc, $"key".asc)
+          .select($"rem", $"key", spark_partition_id().as("pid")))
+      // bounded driver state: one (pid, count) row per partition
+      val counts = ranked.groupBy($"pid").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      // exclusive prefix sums: offset(pid) = rows in lower partitions
+      var acc = 0L
+      val offsets = counts.map { case (pid, n) =>
+        val o = (pid, acc); acc += n; o
+      }.toMap
+      val offsetOf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
+      val rkW = Window.partitionBy($"pid")
+        .orderBy($"rem".desc, $"key".asc)
+      val winners = ranked
+        .withColumn("grank", offsetOf($"pid") + row_number().over(rkW))
+        .filter($"grank" <= leftover)
+        .select($"key")
+        .withColumn("bonus", lit(1L))
+      based
+        .join(winners, Seq("key"), "left")
+        .select($"key", $"weight",
+          ($"base" + coalesce(col("bonus"), lit(0L))).as("alloc"))
+    }
   }
 
   /** Enforce an allocation on a frontier: keeps, per host, the first

@@ -117,6 +117,13 @@ object CrawlJob {
     raw
       // P1: both href and title non-empty (portal_saude_mg.py:404)
       .filter(length(trim($"title")) > 0 && $"url".startsWith("http"))
+      // ONE exchange for BOTH windows: hash(seedSeq) satisfies the
+      // dedup window's (seedSeq, urlHash) clustering (subset rule) AND
+      // the numbering window's (seedSeq) — without it Spark plans two
+      // full shuffles of the frontier, hash(seedSeq, urlHash) then
+      // hash(seedSeq); the broadcast robots join between them preserves
+      // this partitioning, so only the sort order changes per window
+      .repartition($"seedSeq")
       .withColumn("rn", row_number().over(dedupW))
       .filter($"rn" === 1)
       .join(broadcast(robotsRules), $"host" === $"r_host", "left_outer")
@@ -359,10 +366,15 @@ object CrawlJob {
     // partition count scales with BOTH the cluster conf (probe
     // parallelism) and the key count (≤ ~100M keys ≈ 120 MiB filter
     // per partition at 1% FPP, so a single task never loads a
-    // multi-GiB filter no matter how large the seen set grows)
-    val bloomParts = math.max(
-      math.max(1, spark.sessionState.conf.numShufflePartitions / 2),
-      math.ceil(seenCount / 100e6).toInt)
+    // multi-GiB filter no matter how large the seen set grows) — and
+    // is CAPPED from below by the key count too (≥ ~50k keys per
+    // partition): a small committed set must not fan out into
+    // conf-many near-empty filter files and a conf-wide probe shuffle
+    // just because the session has many cores
+    val bloomParts = math.max(1, math.min(
+      math.max(spark.sessionState.conf.numShufflePartitions / 2,
+        math.ceil(seenCount / 100e6).toInt),
+      math.ceil(seenCount / 5e4).toInt))
     if (seenCount == 0) flagSeen(surviving, seenTable, None)
     else {
       val meta = graft.seen.BloomSeen.write(seenTable, bloomDir,
@@ -398,10 +410,13 @@ object CrawlJob {
         .map(_.seenDirs).getOrElse(Nil)
       def rebuild(): C.CuckooMeta = {
         // ≤ ~200M keys ≈ 540 MiB filter per partition (16-bit
-        // fingerprints, 4-slot buckets, 84% sizing load + pow2 round)
-        val parts = math.max(
-          math.max(1, spark.sessionState.conf.numShufflePartitions / 2),
-          math.ceil(seenCount / 2e8).toInt)
+        // fingerprints, 4-slot buckets, 84% sizing load + pow2 round);
+        // key-count floor as in flagViaBloom — a tiny set gets few
+        // partitions, not conf-many near-empty ones
+        val parts = math.max(1, math.min(
+          math.max(spark.sessionState.conf.numShufflePartitions / 2,
+            math.ceil(seenCount / 2e8).toInt),
+          math.ceil(seenCount / 5e4).toInt))
         C.write(seenTable, dir, parts,
           expectedKeys = math.max(seenCount * 2, 1024L),
           covered = currentDirs)

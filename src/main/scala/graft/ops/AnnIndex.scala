@@ -69,11 +69,19 @@ object AnnIndex {
   /** Train the quantizer on `candidates` ((cid, cv ARRAY<FLOAT>)) and
     * index them. Drops any existing index at `dir`. */
   def build(candidates: DataFrame, dir: String, nlist: Int = 16,
-      iters: Int = 2): Meta = {
+      iters: Int = 2): Meta =
+    buildFrozen(candidates, dir,
+      AnnOps.trainCentroids(candidates, nlist, iters))
+
+  /** [[build]] with an ALREADY-TRAINED quantizer (deterministic, so
+    * bit-identical to [[build]] at the same params) — callers that
+    * also need the per-call path on the same corpus (the parity gate)
+    * train once and share instead of paying the k-means chain twice. */
+  def buildFrozen(candidates: DataFrame, dir: String,
+      centroids: Array[Array[Double]]): Meta = {
     val spark = candidates.sparkSession
     import spark.implicits._
     DedupIndex.dropDir(dir)
-    val centroids = AnnOps.trainCentroids(candidates, nlist, iters)
     spark.createDataset(centroids.toIndexedSeq.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) })
       .toDF("cl", "c")

@@ -166,17 +166,30 @@ object AnnOps {
     * are quantized to 6 dp per iteration so assignments are bit-stable
     * under any partitioning/cluster size. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    ivfTopKFrozen(queries, candidates,
+      trainCentroids(candidates, nlist, iters), k, nProbe)
+
+  /** [[ivfTopK]] over an ALREADY-TRAINED quantizer — the quantizer is
+    * deterministic, so composing [[ivfModel]] + this is bit-identical
+    * to [[ivfTopK]] while training exactly once; callers needing both
+    * the candidate set and the ranking (the oracle gates) previously
+    * paid the k-means job chain twice. */
+  def ivfTopKFrozen(queries: DataFrame, candidates: DataFrame,
+      centroids: Array[Array[Double]], k: Int,
+      nProbe: Int = 4): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val centroids = trainCentroids(candidates, nlist, iters)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assign = udf((v: Seq[Float]) =>
-      nearestCentroids(bc.value, v.toArray, 1)(0))
-    val cands = candidates.withColumn("cl", assign($"cv"))
+    val cands = candidates.withColumn("cl",
+        assignCell(candidates, "cv", centroids))
       .withColumn("cnorm", normCol($"cv"))
     topKByCell(probedQueries(queries, centroids, nProbe), cands, k)
   }
+
+  /** The trained coarse quantizer as a value (see [[ivfTopKFrozen]]). */
+  def ivfModel(candidates: DataFrame, nlist: Int = 16,
+      iters: Int = 2): Array[Array[Double]] =
+    trainCentroids(candidates, nlist, iters)
 
   /** The (qid, cid) candidate set [[ivfTopK]] scores — every pair
     * sharing a probed cell. Deterministic (the quantizer is), so a
@@ -184,10 +197,16 @@ object AnnOps {
     * oracle can re-rank the exact same candidate set and certify the
     * op's scoring/ranking end to end (OpsQueries `ann_ivf_top5`). */
   def ivfCandidates(queries: DataFrame, candidates: DataFrame,
-      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    ivfCandidatesFrozen(queries, candidates,
+      trainCentroids(candidates, nlist, iters), nProbe)
+
+  /** [[ivfCandidates]] over an already-trained quantizer (see
+    * [[ivfTopKFrozen]] for why callers share one training). */
+  def ivfCandidatesFrozen(queries: DataFrame, candidates: DataFrame,
+      centroids: Array[Array[Double]], nProbe: Int = 4): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val centroids = trainCentroids(candidates, nlist, iters)
     val cands = candidates.withColumn("cl",
       assignCell(candidates, "cv", centroids))
     cands.join(broadcast(probedQueries(queries, centroids, nProbe)

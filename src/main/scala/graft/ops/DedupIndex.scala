@@ -114,11 +114,22 @@ object DedupIndex {
         s"unknown index kind '$other' (expected char|word)")
     }
 
+  /** Signature-pass shingler: the raw (unsorted multiset) char variant
+    * — MinHash signatures, and therefore every band key stored or
+    * probed, are bit-identical to the sorted-distinct form (min is
+    * order- and duplicate-invariant) without the per-document sort.
+    * The verify tail keeps [[shinglerOf]]. */
+  private def sigShinglerOf(m: IndexMeta): String => Array[Long] =
+    m.kind match {
+      case "char" => DedupOps.shinglesRaw(_, m.k)
+      case _ => shinglerOf(m)
+    }
+
   /** (id, bandHash) signature rows of one document set — the fused
     * shingle→minhash→band pass, map-side only. */
   private def banded(docs: DataFrame, idCol: String, textCol: String,
       m: IndexMeta): DataFrame = {
-    val sh = shinglerOf(m)
+    val sh = sigShinglerOf(m)
     val nh = m.numHashes
     val nb = m.bands
     val bandsUdf = udf((t: String) => DedupOps.bandKeys(t, sh, nh, nb))

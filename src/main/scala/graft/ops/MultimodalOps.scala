@@ -179,7 +179,18 @@ object MultimodalOps {
     val sk = images
       .select(col(idCol).as("id"), dhashBothUdf(col(bytesCol)).as("s"))
       .filter(col("s").isNotNull)
-      .select(col("id"), col("s._1").as("dh"), col("s._2").as("dhm"))
+      // channel encoding doubles the id: |id| ≥ 2^62 would wrap and
+      // mis-decode (half of such pairs would carry ids that exist
+      // nowhere and silently vanish in downstream joins) — fail loudly
+      // instead; xxhash64 ids are uniform 64-bit, so callers keying on
+      // raw hashes must map to surrogates first (r5 advice finding)
+      .select(
+        when(abs(col("id")) < lit(1L << 62), col("id"))
+          .otherwise(raise_error(concat(
+            lit("mirrorNearDup: |id| >= 2^62 cannot be channel-" +
+              "encoded; map to surrogate ids first (id="),
+            col("id").cast("string"), lit(")")))).as("id"),
+        col("s._1").as("dh"), col("s._2").as("dhm"))
     val chan = sk.select((col("id") * 2).as("cid"), col("dh").as("h"))
       .unionByName(
         sk.select((col("id") * 2 + 1).as("cid"), col("dhm").as("h")))

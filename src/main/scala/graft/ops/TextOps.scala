@@ -271,17 +271,46 @@ object TextOps {
   def decontaminate(corpus: org.apache.spark.sql.DataFrame,
       benchmark: org.apache.spark.sql.DataFrame, n: Int = 5,
       broadcastBench: Boolean = true): org.apache.spark.sql.DataFrame = {
-    val bg0 = benchmark.select(col("doc_id").as("bid"),
+    // r6 shape: the old three-countDistinct aggregate planned a
+    // 3-projection Expand of the exploded corpus-gram stream and its
+    // multi-distinct first phase grouped by (doc_id, gram, bid, gid) —
+    // the dominant shuffle carried ~3× the corpus's gram rows. Split
+    // the question into two narrow branches instead, each with plain
+    // codegen aggregates (no Expand, no distinct on the corpus side):
+    //  - hit counting joins the DEDUPLICATED benchmark gram set
+    //    (distinct per doc by wordNGrams construction on both sides,
+    //    so every count is distinct-free) and partial-aggregates
+    //    map-side — the exchange carries O(docs) partial rows, not
+    //    O(grams);
+    //  - bench-doc counting inner-joins the (bid, gram) table, so only
+    //    HIT rows (rare by definition of decontamination) ever shuffle,
+    //    through a single-distinct aggregate (no Expand for one
+    //    distinct group).
+    // Values are identical to the old form by construction.
+    val bgAll0 = benchmark.select(col("doc_id").as("bid"),
       explode(wordNGrams(col("text"), n)).as("bg"))
-    val bg = if (broadcastBench) broadcast(bg0) else bg0
-    corpus
-      .select(col("doc_id"), explode_outer(wordNGrams(col("text"), n)).as("g"))
-      .join(bg, col("g") === col("bg"), "left")
+    val bgAll = if (broadcastBench) broadcast(bgAll0) else bgAll0
+    val bgGrams0 = bgAll0.select(col("bg")).distinct()
+    val bgGrams = if (broadcastBench) broadcast(bgGrams0) else bgGrams0
+    def exploded = corpus.select(col("doc_id"),
+      explode_outer(wordNGrams(col("text"), n)).as("g"))
+    val hits = exploded
+      .join(bgGrams, col("g") === col("bg"), "left")
       .groupBy(col("doc_id"))
-      .agg(
-        countDistinct(col("g")).as("n_grams"),
-        countDistinct(when(col("bid").isNotNull, col("g"))).as("n_hit_grams"),
-        countDistinct(col("bid")).as("n_bench_docs"))
+      .agg(count(col("g")).as("n_grams"),
+        count(col("bg")).as("n_hit_grams"))
+    val bdocs = exploded
+      .join(bgAll, col("g") === col("bg"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bid")).as("n_bench_docs"))
+    // doc-grain merge of the two branches: both sides arrive hash-
+    // partitioned by doc_id from their aggregations, and the bench-doc
+    // side holds only CONTAMINATED docs — hash-build it per partition
+    // (shuffle_hash) instead of letting the planner sort both sides
+    // for a merge join
+    hits.join(bdocs.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_hit_grams"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"))
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 

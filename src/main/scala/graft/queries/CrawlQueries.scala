@@ -28,8 +28,30 @@ object CrawlQueries {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, CrawlJob.CrawlResult]()
 
+  /** Pin a crawl result's byte-free tables as localCheckpoint blocks:
+    * the per-JVM sharing contract here predates this, but `.cache()`
+    * alone cannot honor it — the bench clears the CacheManager before
+    * every battery entry (hygiene for entry-local storage), which used
+    * to silently demote every later `log`/`frontier` read to a full
+    * crawl recompute, once per PLAN SUBTREE occurrence (a gate that
+    * references the image table three times re-crawled three times per
+    * draw). localCheckpoint blocks live outside the CacheManager, so
+    * the demo crawl is computed once per JVM — exactly what the bench
+    * times as `crawl_demo`. Payload bytes stay UNPINNED: `images`
+    * regenerates map-side from the checkpointed log (the PayloadStage
+    * rule — bytes are never stored, only the ~100-byte log rows). */
+  private def pinned(spark: SparkSession,
+      r: CrawlJob.CrawlResult): CrawlJob.CrawlResult = {
+    val log = r.log.localCheckpoint(eager = true)
+    val frontier = r.frontier.localCheckpoint(eager = true)
+    r.unpersist() // the run()'s .cache() entries are superseded
+    CrawlJob.CrawlResult(r.seeds, r.prunedSeeds, frontier, log,
+      CrawlJob.materializeImages(log))
+  }
+
   def demoResult(spark: SparkSession): CrawlJob.CrawlResult =
-    cache.computeIfAbsent("demo", _ => CrawlJob.run(spark, demoConfig))
+    cache.computeIfAbsent("demo",
+      _ => pinned(spark, CrawlJob.run(spark, demoConfig)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ordered crawl log — the crawl-order witness (O1 + politeness)
@@ -197,7 +219,7 @@ object CrawlQueries {
     // armed (mds_saldo.py:249-294, portal_saude_mg.py:730-747)
     "crawl_host_health" -> ((s: SparkSession, _: String) => {
       val r = cache.computeIfAbsent("health",
-        _ => CrawlJob.run(s, healthConfig))
+        _ => pinned(s, CrawlJob.run(s, healthConfig)))
       CrawlJob.hostHealth(r.log)
     })
   )

@@ -489,12 +489,15 @@ object OpsQueries {
       val (q, c) = annSides(s, dir)
       val nVecs = emb(s, dir).count()
       val path = s"$gateFxBase/ivf_top5/sf_$nVecs"
-      // the quantizer is deterministic (seeded, 6-dp-quantized), so
-      // this separate candidate derivation agrees with the topK call
-      AnnOps.ivfCandidates(q, c)
+      // the quantizer is deterministic (seeded, 6-dp-quantized) and
+      // trained ONCE here — the candidate derivation and the topK call
+      // share it (bit-identical to training per call, half the k-means
+      // job chains)
+      val model = AnnOps.ivfModel(c, nlist = 16, iters = 2)
+      AnnOps.ivfCandidatesFrozen(q, c, model, nProbe = 4)
         .withColumn("n_vecs", lit(nVecs))
         .write.mode("overwrite").parquet(path)
-      AnnOps.ivfTopK(q, c, k = 5)
+      AnnOps.ivfTopKFrozen(q, c, model, k = 5, nProbe = 4)
         .select(col("qid"), col("cid"),
           round(col("cosine") * 1e6).cast("long").as("cos_x1e6"),
           col("rk"))
@@ -765,9 +768,12 @@ object OpsQueries {
       val (q, c) = annSides(s, dir)
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-ann-gate").toString
-      graft.ops.AnnIndex.build(c, idxDir, nlist = 16, iters = 2)
-      val perCall = AnnOps.ivfTopK(q, c, 5, nlist = 16, nProbe = 4,
-        iters = 2)
+      // ONE quantizer training shared by the persisted build and the
+      // per-call baseline (deterministic — bit-identical to training
+      // each side separately, as before)
+      val model = AnnOps.ivfModel(c, nlist = 16, iters = 2)
+      graft.ops.AnnIndex.buildFrozen(c, idxDir, model)
+      val perCall = AnnOps.ivfTopKFrozen(q, c, model, 5, nProbe = 4)
       val nVecs = emb(s, dir).count()
       val path = s"$gateFxBase/annidx/sf_$nVecs"
       perCall.withColumn("n_vecs", lit(nVecs))

@@ -35,14 +35,32 @@ object SitemapSource {
     * downstream ordering never depends on float parsing; `lastmod`
     * is a DATE (absent → null). */
   def parse(df: DataFrame, xmlCol: String): DataFrame = {
+    // (?s) = DOTALL: real-world sitemaps are pretty-printed with child
+    // tags on their own lines, and without it '.' stops at newlines and
+    // a multi-line <url> block silently yields zero entries (r5 advice
+    // finding; single-line feeds parse identically)
     val block = explode(
-      expr(s"regexp_extract_all($xmlCol, '<url>(.*?)</url>', 1)"))
+      expr(s"regexp_extract_all($xmlCol, '(?s)<url>(.*?)</url>', 1)"))
     val passthrough = df.columns.filter(_ != xmlCol).map(col).toSeq
+    // XML-unescape loc: sitemap URLs with query parameters arrive as
+    // &amp;-escaped text and must match the crawl's RAW canonical URLs
+    // in freshCandidates' anti-join (r5 advice finding — an escaped loc
+    // never matched and re-emitted seen URLs as fresh). The five
+    // predefined entities; &amp; LAST so "&amp;lt;" round-trips to
+    // "&lt;" (the text it encodes), not to "<".
+    def unescape(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(c, lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")),
+        lit("&apos;"), lit("'")),
+        lit("&amp;"), lit("&"))
     df.select(passthrough :+ block.as("u"): _*)
       .select(passthrough ++ Seq(
-        regexp_extract(col("u"), "<loc>(.*?)</loc>", 1).as("loc"),
+        unescape(regexp_extract(col("u"), "(?s)<loc>(.*?)</loc>", 1))
+          .as("loc"),
         to_date(nullif(
-          regexp_extract(col("u"), "<lastmod>(.*?)</lastmod>", 1),
+          regexp_extract(col("u"), "(?s)<lastmod>(.*?)</lastmod>", 1),
           lit(""))).as("lastmod"),
         {
           // absent OR malformed priority → sitemaps.org default 0.5;

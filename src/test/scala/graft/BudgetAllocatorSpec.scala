@@ -61,6 +61,39 @@ class BudgetAllocatorSpec extends AnyFunSuite {
     assert(kept === Set((1L, 10L), (1L, 20L), (3L, 7L)))
   }
 
+  test("large-leftover distributed winner path equals the broadcast path") {
+    // leftover ≈ #hosts: n equal weights, budget 2n-1 → bases all 1,
+    // leftover n-1 with every remainder tied — the worst shape for the
+    // winner selection (ties resolved purely by ascending key). Run
+    // once with the collect+broadcast form and once with the threshold
+    // forced to 0 (distributed range-rank path); the allocations must
+    // be identical row-for-row, and skewed weights must agree too.
+    val sess = spark
+    import sess.implicits._
+    def runBoth(budget: Long, rows: Seq[(Long, Long)]) = {
+      val df = rows.toDF("host", "w")
+      val broadcastPath = BudgetAllocator
+        .apportion(df, "host", "w", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      sess.conf.set("spark.graft.budget.collectWinnersMax", "0")
+      try {
+        val distPath = BudgetAllocator
+          .apportion(df, "host", "w", budget)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+        (broadcastPath, distPath)
+      } finally sess.conf.unset("spark.graft.budget.collectWinnersMax")
+    }
+    val n = 500L
+    val (b1, d1) = runBoth(2 * n - 1, (0L until n).map(i => (i, 1L)))
+    assert(b1 === d1)
+    assert(d1.values.sum === 2 * n - 1)
+    // first n-1 keys take the tied bonus seat, the last key does not
+    assert(d1(0L) === 2L && d1(n - 2) === 2L && d1(n - 1) === 1L)
+    val (b2, d2) = runBoth(997L,
+      (0L until 200L).map(i => (i, i * 31 % 97 + 1)))
+    assert(b2 === d2)
+  }
+
   test("sum of allocations equals the budget exactly (skewed weights)") {
     val rows = (0L until 100L).map(i => (i, i * i % 83 + 1))
     val out = run(997L, rows: _*)

@@ -299,6 +299,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus shuffled for the gram join:\n$p")
     // n-gram construction is pure array expressions, not a UDF
     assert(!p.contains("ScalaUDF"), s"n-grams fell back to a UDF:\n$p")
+    // r6: the per-doc counting runs as a two-level aggregation (pre-agg
+    // on (doc_id, gram) first), NOT as three countDistinct's whose
+    // multi-distinct planning Expands the exploded gram stream 3×
+    // before the dominant shuffle
+    assert(!p.contains("Expand"),
+      s"multi-distinct Expand is back in the decontamination plan:\n$p")
   }
 
   test("stratified sample is a map-side filter: no exchange, no UDF, pruned scan") {

@@ -38,6 +38,33 @@ class SitemapSourceSpec extends AnyFunSuite {
     assert(out(7)._1 === "") // malformed block: empty loc, caller filters
   }
 
+  test("parse: pretty-printed multi-line sitemaps and XML-escaped locs") {
+    // real-world sitemaps put child tags on their own lines — without
+    // (?s) DOTALL every such <url> block silently parsed to zero
+    // entries (r5 advice finding); and locs with query params arrive
+    // &amp;-escaped and must unescape to the raw crawl URL form
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>https://a/q?x=1&amp;y=2</loc>
+        |    <lastmod>2026-03-04</lastmod>
+        |    <priority>0.7</priority>
+        |  </url>
+        |  <url>
+        |    <loc>https://a/amp-literal?t=&amp;lt;tag&amp;gt;</loc>
+        |  </url>
+        |</urlset>""".stripMargin
+    val out = SitemapSource.parse(Seq(("h", xml)).toDF("host", "xml"), "xml")
+      .collect().map(r => (r.getAs[String]("loc").trim,
+        Option(r.getAs[java.sql.Date]("lastmod")).map(_.toString),
+        r.getAs[Int]("priority_x10")))
+    assert(out.length === 2, s"multi-line blocks dropped: ${out.toSeq}")
+    assert(out(0) === (("https://a/q?x=1&y=2", Some("2026-03-04"), 7)))
+    // double-escaped entities decode one level only
+    assert(out(1)._1 === "https://a/amp-literal?t=&lt;tag&gt;")
+  }
+
   test("prioritize: priority desc, then lastmod desc with nulls last, then loc") {
     val entries = Seq(
       ("h", "https://a/p1", Some("2026-01-01"), 5),
