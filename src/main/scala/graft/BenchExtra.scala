@@ -174,6 +174,49 @@ object BenchExtra {
         System.err.println(f"[benchextra] microhash split: " +
           f"shingles=${shSec * 1e6 / n}%.1f us " +
           f"minhash=${mhSec * 1e6 / n}%.1f us sink=$sink")
+      case "idxparity" =>
+        // step timings of the dedup_index_parity gate at a given SF
+        val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val s = session(cpus)
+        import org.apache.spark.sql.functions._
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val corpus = d.filter(col("doc_id") % 3 =!= 0)
+        val copies = d.orderBy("doc_id").limit(10)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L))
+          .withColumn("text", concat(col("text"), lit(" versão revisada")))
+        val batch = d.filter(col("doc_id") % 3 === 0).unionByName(copies)
+        // warmup pass
+        locally {
+          val w = java.nio.file.Files
+            .createTempDirectory("graft-idx-warm").toString
+          graft.ops.DedupIndex.write(corpus.limit(200), "doc_id", "text", w)
+          graft.ops.DedupIndex.probePairs(batch.limit(100),
+            corpus.limit(200), "doc_id", "text", w, 0.5).count()
+        }
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-idx-prof").toString
+        timed("index write (corpus)") {
+          graft.ops.DedupIndex.write(corpus, "doc_id", "text", idxDir)
+        }
+        var inc: org.apache.spark.sql.DataFrame = null
+        timed("probePairs build+count") {
+          inc = graft.ops.DedupIndex.probePairs(batch, corpus,
+            "doc_id", "text", idxDir, threshold = 0.5)
+          inc.count()
+        }
+        timed("full minhashPairs count") {
+          graft.ops.DedupOps.minhashPairs(corpus.unionByName(batch),
+            "doc_id", "text", threshold = 0.5).count()
+        }
+        timed("fixture write+read+sort") {
+          val full = graft.ops.DedupOps.minhashPairs(
+            corpus.unionByName(batch), "doc_id", "text", threshold = 0.5)
+          full.write.mode("overwrite")
+            .parquet("/tmp/graft_prof_idx/full")
+          inc.orderBy("id_a", "id_b").count()
+        }
+        s.stop()
       case "encode" =>
         // per-format payload encode micro-bench (no Spark): the fetch
         // stage's dominant cost per the crawl stage profile

@@ -241,11 +241,17 @@ object ContainmentIndex {
       .select($"id_a", $"id_b", $"shared", $"size_a", $"size_b",
         expr("(shared * 1000) div least(size_a, size_b)")
           .as("cont_x1000"))
+    // grouped pair explode instead of a self-join — one exchange, no
+    // sorts (the containmentPairs candidate-stage shape; within-batch
+    // gram lists are bounded by the batch itself and the df guard)
     val within = verdict(
-      bKept.as("a")
-        .join(bKept.as("b"),
-          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      bKept.groupBy($"g")
+        .agg(collect_list($"id").as("ids"))
+        .filter(size($"ids") >= 2)
+        .select(explode($"ids").as("id_a"), $"ids")
+        .select($"id_a", explode($"ids").as("id_b"))
+        .filter($"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b")
         .agg(count(lit(1)).as("shared"))
         .join(bSizes.select($"id".as("id_a"), $"sz".as("size_a")), "id_a")
         .join(bSizes.select($"id".as("id_b"), $"sz".as("size_b")), "id_b"))

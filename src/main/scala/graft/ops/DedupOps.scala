@@ -323,10 +323,18 @@ object DedupOps {
     val pairable = kept.filter(col("dfreq") >= 2)
       .join(sizes.filter(col("sz") >= minSize).select(col("id")), "id")
       .select(col("id"), col("g"))
-    val shared = pairable.as("a")
-      .join(pairable.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // per-gram member lists + in-partition pair explode instead of a
+    // self-join: the gram-keyed table crosses ONE exchange (unsorted)
+    // rather than two sort-merge sides; lists are bounded by freqCap,
+    // so no row outgrows 64 ids (the lshJaccardPairs candidate-stage
+    // rationale, here with the df cap making the bound a hard one)
+    val shared = pairable.groupBy(col("g"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")),
@@ -465,15 +473,25 @@ object DedupOps {
     val banded = materialize(df
       .select(col(idCol).as("id"),
         explode(bandsUdf(col(textCol))).as("bandHash")))
-    // candidate pairs: ids sharing any band bucket — ONE hash
-    // aggregation on bandHash + an in-partition pair explode, instead
-    // of the former self-join (which shuffled the banded table TWICE
-    // and, under the default sort-merge planning, sorted both sides;
-    // the grouped form ships each signature row once and never sorts).
+    // candidate pairs: ids sharing any band bucket. The former
+    // formulation self-joined the banded table — TWO exchanges of
+    // every signature row plus a sort per side under the default
+    // sort-merge planning. Now: ONE codegen count-aggregation finds
+    // the duplicate band keys (fixed-width UnsafeMap, spills
+    // gracefully — a collect_list here would run as an
+    // ObjectHashAggregate that sort-falls-back past 128 in-memory
+    // keys), the duplicate-key set prunes the MATERIALIZED banded
+    // table map-side (broadcast semi-join when it fits, a Bloom
+    // prefilter + shuffle join past the cap — guide-§3.2 shape; Bloom
+    // false positives only forward rows the bucket grouping ignores),
+    // and only the surviving sliver — duplicate-bucket rows, O(pairs)
+    // not O(corpus) — pays the list aggregation and in-partition pair
+    // explode. Net: the corpus-sized signature table crosses ONE
+    // exchange instead of two, unsorted.
     // Bucket membership lists are bounded by the near-dup cluster size
     // sharing a band key — pathological buckets explode quadratically
-    // in EITHER formulation. MATERIALIZED
-    // once: the pair table is referenced five times
+    // in EITHER formulation. The pair table is MATERIALIZED
+    // once: it is referenced five times
     // downstream (the join chain plus two scans per candIds branch),
     // and Spark plans are trees — without truncating the lineage every
     // reference re-ran the whole signature pass over the corpus
@@ -481,7 +499,23 @@ object DedupOps {
     // docs). Candidates are the SMALL intermediate (≪ corpus rows,
     // two BIGINTs each), exactly what should be pinned; the blocks are
     // freed by the ContextCleaner when the result goes unreachable.
-    val cand = banded.groupBy(col("bandHash"))
+    val dupKeys = materialize(
+      banded.groupBy(col("bandHash")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("bandHash")))
+    val nDup = dupKeys.count() // free: materialized
+    val dupRows =
+      if (nDup <= 4000000L)
+        banded.join(broadcast(dupKeys), Seq("bandHash"))
+      else {
+        val bf = dupKeys.stat.bloomFilter("bandHash", nDup, 0.03)
+        val bc = spark.sparkContext.broadcast(bf)
+        val mightContain =
+          udf((h: Long) => bc.value.mightContainLong(h))
+            .withName("graft_bloom_prune")
+        banded.filter(mightContain(col("bandHash")))
+          .hint("merge").join(dupKeys.hint("merge"), Seq("bandHash"))
+      }
+    val cand = dupRows.groupBy(col("bandHash"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))

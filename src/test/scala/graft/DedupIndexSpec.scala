@@ -249,9 +249,16 @@ class DedupIndexSpec extends AnyFunSuite {
     import spark.implicits._
     val union = pairSet(spark.read.parquet(s"$pp/batch-*")
       .select("id_a", "id_b", "jaccard"))
-    val want = pairSet(DedupOps.minhashPairs(
-      fed.toSeq.toDF("doc_id", "text"), "doc_id", "text",
-      threshold = 0.5))
+    // scope-wrapped: this one-shot recompute is incidental to the
+    // pinned-block assertion below (which pins the 100 PROBES' scope
+    // hygiene) — without a scope its own materialized intermediates
+    // linger until the ContextCleaner's next GC-driven sweep and flake
+    // the count
+    val want = DedupOps.withMaterializeScope {
+      pairSet(DedupOps.minhashPairs(
+        fed.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.5))
+    }
     assert(union === want,
       s"only_streamed=${union -- want} only_batch=${want -- union}")
     // the cross-fold-horizon planted dups were actually recovered
