@@ -105,12 +105,22 @@ object BudgetAllocator {
     } else {
       val nParts = math.max(1,
         spark.sessionState.conf.numShufflePartitions)
-      val ranked = graft.ops.DedupOps.materialize(
-        based.filter($"weight" > 0)
-          .select($"rem", $"key")
-          .repartitionByRange(nParts, $"rem".desc, $"key".asc)
-          .sortWithinPartitions($"rem".desc, $"key".asc)
-          .select($"rem", $"key", spark_partition_id().as("pid")))
+      val ranked0 = based.filter($"weight" > 0)
+        .select($"rem", $"key")
+        .repartitionByRange(nParts, $"rem".desc, $"key".asc)
+        .sortWithinPartitions($"rem".desc, $"key".asc)
+        .select($"rem", $"key", spark_partition_id().as("pid"))
+      // the pid column MUST come from one pinned execution: the offsets
+      // collected below are only valid against the same range-sample's
+      // partition boundaries, and an unpinned plan re-executes with a
+      // fresh sample for the winner pass (the `none` measurement mode
+      // of DedupOps.materialize would silently break the
+      // sum(alloc)==budget contract) — so pin unconditionally here
+      val ranked =
+        if (spark.conf.get("spark.graft.dedup.materialize", "auto")
+            == "none")
+          ranked0.localCheckpoint(eager = true)
+        else graft.ops.DedupOps.materialize(ranked0)
       // bounded driver state: one (pid, count) row per partition
       val counts = ranked.groupBy($"pid").count()
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

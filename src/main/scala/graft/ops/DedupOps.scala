@@ -490,7 +490,13 @@ object DedupOps {
     // exchange instead of two, unsorted.
     // Bucket membership lists are bounded by the near-dup cluster size
     // sharing a band key — pathological buckets explode quadratically
-    // in EITHER formulation. The pair table is MATERIALIZED
+    // in EITHER formulation, and the grouped form additionally holds
+    // one bucket's ids in a single aggregation row (8 B/id: a 10^6-id
+    // degenerate bucket is an 8 MB buffer — by the time a bucket is
+    // big enough to threaten executor memory, its quadratic pair
+    // OUTPUT has long made the job unrunnable under any shape;
+    // exactDedup upstream removes the identical-content mass that
+    // creates such buckets). The pair table is MATERIALIZED
     // once: it is referenced five times
     // downstream (the join chain plus two scans per candIds branch),
     // and Spark plans are trees — without truncating the lineage every

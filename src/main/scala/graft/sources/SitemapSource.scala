@@ -55,18 +55,29 @@ object SitemapSource {
         lit("&quot;"), lit("\"")),
         lit("&apos;"), lit("'")),
         lit("&amp;"), lit("&"))
+    // trim() on loc/lastmod: a pretty-printed sitemap puts the VALUE on
+    // its own line inside the tag, and an untrimmed loc would never
+    // match the crawl's raw canonical URL in freshCandidates' anti-join
+    // (whitespace-insignificant per sitemaps.org/XML text content)
+    // (regexp-based trim: Spark's trim() strips only the space
+    // character, not the newlines pretty-printing introduces)
+    def wsTrim(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, lit("^\\s+|\\s+$"), lit(""))
     df.select(passthrough :+ block.as("u"): _*)
       .select(passthrough ++ Seq(
-        unescape(regexp_extract(col("u"), "(?s)<loc>(.*?)</loc>", 1))
+        unescape(wsTrim(
+          regexp_extract(col("u"), "(?s)<loc>(.*?)</loc>", 1)))
           .as("loc"),
-        to_date(nullif(
-          regexp_extract(col("u"), "(?s)<lastmod>(.*?)</lastmod>", 1),
+        to_date(nullif(wsTrim(
+          regexp_extract(col("u"), "(?s)<lastmod>(.*?)</lastmod>", 1)),
           lit(""))).as("lastmod"),
         {
           // absent OR malformed priority → sitemaps.org default 0.5;
           // multi-decimal values (0.85, 1.00) floor to their tenth;
           // nullif keeps the ANSI int casts off empty extracts
-          val rx = "<priority>([01])(?:\\.(\\d+))?</priority>"
+          // \s* admits pretty-printed values on their own line (the
+          // loc/lastmod trim's analog for a structured regex)
+          val rx = "<priority>\\s*([01])(?:\\.(\\d+))?\\s*</priority>"
           val whole = nullif(regexp_extract(col("u"), rx, 1), lit(""))
           val tenth = nullif(substring(
             regexp_extract(col("u"), rx, 2), 1, 1), lit(""))

@@ -52,17 +52,31 @@ class SitemapSourceSpec extends AnyFunSuite {
         |    <priority>0.7</priority>
         |  </url>
         |  <url>
+        |    <loc>
+        |      https://a/own-line
+        |    </loc>
+        |    <lastmod>
+        |      2026-03-05
+        |    </lastmod>
+        |    <priority>
+        |      0.9
+        |    </priority>
+        |  </url>
+        |  <url>
         |    <loc>https://a/amp-literal?t=&amp;lt;tag&amp;gt;</loc>
         |  </url>
         |</urlset>""".stripMargin
     val out = SitemapSource.parse(Seq(("h", xml)).toDF("host", "xml"), "xml")
-      .collect().map(r => (r.getAs[String]("loc").trim,
+      .collect().map(r => (r.getAs[String]("loc"),
         Option(r.getAs[java.sql.Date]("lastmod")).map(_.toString),
         r.getAs[Int]("priority_x10")))
-    assert(out.length === 2, s"multi-line blocks dropped: ${out.toSeq}")
+    assert(out.length === 3, s"multi-line blocks dropped: ${out.toSeq}")
     assert(out(0) === (("https://a/q?x=1&y=2", Some("2026-03-04"), 7)))
+    // values on their OWN lines must come out trimmed — an untrimmed
+    // loc would never match a crawled URL in the freshness anti-join
+    assert(out(1) === (("https://a/own-line", Some("2026-03-05"), 9)))
     // double-escaped entities decode one level only
-    assert(out(1)._1 === "https://a/amp-literal?t=&lt;tag&gt;")
+    assert(out(2)._1 === "https://a/amp-literal?t=&lt;tag&gt;")
   }
 
   test("prioritize: priority desc, then lastmod desc with nulls last, then loc") {
