@@ -26,10 +26,16 @@ object TextOps {
     ("pt", Set("o", "a", "os", "que", "de", "e", "em", "não", "para", "uma"), "ãõç"),
     ("zh", Set.empty[String], "的一是不了人我在有他"))
 
+  // precompiled: String.split/replaceAll recompile their pattern per
+  // call — a per-document cost for map-side ops that run on every
+  // document of the corpus (same fix as DedupOps' shingle patterns)
+  private val NonLetterRun = java.util.regex.Pattern.compile("[^\\p{L}]+")
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   def langIdScala(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val lower = text.toLowerCase
-    val toks = lower.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val toks = NonLetterRun.split(lower).filter(_.nonEmpty)
     val total = math.max(1, toks.length)
     val charTotal = math.max(1, lower.length)
     var best = "und"
@@ -92,7 +98,7 @@ object TextOps {
     * window, fingerprint = xxh64 of the distinct minima sequence.
     * Robust to small local edits. */
   def winnowFingerprint(text: String, k: Int = 8, window: Int = 4): Long = {
-    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val t = WsRun.matcher(text.toLowerCase).replaceAll(" ")
     if (t.length <= k) return Hashing.xxh64(t)
     val n = t.length - k + 1
     val hs = new Array[Long](n)
